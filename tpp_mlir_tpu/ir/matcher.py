@@ -1,0 +1,137 @@
+"""Declarative op-matching DSL.
+
+The TPU-native analogue of the reference's StructuredOpMatcher
+(reference include/TPP/IR/StructuredOpMatcher.h:23-461): chained predicates
+over operations used by the lowering passes, e.g.
+
+    m = (Matcher("tl.matmul")
+         .operand(0, has_rank(2))
+         .output(has_static_shape())
+         .dtype_in("f32", "bf16"))
+    if m(op): ...
+
+plus MatcherUtils-style helpers (is_zero_op, is_relu_op, ...)
+(reference include/TPP/IR/MatcherUtils.h:22-42).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from .core import Operation, Value
+
+Pred = Callable[[Operation], bool]
+
+
+class Matcher:
+    def __init__(self, *opnames: str):
+        self.opnames = opnames
+        self.preds: list[Pred] = []
+
+    def _add(self, p: Pred) -> "Matcher":
+        self.preds.append(p)
+        return self
+
+    def __call__(self, op: Operation | None) -> bool:
+        if op is None:
+            return False
+        if self.opnames and op.opname not in self.opnames:
+            return False
+        return all(p(op) for p in self.preds)
+
+    # -- chainable predicates ---------------------------------------------
+    def operand(self, i: int, pred: Callable[[Value], bool]) -> "Matcher":
+        return self._add(lambda op: i < len(op.operands) and pred(op.operands[i]))
+
+    def all_operands(self, pred: Callable[[Value], bool]) -> "Matcher":
+        return self._add(lambda op: all(pred(v) for v in op.operands))
+
+    def output(self, pred: Callable[[Value], bool]) -> "Matcher":
+        return self._add(lambda op: all(pred(r) for r in op.results))
+
+    def num_operands(self, n: int) -> "Matcher":
+        return self._add(lambda op: len(op.operands) == n)
+
+    def attr(self, key: str, value=...) -> "Matcher":
+        if value is ...:
+            return self._add(lambda op: key in op.attrs)
+        return self._add(lambda op: op.attrs.get(key) == value)
+
+    def dtype_in(self, *dtypes: str) -> "Matcher":
+        return self._add(
+            lambda op: all(r.type.dtype in dtypes for r in op.results))
+
+    def where(self, pred: Pred) -> "Matcher":
+        return self._add(pred)
+
+    def producer(self, i: int, sub: "Matcher") -> "Matcher":
+        """Operand i is produced by an op matching `sub`."""
+        return self._add(
+            lambda op: i < len(op.operands) and sub(op.operands[i].owner))
+
+    def single_use(self, i: int) -> "Matcher":
+        return self._add(
+            lambda op: i < len(op.operands) and len(op.operands[i].uses) == 1)
+
+
+# -- value predicates --------------------------------------------------------
+
+def has_rank(r: int):
+    return lambda v: v.type.rank == r
+
+
+def has_static_shape():
+    return lambda v: all(d > 0 for d in v.type.shape)
+
+
+def has_dtype(*dts: str):
+    return lambda v: v.type.dtype in dts
+
+
+# -- MatcherUtils-style helpers ----------------------------------------------
+
+CONTRACTIONS = ("tl.matmul", "tl.batch_matmul", "tl.brgemm", "tl.vnni_brgemm",
+                "tl.blocked_matmul")
+CONVS = ("tl.conv2d_nchw_fchw", "tl.conv2d_nhwc_hwcf", "tl.blocked_conv2d")
+ELTWISE_UNARY = ("tl.relu", "tl.identity", "tl.exp", "tl.negate", "tl.square",
+                 "tl.sqrt", "tl.rsqrt", "tl.tanh", "tl.gelu")
+ELTWISE_BINARY = ("tl.add", "tl.sub", "tl.mul", "tl.div", "tl.max")
+
+
+def is_contraction(op: Operation | None) -> bool:
+    return op is not None and op.opname in CONTRACTIONS
+
+
+def is_conv(op: Operation | None) -> bool:
+    return op is not None and op.opname in CONVS
+
+
+def is_eltwise(op: Operation | None) -> bool:
+    return op is not None and (op.opname in ELTWISE_UNARY
+                               or op.opname in ELTWISE_BINARY)
+
+
+def is_zero_op(op: Operation | None) -> bool:
+    """Zero-producing op: tl.zero, tl.fill {value=0}, tl.constant zero."""
+    if op is None:
+        return False
+    if op.opname == "tl.zero":
+        return True
+    if op.opname == "tl.fill":
+        return op.attrs.get("value") in (0, 0.0)
+    if op.opname == "tl.constant":
+        return op.attrs.get("init") == "zero"
+    return False
+
+
+def is_relu_op(op: Operation | None) -> bool:
+    return op is not None and op.opname == "tl.relu"
+
+
+def is_bias_add(op: Operation | None) -> bool:
+    """tl.add where one operand broadcasts (a bias) — the reference infers
+    this from affine maps (ConvertLinalgToXsmm.cpp:320-427)."""
+    if op is None or op.opname != "tl.add":
+        return False
+    a, b = (v.type.shape for v in op.operands)
+    return a != b

@@ -1,0 +1,682 @@
+"""Op set: `tl` (tensor-language, the linalg-subset), `xsmm`, `perf`, `check`.
+
+Each op has a verifier; `verify_op` dispatches on opname. Semantics are
+destination-passing SSA: contraction ops take the accumulator C as an operand
+and return the updated tensor (the functional analogue of the reference's
+linalg ops on tensors; ops are never in-place because JAX is functional —
+the reference's ConvertLinalgToInplace pass has no TPU equivalent, XLA's
+buffer assignment performs that role).
+
+Reference op surface being mirrored:
+  - linalg subset: matmul/batch_reduce_matmul/fill/transpose/eltwise/pack/
+    unpack/conv (SURVEY.md 2.1, 2.3)
+  - xsmm dialect: dispatch/invoke split with flags
+    (reference include/TPP/Dialect/Xsmm/XsmmOps.td:30-318, XsmmEnum.td:13-84)
+  - perf/check dialects (reference include/TPP/Dialect/{Perf,Check})
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from .core import Builder, Function, Operation, Value
+from .types import TensorType
+
+# ---------------------------------------------------------------------------
+# Enums (mirroring reference include/TPP/Dialect/Xsmm/XsmmEnum.td:13-84)
+# ---------------------------------------------------------------------------
+
+UNARY_KINDS = ("none", "identity", "zero", "relu", "vnni2", "transpose",
+               "exp", "square", "sqrt", "negate", "rsqrt", "tanh", "gelu")
+BINARY_KINDS = ("none", "add", "mul", "sub", "div", "max")
+# GemmFlags: beta_0 folds away the zero-fill of the accumulator; vnni_b means
+# the B operand is in VNNI layout (on TPU: native bf16 packed operand).
+GEMM_FLAGS = ("none", "beta_0", "vnni_a", "vnni_b", "vnni_c", "transpose_b")
+# Broadcast flags for unary/binary (XsmmEnum.td UnaryFlags/BinaryFlags):
+#   none / bcast_row (operand broadcasts along rows) / bcast_col / bcast_scalar
+BCAST_FLAGS = ("none", "bcast_row", "bcast_col", "bcast_scalar")
+
+I64 = TensorType((), "i64")
+F64 = TensorType((), "f32")
+
+_VERIFIERS: dict[str, Callable[[Operation], None]] = {}
+
+
+def _op(name: str):
+    def deco(fn):
+        _VERIFIERS[name] = fn
+        return fn
+    return deco
+
+
+def verify_op(op: Operation) -> None:
+    v = _VERIFIERS.get(op.opname)
+    if v is None:
+        raise ValueError(f"unknown op '{op.opname}'")
+    v(op)
+
+
+def _fail(op: Operation, msg: str):
+    raise ValueError(f"'{op.opname}' verifier: {msg}")
+
+
+def _t(v: Value) -> TensorType:
+    return v.type
+
+
+def _same_dtype(op, *vals):
+    dts = {v.type.dtype for v in vals}
+    if len(dts) > 1:
+        _fail(op, f"mixed dtypes {sorted(dts)}")
+
+
+def broadcast_shapes(a: tuple[int, ...], b: tuple[int, ...]) -> tuple[int, ...]:
+    """NumPy-style broadcast (the reference infers BCAST flags from affine
+    maps, ConvertLinalgToXsmm.cpp:181-427; we use shape broadcasting)."""
+    ra, rb = len(a), len(b)
+    r = max(ra, rb)
+    a = (1,) * (r - ra) + a
+    b = (1,) * (r - rb) + b
+    out = []
+    for x, y in zip(a, b):
+        if x == y or x == 1 or y == 1:
+            out.append(max(x, y))
+        else:
+            raise ValueError(f"cannot broadcast {a} with {b}")
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# tl dialect verifiers
+# ---------------------------------------------------------------------------
+
+@_op("tl.constant")
+def _v_constant(op):
+    if op.operands:
+        _fail(op, "takes no operands")
+    init = op.attrs.get("init", "zero")
+    if not isinstance(init, str):
+        _fail(op, "init attr must be a string kind")
+
+
+@_op("tl.fill")
+def _v_fill(op):
+    if len(op.operands) != 1:
+        _fail(op, "expects (dest)")
+    if op.result.type != op.operands[0].type:
+        _fail(op, "result type must match dest")
+    if "value" not in op.attrs:
+        _fail(op, "needs 'value' attr")
+
+
+@_op("tl.matmul")
+def _v_matmul(op):
+    if len(op.operands) != 3:
+        _fail(op, "expects (A, B, C)")
+    a, b, c = (_t(x) for x in op.operands)
+    if a.rank != 2 or b.rank != 2 or c.rank != 2:
+        _fail(op, "operands must be rank-2")
+    m, k = a.shape
+    k2, n = b.shape
+    if op.attrs.get("transpose_b"):
+        n, k2 = k2, n
+    if k != k2 or c.shape != (m, n):
+        _fail(op, f"shape mismatch {a.shape} x {b.shape} -> {c.shape}")
+    if op.result.type != c:
+        _fail(op, "result must match C")
+
+
+@_op("tl.batch_matmul")
+def _v_batch_matmul(op):
+    if len(op.operands) != 3:
+        _fail(op, "expects (A, B, C)")
+    a, b, c = (_t(x) for x in op.operands)
+    if not (a.rank == b.rank == c.rank == 3):
+        _fail(op, "operands must be rank-3")
+    B, m, k = a.shape
+    B2, k2, n = b.shape
+    if B != B2 or k != k2 or c.shape != (B, m, n):
+        _fail(op, f"shape mismatch {a.shape} x {b.shape} -> {c.shape}")
+
+
+@_op("tl.brgemm")
+def _v_brgemm(op):
+    # batch-reduce GEMM: C[m,n] += sum_b A[b,m,k] @ B[b,k,n]
+    # (reference linalg.batch_reduce_matmul, RewriteToBatchReduceGemm.cpp)
+    if len(op.operands) != 3:
+        _fail(op, "expects (A, B, C)")
+    a, b, c = (_t(x) for x in op.operands)
+    if a.rank != 3 or b.rank != 3 or c.rank != 2:
+        _fail(op, "A,B rank-3; C rank-2")
+    B, m, k = a.shape
+    B2, k2, n = b.shape
+    if B != B2 or k != k2 or c.shape != (m, n):
+        _fail(op, f"shape mismatch {a.shape} x {b.shape} -> {c.shape}")
+
+
+@_op("tl.vnni_brgemm")
+def _v_vnni_brgemm(op):
+    # bf16 batch-reduce GEMM with B in VNNI layout [b, k/vf, n, vf]
+    # (reference PackVNNI, ToBlockLayoutAndBack.cpp:642-680). On TPU the
+    # layout exists for capability parity; the kernel consumes native bf16.
+    if len(op.operands) != 3:
+        _fail(op, "expects (A, B, C)")
+    a, b, c = (_t(x) for x in op.operands)
+    vf = op.attrs.get("vnni", 2)
+    if a.rank != 3 or b.rank != 4 or c.rank != 2:
+        _fail(op, "A rank-3, B rank-4 (VNNI), C rank-2")
+    B, m, k = a.shape
+    B2, kv, n, vf2 = b.shape
+    if B != B2 or kv * vf2 != k or vf2 != vf or c.shape != (m, n):
+        _fail(op, f"VNNI shape mismatch {a.shape} x {b.shape} -> {c.shape}")
+
+
+@_op("tl.blocked_matmul")
+def _v_blocked_matmul(op):
+    # C[Mb,Nb,mb,nb] += A[Mb,Kb,mb,kb] * B[Nb,Kb,kb,nb]
+    # (the reference's PackMatmul target layout, ToBlockLayoutAndBack.cpp:484)
+    if len(op.operands) != 3:
+        _fail(op, "expects (A, B, C)")
+    a, b, c = (_t(x) for x in op.operands)
+    if not (a.rank == b.rank == c.rank == 4):
+        _fail(op, "operands must be rank-4 blocked")
+    Mb, Kb, mb, kb = a.shape
+    Nb, Kb2, kb2, nb = b.shape
+    if Kb != Kb2 or kb != kb2 or c.shape != (Mb, Nb, mb, nb):
+        _fail(op, f"blocked shape mismatch {a.shape} x {b.shape} -> {c.shape}")
+
+
+def _unary(name):
+    @_op(name)
+    def _v(op):
+        if len(op.operands) != 1:
+            _fail(op, "expects one operand")
+        if op.result.type != op.operands[0].type:
+            _fail(op, "result type must match input")
+    return _v
+
+
+for _n in ("tl.relu", "tl.identity", "tl.exp", "tl.negate", "tl.square",
+           "tl.sqrt", "tl.rsqrt", "tl.tanh", "tl.gelu"):
+    _unary(_n)
+
+
+@_op("tl.zero")
+def _v_zero(op):
+    if len(op.operands) != 1:
+        _fail(op, "expects (dest)")
+    if op.result.type != op.operands[0].type:
+        _fail(op, "result type must match dest")
+
+
+@_op("tl.cast")
+def _v_cast(op):
+    if len(op.operands) != 1:
+        _fail(op, "expects one operand")
+    if op.result.type.shape != op.operands[0].type.shape:
+        _fail(op, "cast cannot change shape")
+
+
+@_op("tl.transpose")
+def _v_transpose(op):
+    if len(op.operands) != 1:
+        _fail(op, "expects one operand")
+    perm = op.attrs.get("perm")
+    src = op.operands[0].type
+    if perm is None or sorted(perm) != list(range(src.rank)):
+        _fail(op, f"bad perm {perm} for rank {src.rank}")
+    want = tuple(src.shape[p] for p in perm)
+    if op.result.type.shape != want:
+        _fail(op, f"result shape {op.result.type.shape} != {want}")
+
+
+@_op("tl.vnni_pack")
+def _v_vnni_pack(op):
+    # [K, N] -> [K/vf, N, vf] relayout for bf16 (reference xsmm unary VNNI2)
+    if len(op.operands) != 1:
+        _fail(op, "expects one operand")
+    vf = op.attrs.get("vnni", 2)
+    src = op.operands[0].type
+    if src.rank != 2 or src.shape[0] % vf:
+        _fail(op, f"source {src} not VNNI-packable by {vf}")
+    want = (src.shape[0] // vf, src.shape[1], vf)
+    if op.result.type.shape != want:
+        _fail(op, f"result shape {op.result.type.shape} != {want}")
+
+
+def _binary(name):
+    @_op(name)
+    def _v(op):
+        if len(op.operands) != 2:
+            _fail(op, "expects two operands")
+        a, b = (_t(x) for x in op.operands)
+        _same_dtype(op, *op.operands)
+        try:
+            shape = broadcast_shapes(a.shape, b.shape)
+        except ValueError as e:
+            _fail(op, str(e))
+        if op.result.type.shape != shape:
+            _fail(op, f"result shape {op.result.type.shape} != broadcast {shape}")
+    return _v
+
+
+for _n in ("tl.add", "tl.sub", "tl.mul", "tl.div", "tl.max"):
+    _binary(_n)
+
+
+@_op("tl.reduce")
+def _v_reduce(op):
+    if len(op.operands) != 1:
+        _fail(op, "expects one operand")
+    kind = op.attrs.get("kind")
+    if kind not in ("sum", "max"):
+        _fail(op, f"bad reduce kind {kind}")
+    axes = tuple(op.attrs.get("axes", ()))
+    src = op.operands[0].type
+    keep = op.attrs.get("keepdims", True)
+    want = tuple((1 if i in axes else d) if keep else d
+                 for i, d in enumerate(src.shape) if keep or i not in axes)
+    if op.result.type.shape != want:
+        _fail(op, f"result shape {op.result.type.shape} != {want}")
+
+
+@_op("tl.softmax")
+def _v_softmax(op):
+    if len(op.operands) != 1:
+        _fail(op, "expects one operand")
+    if op.result.type != op.operands[0].type:
+        _fail(op, "result type must match input")
+
+
+@_op("tl.reshape")
+def _v_reshape(op):
+    if len(op.operands) != 1:
+        _fail(op, "expects one operand")
+    if op.result.type.num_elements != op.operands[0].type.num_elements:
+        _fail(op, "element count must be preserved")
+
+
+@_op("tl.pack")
+def _v_pack(op):
+    # pack(src) {inner_dims, inner_tiles, outer_perm?} -> blocked tensor
+    # Semantics of tensor.pack: split each inner_dims[i] by inner_tiles[i];
+    # tiled outer dims stay in place (optionally permuted), tile dims appended
+    # in inner_dims order.
+    if len(op.operands) != 1:
+        _fail(op, "expects one operand")
+    src = op.operands[0].type
+    dims = tuple(op.attrs.get("inner_dims", ()))
+    tiles = tuple(op.attrs.get("inner_tiles", ()))
+    if len(dims) != len(tiles) or not dims:
+        _fail(op, "inner_dims/inner_tiles mismatch")
+    outer = list(src.shape)
+    for d, t in zip(dims, tiles):
+        if outer[d] % t:
+            _fail(op, f"dim {d} ({outer[d]}) not divisible by tile {t}")
+        outer[d] //= t
+    perm = op.attrs.get("outer_perm")
+    if perm is not None:
+        outer = [outer[p] for p in perm]
+    want = tuple(outer) + tiles
+    if op.result.type.shape != want:
+        _fail(op, f"result shape {op.result.type.shape} != {want}")
+
+
+@_op("tl.unpack")
+def _v_unpack(op):
+    if len(op.operands) != 1:
+        _fail(op, "expects one operand")
+    dst = op.result.type
+    dims = tuple(op.attrs.get("inner_dims", ()))
+    tiles = tuple(op.attrs.get("inner_tiles", ()))
+    outer = list(dst.shape)
+    for d, t in zip(dims, tiles):
+        if outer[d] % t:
+            _fail(op, f"dim {d} not divisible by tile {t}")
+        outer[d] //= t
+    perm = op.attrs.get("outer_perm")
+    if perm is not None:
+        outer = [outer[p] for p in perm]
+    want = tuple(outer) + tiles
+    if op.operands[0].type.shape != want:
+        _fail(op, f"operand shape {op.operands[0].type.shape} != {want}")
+
+
+@_op("tl.conv2d_nchw_fchw")
+def _v_conv_nchw(op):
+    if len(op.operands) != 3:
+        _fail(op, "expects (I, W, O)")
+    i, w, o = (_t(x) for x in op.operands)
+    sh, sw = op.attrs.get("strides", (1, 1))
+    N, C, H, W_ = i.shape
+    K, C2, R, S = w.shape
+    P = (H - R) // sh + 1
+    Q = (W_ - S) // sw + 1
+    if C != C2 or o.shape != (N, K, P, Q):
+        _fail(op, f"conv shape mismatch {i.shape}*{w.shape}->{o.shape}")
+
+
+@_op("tl.conv2d_nhwc_hwcf")
+def _v_conv_nhwc(op):
+    if len(op.operands) != 3:
+        _fail(op, "expects (I, W, O)")
+    i, w, o = (_t(x) for x in op.operands)
+    sh, sw = op.attrs.get("strides", (1, 1))
+    N, H, W_, C = i.shape
+    R, S, C2, K = w.shape
+    P = (H - R) // sh + 1
+    Q = (W_ - S) // sw + 1
+    if C != C2 or o.shape != (N, P, Q, K):
+        _fail(op, f"conv shape mismatch {i.shape}*{w.shape}->{o.shape}")
+
+
+@_op("tl.blocked_conv2d")
+def _v_blocked_conv(op):
+    # Channel-blocked conv (reference PackConv2DNchwFchw target layout,
+    # docs/ConvMapping.md): O[N,Kb,P,Q,k] += I[N,Cb,H,W,c] * W[Kb,Cb,R,S,c,k]
+    if len(op.operands) != 3:
+        _fail(op, "expects (I, W, O)")
+    i, w, o = (_t(x) for x in op.operands)
+    sh, sw = op.attrs.get("strides", (1, 1))
+    N, Cb, H, W_, c = i.shape
+    Kb, Cb2, R, S, c2, k = w.shape
+    P = (H - R) // sh + 1
+    Q = (W_ - S) // sw + 1
+    if Cb != Cb2 or c != c2 or o.shape != (N, Kb, P, Q, k):
+        _fail(op, f"blocked conv shape mismatch {i.shape}*{w.shape}->{o.shape}")
+
+
+# ---------------------------------------------------------------------------
+# xsmm dialect: dispatch/invoke split
+# (reference XsmmOps.td; dispatch JITs and returns a kernel handle, invoke
+# calls it — on TPU, dispatch is a Pallas kernel-cache key, SURVEY.md 2.5)
+# ---------------------------------------------------------------------------
+
+_DISPATCH_ATTRS = {
+    "xsmm.gemm_dispatch": ("m", "n", "k"),
+    "xsmm.brgemm_dispatch": ("m", "n", "k", "batch"),
+    "xsmm.fused_brgemm_dispatch": ("m", "n", "k", "batch",
+                                   "binary_kind", "unary_kind"),
+    "xsmm.unary_dispatch": ("kind", "m", "n"),
+    "xsmm.binary_dispatch": ("kind", "m", "n"),
+}
+
+
+def _v_dispatch(op):
+    needed = _DISPATCH_ATTRS[op.opname]
+    for a in needed:
+        if a not in op.attrs:
+            _fail(op, f"missing attr '{a}'")
+    if op.operands:
+        _fail(op, "dispatch is pure, takes no operands")
+    if op.result.type != I64:
+        _fail(op, "dispatch returns an i64 kernel handle")
+    flags = op.attrs.get("flags", ())
+    ok = GEMM_FLAGS if "gemm" in op.opname else BCAST_FLAGS
+    for f in flags:
+        if f not in ok:
+            _fail(op, f"bad flag {f}")
+    if op.opname == "xsmm.unary_dispatch" and op.attrs["kind"] not in UNARY_KINDS:
+        _fail(op, f"bad unary kind {op.attrs['kind']}")
+    if op.opname == "xsmm.binary_dispatch" and op.attrs["kind"] not in BINARY_KINDS:
+        _fail(op, f"bad binary kind {op.attrs['kind']}")
+
+
+for _n in _DISPATCH_ATTRS:
+    _VERIFIERS[_n] = _v_dispatch
+
+
+def _dispatch_of(op: Operation) -> Operation | None:
+    d = op.operands[0].owner
+    return d if d is not None and d.opname.endswith("_dispatch") else None
+
+
+@_op("xsmm.gemm")
+def _v_xsmm_gemm(op):
+    if len(op.operands) != 4:
+        _fail(op, "expects (dispatch, A, B, C)")
+    d = _dispatch_of(op)
+    if d is None or d.opname != "xsmm.gemm_dispatch":
+        _fail(op, "first operand must be a gemm_dispatch result")
+    a, b, c = (_t(x) for x in op.operands[1:])
+    m, n, k = d.attrs["m"], d.attrs["n"], d.attrs["k"]
+    tb = "transpose_b" in d.attrs.get("flags", ())
+    bshape = (n, k) if tb else (k, n)
+    if a.shape != (m, k) or b.shape != bshape or c.shape != (m, n):
+        _fail(op, f"dispatch({m},{n},{k}) inconsistent with operands "
+                  f"{a.shape},{b.shape},{c.shape}")
+    if op.result.type != c:
+        _fail(op, "result must match C")
+
+
+@_op("xsmm.brgemm")
+def _v_xsmm_brgemm(op):
+    if len(op.operands) != 4:
+        _fail(op, "expects (dispatch, A, B, C)")
+    d = _dispatch_of(op)
+    if d is None or d.opname != "xsmm.brgemm_dispatch":
+        _fail(op, "first operand must be a brgemm_dispatch result")
+    a, b, c = (_t(x) for x in op.operands[1:])
+    m, n, k, B = (d.attrs[x] for x in ("m", "n", "k", "batch"))
+    vnni = d.attrs.get("vnni", 0)
+    bshape = (B, k // vnni, n, vnni) if vnni else (B, k, n)
+    if a.shape != (B, m, k) or b.shape != bshape or c.shape != (m, n):
+        _fail(op, f"dispatch({m},{n},{k},batch={B},vnni={vnni}) inconsistent "
+                  f"with operands {a.shape},{b.shape},{c.shape}")
+
+
+@_op("xsmm.fused_brgemm")
+def _v_xsmm_fused_brgemm(op):
+    # (dispatch, A, B, C, D) where D is the binary rhs (e.g. bias)
+    if len(op.operands) != 5:
+        _fail(op, "expects (dispatch, A, B, C, D)")
+    d = _dispatch_of(op)
+    if d is None or d.opname != "xsmm.fused_brgemm_dispatch":
+        _fail(op, "first operand must be a fused_brgemm_dispatch result")
+    a, b, c, bias = (_t(x) for x in op.operands[1:])
+    m, n, k, B = (d.attrs[x] for x in ("m", "n", "k", "batch"))
+    vnni = d.attrs.get("vnni", 0)
+    bshape = (B, k // vnni, n, vnni) if vnni else (B, k, n)
+    if a.shape != (B, m, k) or b.shape != bshape or c.shape != (m, n):
+        _fail(op, f"dispatch({m},{n},{k},batch={B}) inconsistent with "
+                  f"operands {a.shape},{b.shape},{c.shape}")
+    if d.attrs["binary_kind"] not in BINARY_KINDS:
+        _fail(op, "bad binary_kind")
+    if d.attrs["unary_kind"] not in UNARY_KINDS:
+        _fail(op, "bad unary_kind")
+
+
+@_op("xsmm.unary")
+def _v_xsmm_unary(op):
+    if len(op.operands) != 2:
+        _fail(op, "expects (dispatch, input)")
+    d = _dispatch_of(op)
+    if d is None or d.opname != "xsmm.unary_dispatch":
+        _fail(op, "first operand must be a unary_dispatch result")
+
+
+@_op("xsmm.binary")
+def _v_xsmm_binary(op):
+    if len(op.operands) != 3:
+        _fail(op, "expects (dispatch, a, b)")
+    d = _dispatch_of(op)
+    if d is None or d.opname != "xsmm.binary_dispatch":
+        _fail(op, "first operand must be a binary_dispatch result")
+
+
+# ---------------------------------------------------------------------------
+# perf / check dialects (reference PerfOps.td, CheckOps.td)
+# ---------------------------------------------------------------------------
+
+@_op("perf.timer_start")
+def _v_timer_start(op):
+    if op.operands or op.result.type != I64:
+        _fail(op, "-> i64 timestamp")
+
+
+@_op("perf.timer_stop")
+def _v_timer_stop(op):
+    if len(op.operands) != 1 or op.operands[0].type != I64:
+        _fail(op, "expects (i64 start) -> f32 seconds")
+
+
+@_op("perf.sink")
+def _v_sink(op):
+    if len(op.operands) != 1:
+        _fail(op, "expects one operand")
+
+
+@_op("check.expect_true")
+def _v_expect_true(op):
+    if len(op.operands) != 1:
+        _fail(op, "expects one operand")
+
+
+@_op("check.expect_almost_eq")
+def _v_expect_almost_eq(op):
+    if len(op.operands) != 2:
+        _fail(op, "expects (lhs, rhs)")
+    if op.operands[0].type.shape != op.operands[1].type.shape:
+        _fail(op, "shape mismatch")
+
+
+@_op("check.expect_sane")
+def _v_expect_sane(op):
+    if len(op.operands) != 1:
+        _fail(op, "expects one operand")
+
+
+ALL_OPS = tuple(sorted(_VERIFIERS))
+
+
+# ---------------------------------------------------------------------------
+# High-level builder with type inference
+# ---------------------------------------------------------------------------
+
+class TppBuilder(Builder):
+    """Builder with result-type inference for every op."""
+
+    def constant(self, type: TensorType, init: str = "zero", seed: int = 0,
+                 value=None) -> Value:
+        attrs: dict[str, Any] = {"init": init, "seed": seed}
+        if value is not None:
+            attrs["value"] = value
+        return self.create("tl.constant", [], [type], attrs).result
+
+    def fill(self, dest: Value, value: float) -> Value:
+        return self.create("tl.fill", [dest], [dest.type], {"value": value}).result
+
+    def zero(self, dest: Value) -> Value:
+        return self.create("tl.zero", [dest], [dest.type]).result
+
+    def matmul(self, a: Value, b: Value, c: Value, **attrs) -> Value:
+        return self.create("tl.matmul", [a, b, c], [c.type], attrs).result
+
+    def batch_matmul(self, a: Value, b: Value, c: Value) -> Value:
+        return self.create("tl.batch_matmul", [a, b, c], [c.type]).result
+
+    def brgemm(self, a: Value, b: Value, c: Value) -> Value:
+        return self.create("tl.brgemm", [a, b, c], [c.type]).result
+
+    def vnni_brgemm(self, a: Value, b: Value, c: Value, vnni: int = 2) -> Value:
+        return self.create("tl.vnni_brgemm", [a, b, c], [c.type],
+                           {"vnni": vnni}).result
+
+    def blocked_matmul(self, a: Value, b: Value, c: Value) -> Value:
+        return self.create("tl.blocked_matmul", [a, b, c], [c.type]).result
+
+    def unary(self, opname: str, x: Value) -> Value:
+        return self.create(opname, [x], [x.type]).result
+
+    def relu(self, x: Value) -> Value:
+        return self.unary("tl.relu", x)
+
+    def exp(self, x: Value) -> Value:
+        return self.unary("tl.exp", x)
+
+    def identity(self, x: Value) -> Value:
+        return self.unary("tl.identity", x)
+
+    def cast(self, x: Value, dtype: str) -> Value:
+        return self.create("tl.cast", [x], [TensorType(x.type.shape, dtype)]).result
+
+    def transpose(self, x: Value, perm) -> Value:
+        shape = tuple(x.type.shape[p] for p in perm)
+        return self.create("tl.transpose", [x],
+                           [x.type.with_shape(shape)], {"perm": tuple(perm)}).result
+
+    def vnni_pack(self, x: Value, vnni: int = 2) -> Value:
+        k, n = x.type.shape
+        t = x.type.with_shape((k // vnni, n, vnni))
+        return self.create("tl.vnni_pack", [x], [t], {"vnni": vnni}).result
+
+    def binary(self, opname: str, a: Value, b: Value) -> Value:
+        shape = broadcast_shapes(a.type.shape, b.type.shape)
+        return self.create(opname, [a, b], [a.type.with_shape(shape)]).result
+
+    def add(self, a, b):
+        return self.binary("tl.add", a, b)
+
+    def sub(self, a, b):
+        return self.binary("tl.sub", a, b)
+
+    def mul(self, a, b):
+        return self.binary("tl.mul", a, b)
+
+    def div(self, a, b):
+        return self.binary("tl.div", a, b)
+
+    def maximum(self, a, b):
+        return self.binary("tl.max", a, b)
+
+    def reduce(self, x: Value, kind: str, axes, keepdims: bool = True) -> Value:
+        axes = tuple(axes)
+        shape = tuple((1 if i in axes else d)
+                      for i, d in enumerate(x.type.shape)) if keepdims else \
+            tuple(d for i, d in enumerate(x.type.shape) if i not in axes)
+        return self.create("tl.reduce", [x], [x.type.with_shape(shape)],
+                           {"kind": kind, "axes": axes, "keepdims": keepdims}).result
+
+    def softmax(self, x: Value, axis: int = -1) -> Value:
+        return self.create("tl.softmax", [x], [x.type], {"axis": axis}).result
+
+    def reshape(self, x: Value, shape) -> Value:
+        return self.create("tl.reshape", [x], [x.type.with_shape(shape)]).result
+
+    def pack(self, x: Value, inner_dims, inner_tiles, outer_perm=None) -> Value:
+        inner_dims = tuple(inner_dims)
+        inner_tiles = tuple(inner_tiles)
+        outer = list(x.type.shape)
+        for d, t in zip(inner_dims, inner_tiles):
+            outer[d] //= t
+        if outer_perm is not None:
+            outer_perm = tuple(outer_perm)
+            outer = [outer[p] for p in outer_perm]
+        t = x.type.with_shape(tuple(outer) + inner_tiles)
+        attrs = {"inner_dims": inner_dims, "inner_tiles": inner_tiles}
+        if outer_perm is not None:
+            attrs["outer_perm"] = outer_perm
+        return self.create("tl.pack", [x], [t], attrs).result
+
+    def unpack(self, x: Value, inner_dims, inner_tiles, out_shape,
+               outer_perm=None) -> Value:
+        attrs = {"inner_dims": tuple(inner_dims), "inner_tiles": tuple(inner_tiles)}
+        if outer_perm is not None:
+            attrs["outer_perm"] = tuple(outer_perm)
+        return self.create("tl.unpack", [x], [x.type.with_shape(out_shape)],
+                           attrs).result
+
+    def conv2d_nchw_fchw(self, i: Value, w: Value, o: Value,
+                         strides=(1, 1)) -> Value:
+        return self.create("tl.conv2d_nchw_fchw", [i, w, o], [o.type],
+                           {"strides": tuple(strides)}).result
+
+    def conv2d_nhwc_hwcf(self, i: Value, w: Value, o: Value,
+                         strides=(1, 1)) -> Value:
+        return self.create("tl.conv2d_nhwc_hwcf", [i, w, o], [o.type],
+                           {"strides": tuple(strides)}).result
+
+    def blocked_conv2d(self, i: Value, w: Value, o: Value,
+                       strides=(1, 1)) -> Value:
+        return self.create("tl.blocked_conv2d", [i, w, o], [o.type],
+                           {"strides": tuple(strides)}).result
