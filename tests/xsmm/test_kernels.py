@@ -1,0 +1,209 @@
+"""Differential tests: Pallas kernels vs jnp reference semantics
+(the reference's xsmm-vs-loops differential tests, e.g.
+test/Integration/vnni-xsmm-vs-loops.mlir, SURVEY.md section 4).
+
+Runs in interpret mode on CPU; identical kernels compile via Mosaic on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpp_mlir_tpu.xsmm import (BinaryKey, BlockedMatmulKey, BrgemmKey,
+                               UnaryKey, build_kernel, global_cache,
+                               pick_blocks, reference_kernel)
+
+
+def rng(*shape, dtype=jnp.float32, seed=0):
+    k = jax.random.PRNGKey(seed)
+    return jax.random.normal(k, shape, jnp.float32).astype(dtype)
+
+
+def check(key, args, atol=1e-5, rtol=1e-5):
+    kfn = build_kernel(key, interpret=True)
+    rfn = reference_kernel(key)
+    got = np.asarray(kfn(*args), np.float32)
+    want = np.asarray(rfn(*args), np.float32)
+    np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
+
+
+# -- BRGEMM family -----------------------------------------------------------
+
+def test_gemm_f32():
+    key = BrgemmKey(batch=1, m=32, n=256, k=64, bm=16, bn=128, bk=32)
+    a, b, c = rng(1, 32, 64), rng(1, 64, 256, seed=1), rng(32, 256, seed=2)
+    check(key, (a, b, c))
+
+
+def test_gemm_beta0():
+    key = BrgemmKey(batch=1, m=16, n=128, k=64, beta0=True)
+    a, b = rng(1, 16, 64), rng(1, 64, 128, seed=1)
+    check(key, (a, b))
+
+
+def test_gemm_transpose_b():
+    key = BrgemmKey(batch=1, m=16, n=128, k=64, beta0=True, transpose_b=True)
+    a, b = rng(1, 16, 64), rng(1, 128, 64, seed=1)
+    check(key, (a, b))
+
+
+def test_brgemm_f32_multiblock():
+    key = BrgemmKey(batch=3, m=32, n=256, k=128, bm=16, bn=128, bk=64)
+    a, b, c = rng(3, 32, 128), rng(3, 128, 256, seed=1), rng(32, 256, seed=2)
+    check(key, (a, b, c))
+
+
+def test_fused_brgemm_bias_relu():
+    key = BrgemmKey(batch=2, m=16, n=128, k=64, beta0=True,
+                    binary_kind="add", binary_bcast="bcast_col",
+                    unary_kind="relu")
+    a, b, d = rng(2, 16, 64), rng(2, 64, 128, seed=1), rng(128, seed=3)
+    check(key, (a, b, None, d))
+
+
+def test_fused_brgemm_bias_row_gelu():
+    key = BrgemmKey(batch=1, m=16, n=128, k=32, beta0=True,
+                    binary_kind="add", binary_bcast="bcast_row",
+                    unary_kind="gelu")
+    a, b, d = rng(1, 16, 32), rng(1, 32, 128, seed=1), rng(16, seed=3)
+    check(key, (a, b, None, d), atol=1e-4, rtol=1e-4)
+
+
+def test_brgemm_bf16_f32_accumulate():
+    key = BrgemmKey(batch=2, m=16, n=128, k=64, dtype="bf16",
+                    out_dtype="f32", beta0=True)
+    a = rng(2, 16, 64, dtype=jnp.bfloat16)
+    b = rng(2, 64, 128, dtype=jnp.bfloat16, seed=1)
+    check(key, (a, b), atol=1e-2, rtol=1e-2)
+
+
+def test_brgemm_bf16_vnni():
+    key = BrgemmKey(batch=2, m=16, n=128, k=64, dtype="bf16",
+                    out_dtype="f32", beta0=True, vnni=2)
+    a = rng(2, 16, 64, dtype=jnp.bfloat16)
+    bflat = rng(2, 64, 128, dtype=jnp.bfloat16, seed=1)
+    # VNNI layout [b, k/2, n, 2]
+    b = bflat.reshape(2, 32, 2, 128).transpose(0, 1, 3, 2)
+    check(key, (a, b), atol=1e-2, rtol=1e-2)
+
+
+def test_fused_vnni_brgemm_bias_relu_bf16():
+    key = BrgemmKey(batch=2, m=16, n=128, k=64, dtype="bf16", out_dtype="f32",
+                    beta0=True, vnni=2, binary_kind="add",
+                    binary_bcast="bcast_col", unary_kind="relu")
+    a = rng(2, 16, 64, dtype=jnp.bfloat16)
+    b = rng(2, 64, 128, dtype=jnp.bfloat16, seed=1) \
+        .reshape(2, 32, 2, 128).transpose(0, 1, 3, 2)
+    d = rng(128, seed=3, dtype=jnp.bfloat16)
+    check(key, (a, b, None, d), atol=1e-2, rtol=1e-2)
+
+
+def test_ragged_m_n():
+    # m, n not multiples of the block: edge blocks are masked by pallas
+    key = BrgemmKey(batch=1, m=20, n=200, k=64, beta0=True, bm=16, bn=128)
+    a, b = rng(1, 20, 64), rng(1, 64, 200, seed=1)
+    check(key, (a, b))
+
+
+# -- blocked (packed) matmul -------------------------------------------------
+
+def test_blocked_matmul():
+    key = BlockedMatmulKey(Mb=2, Nb=2, Kb=2, mb=16, nb=128, kb=32)
+    a = rng(2, 2, 16, 32)
+    b = rng(2, 2, 32, 128, seed=1)
+    c = rng(2, 2, 16, 128, seed=2)
+    check(key, (a, b, c))
+
+
+def test_blocked_matmul_fused_beta0():
+    key = BlockedMatmulKey(Mb=2, Nb=2, Kb=2, mb=16, nb=128, kb=32,
+                           beta0=True, binary_kind="add", unary_kind="relu")
+    a = rng(2, 2, 16, 32)
+    b = rng(2, 2, 32, 128, seed=1)
+    d = rng(2, 128, seed=3)  # packed bias [Nb, nb]
+    check(key, (a, b, None, d))
+
+
+def test_blocked_matmul_vnni():
+    key = BlockedMatmulKey(Mb=2, Nb=1, Kb=2, mb=16, nb=128, kb=32,
+                           dtype="bf16", out_dtype="f32", beta0=True, vnni=2)
+    a = rng(2, 2, 16, 32, dtype=jnp.bfloat16)
+    b = rng(1, 2, 32, 128, seed=1, dtype=jnp.bfloat16) \
+        .reshape(1, 2, 16, 2, 128).transpose(0, 1, 2, 4, 3)
+    check(key, (a, b), atol=1e-2, rtol=1e-2)
+
+
+# -- unary / binary ----------------------------------------------------------
+
+@pytest.mark.parametrize("kind", ["relu", "exp", "square", "tanh", "gelu"])
+def test_unary(kind):
+    key = UnaryKey(kind=kind, shape=(8, 128), dtype="f32")
+    fn = build_kernel(key, interpret=True)
+    x = rng(8, 128)
+    np.testing.assert_allclose(np.asarray(fn(x)),
+                               np.asarray(reference_kernel(key)(x)),
+                               atol=1e-6)
+
+
+def test_unary_zero_identity_transpose_vnni():
+    z = build_kernel(UnaryKey(kind="zero", shape=(4, 8), dtype="f32"), True)()
+    assert z.shape == (4, 8) and not z.any()
+
+    ident = build_kernel(UnaryKey(kind="identity", shape=(1, 8),
+                                  out_shape=(4, 8), dtype="f32"), True)
+    x = rng(1, 8)
+    np.testing.assert_array_equal(np.asarray(ident(x)),
+                                  np.broadcast_to(np.asarray(x), (4, 8)))
+
+    tr = build_kernel(UnaryKey(kind="transpose", shape=(4, 8), dtype="f32",
+                               perm=(1, 0)), True)
+    y = rng(4, 8, seed=5)
+    np.testing.assert_array_equal(np.asarray(tr(y)), np.asarray(y).T)
+
+    vp = build_kernel(UnaryKey(kind="vnni2", shape=(8, 16), dtype="bf16",
+                               vnni=2), True)
+    w = rng(8, 16, dtype=jnp.bfloat16)
+    packed = vp(w)
+    assert packed.shape == (4, 16, 2)
+    # element (kv, n, v) == w[kv*2+v, n]
+    np.testing.assert_array_equal(
+        np.asarray(packed, np.float32)[1, 3, 1],
+        np.asarray(w, np.float32)[3, 3])
+
+
+@pytest.mark.parametrize("kind", ["add", "sub", "mul", "div", "max"])
+def test_binary_broadcast(kind):
+    key = BinaryKey(kind=kind, shape_a=(8, 128), shape_b=(128,), dtype="f32")
+    fn = build_kernel(key, interpret=True)
+    a, b = rng(8, 128), rng(128, seed=1) + 2.0
+    want = {"add": a + b, "sub": a - b, "mul": a * b, "div": a / b,
+            "max": jnp.maximum(a, b)}[kind]
+    np.testing.assert_allclose(np.asarray(fn(a, b)), np.asarray(want),
+                               rtol=1e-6)
+
+
+# -- cache behaviour ---------------------------------------------------------
+
+def test_cache_hit_and_keying():
+    cache = global_cache()
+    cache.clear()
+    k1 = BrgemmKey(batch=1, m=16, n=128, k=32, beta0=True)
+    f1 = cache.dispatch(k1, True)
+    f2 = cache.dispatch(k1, True)
+    assert f1 is f2
+    assert cache.stats.hits == 1 and cache.stats.misses == 1
+    # different fusion flags MUST miss (the VerifyXsmmCalls hazard)
+    k2 = BrgemmKey(batch=1, m=16, n=128, k=32, beta0=True, unary_kind="relu")
+    f3 = cache.dispatch(k2, True)
+    assert f3 is not f1
+    assert cache.stats.misses == 2
+
+
+def test_pick_blocks_divides_k():
+    bm, bn, bk = pick_blocks(256, 1024, 1024, "f32")
+    assert 1024 % bk == 0 and 1024 % bn == 0
+    assert bm % 8 == 0 and bn % 128 == 0
+    # ragged shape still yields valid blocks
+    bm, bn, bk = pick_blocks(256, 352, 352, "f32")
+    assert 352 % bk == 0

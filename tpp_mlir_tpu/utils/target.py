@@ -1,0 +1,79 @@
+"""Per-target hardware descriptors — the DLTI equivalent.
+
+The reference queries VNNI blocking factors and CPU features through MLIR's
+DLTI data-layout interface (reference lib/TPP/Transforms/Utils/DLTIUtils.h,
+VNNIUtils.h:38-57) and gates benchmarks on CPU extensions
+(benchmarks/driver.py:73-103). On TPU the analogous queryable facts are the
+MXU shape, VMEM capacity, native sublane tiling per dtype, and peak FLOP/s
+per generation — used by block-size heuristics and the roofline column of the
+benchmark harness.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+
+@dataclass(frozen=True)
+class TargetInfo:
+    name: str                 # e.g. "tpu-v5e"
+    generation: int           # 4, 5, 6 ... 0 = not a TPU (CPU interpret)
+    mxu: tuple[int, int] = (128, 128)
+    vmem_bytes: int = 16 * 2 ** 20
+    hbm_gbps: float = 819.0
+    # peak dense FLOP/s per chip by compute dtype
+    peak_flops: dict = None  # type: ignore[assignment]
+
+    def min_tile(self, dtype: str) -> tuple[int, int]:
+        """Minimum (sublane, lane) tile for a dtype (pallas_guide tiling)."""
+        sublane = {"f32": 8, "bf16": 16, "f16": 16, "i8": 32, "i32": 8}
+        return (sublane.get(dtype, 8), 128)
+
+    def vnni_factor(self, dtype: str) -> int:
+        """Reference VNNIUtils.h blocking factor: how many reduced-precision
+        elements pack into one 32-bit accumulation lane. On TPU the MXU
+        consumes bf16 natively so this only drives layout-parity passes."""
+        return {"bf16": 2, "f16": 2, "i8": 4}.get(dtype, 1)
+
+
+_KNOWN = {
+    # name: (generation, vmem, hbm GB/s, {dtype: peak FLOP/s})
+    "v4": (4, 16 * 2 ** 20, 1228.0, {"bf16": 275e12, "f32": 68.75e12}),
+    "v5 lite": (5, 16 * 2 ** 20, 819.0, {"bf16": 197e12, "f32": 49.25e12}),
+    "v5e": (5, 16 * 2 ** 20, 819.0, {"bf16": 197e12, "f32": 49.25e12}),
+    "v5p": (5, 16 * 2 ** 20, 2765.0, {"bf16": 459e12, "f32": 114.75e12}),
+    "v6 lite": (6, 32 * 2 ** 20, 1640.0, {"bf16": 918e12, "f32": 229.5e12}),
+    "v6e": (6, 32 * 2 ** 20, 1640.0, {"bf16": 918e12, "f32": 229.5e12}),
+}
+
+
+@lru_cache(maxsize=1)
+def current_target() -> TargetInfo:
+    import jax
+
+    try:
+        dev = jax.devices()[0]
+        kind = getattr(dev, "device_kind", "").lower()
+    except Exception:
+        kind = ""
+    for key, (gen, vmem, hbm, peak) in _KNOWN.items():
+        if key in kind:
+            return TargetInfo(name=f"tpu-{key.replace(' ', '')}", generation=gen,
+                              vmem_bytes=vmem, hbm_gbps=hbm, peak_flops=peak)
+    if "tpu" in kind:
+        gen, vmem, hbm, peak = _KNOWN["v5e"]
+        return TargetInfo(name=f"tpu-unknown({kind})", generation=gen,
+                          vmem_bytes=vmem, hbm_gbps=hbm, peak_flops=peak)
+    return TargetInfo(name=f"cpu({kind or 'host'})", generation=0,
+                      peak_flops={"bf16": 1e12, "f32": 1e12})
+
+
+def roofline_flops(dtype: str, target: TargetInfo | None = None) -> float:
+    t = target or current_target()
+    peaks = t.peak_flops or {}
+    return peaks.get(dtype, peaks.get("f32", 1e12))
+
+
+def on_tpu() -> bool:
+    return current_target().generation > 0

@@ -1,0 +1,105 @@
+"""Dispatch/invoke kernel cache.
+
+Mirrors the reference's dispatch/invoke split (SURVEY.md 2.5): `dispatch(key)`
+builds (and memoizes) a kernel for the key — the libxsmm JIT-and-cache step —
+and returns a callable; invoking it executes the Pallas kernel. The cache key
+contains everything that affects generated code (shapes, dtypes, layout,
+fusion flags, block overrides); reusing a kernel across calls with matching
+keys is exactly the reference's libxsmm in-process cache behavior, and
+mis-keyed reuse is impossible because keys are total over the build inputs
+(the hazard VerifyXsmmCalls guards in the reference,
+lib/TPP/Dialect/Xsmm/XsmmVerify.cpp).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+
+from .flags import BinaryKey, BlockedMatmulKey, BrgemmKey, UnaryKey
+from .kernels import build_kernel
+
+
+@dataclass
+class CacheStats:
+    hits: int = 0
+    misses: int = 0
+
+
+class KernelCache:
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._kernels: dict = {}
+        self.stats = CacheStats()
+
+    def dispatch(self, key, interpret: bool | None = None):
+        cache_key = (key, interpret)
+        with self._lock:
+            fn = self._kernels.get(cache_key)
+            if fn is not None:
+                self.stats.hits += 1
+                return fn
+            self.stats.misses += 1
+        fn = build_kernel(key, interpret)
+        with self._lock:
+            return self._kernels.setdefault(cache_key, fn)
+
+    def clear(self):
+        with self._lock:
+            self._kernels.clear()
+            self.stats = CacheStats()
+
+    def __len__(self):
+        return len(self._kernels)
+
+
+_GLOBAL = KernelCache()
+
+
+def global_cache() -> KernelCache:
+    return _GLOBAL
+
+
+# -- C-ABI-shaped convenience wrappers (runtime/Xsmm/XsmmRunnerUtils.cpp) ----
+
+def gemm_dispatch(m, n, k, dtype="f32", beta0=False, transpose_b=False,
+                  interpret=None, **kw):
+    key = BrgemmKey(batch=1, m=m, n=n, k=k, dtype=dtype, beta0=beta0,
+                    transpose_b=transpose_b, **kw)
+    fn = _GLOBAL.dispatch(key, interpret)
+
+    def gemm(a, b, c=None):
+        out = fn(a[None], b[None] if not transpose_b else b[None], c)
+        return out
+    return gemm
+
+
+def brgemm_dispatch(batch, m, n, k, dtype="f32", beta0=False, vnni=0,
+                    interpret=None, **kw):
+    key = BrgemmKey(batch=batch, m=m, n=n, k=k, dtype=dtype, beta0=beta0,
+                    vnni=vnni, **kw)
+    return _GLOBAL.dispatch(key, interpret)
+
+
+def fused_brgemm_dispatch(batch, m, n, k, dtype="f32", beta0=False, vnni=0,
+                          binary_kind="add", binary_bcast="bcast_col",
+                          unary_kind="relu", interpret=None, **kw):
+    key = BrgemmKey(batch=batch, m=m, n=n, k=k, dtype=dtype, beta0=beta0,
+                    vnni=vnni, binary_kind=binary_kind,
+                    binary_bcast=binary_bcast, unary_kind=unary_kind, **kw)
+    return _GLOBAL.dispatch(key, interpret)
+
+
+def blocked_matmul_dispatch(key: BlockedMatmulKey, interpret=None):
+    return _GLOBAL.dispatch(key, interpret)
+
+
+def unary_dispatch(kind, shape, dtype="f32", interpret=None, **kw):
+    return _GLOBAL.dispatch(UnaryKey(kind=kind, shape=tuple(shape),
+                                     dtype=dtype, **kw), interpret)
+
+
+def binary_dispatch(kind, shape_a, shape_b, dtype="f32", interpret=None, **kw):
+    return _GLOBAL.dispatch(BinaryKey(kind=kind, shape_a=tuple(shape_a),
+                                      shape_b=tuple(shape_b), dtype=dtype,
+                                      **kw), interpret)

@@ -1,0 +1,80 @@
+"""Kernel-cache keys and flag sets.
+
+The reference's xsmm dispatch ops OR flags into an i64 and pass
+(m,n,k,lda,ldb,ldc,strides,dtype) to libxsmm, which JITs and caches a
+microkernel (reference runtime/Xsmm/XsmmRunnerUtils.cpp:95-140, 288-361).
+On TPU the dispatch becomes a frozen dataclass key into a Pallas kernel
+cache. Functional JAX arrays have no user-visible strides, so the
+(lda,ldb,ldc)/stride components of the reference key collapse into the
+shape+layout fields here; fusion flags and dtypes are kept verbatim —
+the reference's VerifyXsmmCalls consistency checking (XsmmVerify.cpp) is
+enforced structurally by construction of these keys.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BrgemmKey:
+    """Key for gemm/brgemm/fused_brgemm kernels (gemm == batch 1)."""
+
+    batch: int
+    m: int
+    n: int
+    k: int
+    dtype: str = "f32"
+    out_dtype: str | None = None
+    beta0: bool = False            # GemmFlags BETA_0: ignore C, start at 0
+    vnni: int = 0                  # 0 = flat B [b,k,n]; 2/4 = VNNI [b,k/v,n,v]
+    transpose_b: bool = False      # B given as [b,n,k]
+    binary_kind: str | None = None  # fused epilogue binary (bias add, ...)
+    binary_bcast: str = "bcast_col"  # broadcast of the D operand
+    unary_kind: str | None = None   # fused epilogue unary (relu, ...)
+    # block-size overrides (0 = heuristic); the reference's analogous knobs
+    # are --registerBlocking / BrgemmLinalgTiling (SURVEY.md 2.3)
+    bm: int = 0
+    bn: int = 0
+    bk: int = 0
+
+
+@dataclass(frozen=True)
+class BlockedMatmulKey:
+    """Key for packed-layout matmul:
+    C[Mb,Nb,mb,nb] += A[Mb,Kb,mb,kb] * B[Nb,Kb,kb,nb]."""
+
+    Mb: int
+    Nb: int
+    Kb: int
+    mb: int
+    nb: int
+    kb: int
+    dtype: str = "f32"
+    out_dtype: str | None = None
+    beta0: bool = False
+    vnni: int = 0                  # B packed [Nb,Kb,kb/v,nb,v]
+    binary_kind: str | None = None
+    binary_bcast: str = "bcast_col"
+    unary_kind: str | None = None
+
+
+@dataclass(frozen=True)
+class UnaryKey:
+    kind: str                      # identity/zero/relu/transpose/vnni2/...
+    shape: tuple[int, ...]
+    dtype: str
+    out_shape: tuple[int, ...] | None = None
+    out_dtype: str | None = None
+    bcast: str = "none"
+    perm: tuple[int, ...] | None = None
+    vnni: int = 2
+
+
+@dataclass(frozen=True)
+class BinaryKey:
+    kind: str                      # add/mul/sub/div/max
+    shape_a: tuple[int, ...]
+    shape_b: tuple[int, ...]
+    dtype: str
+    out_dtype: str | None = None

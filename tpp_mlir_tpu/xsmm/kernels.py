@@ -1,0 +1,426 @@
+"""Pallas/Mosaic kernels — the TPU replacement for libxsmm microkernels.
+
+The reference JITs CPU microkernels per (shape, dtype, flags) via libxsmm
+(reference runtime/Xsmm/XsmmRunnerUtils.cpp). Here each dispatch key builds a
+Pallas kernel:
+
+  * BRGEMM / GEMM / fused BRGEMM run on the MXU with an f32 VMEM accumulator;
+    the reduction (batch x K-blocks) is the innermost grid dimension so
+    Mosaic pipelines HBM->VMEM copies of A/B blocks against compute.
+  * Fused epilogues (binary add/mul/... + unary relu/gelu/...) execute on the
+    VPU on the final reduction step, before the single write of the output
+    tile — the xsmm.fused_brgemm equivalent (XsmmOps.td fused_brgemm).
+  * bf16 inputs accumulate in f32, matching the reference's BF16->F32
+    compute-type policy (XsmmRunnerUtils.cpp:29-59). VNNI layouts are
+    consumed directly by indexing the packed operand — on the MXU no
+    repacking is needed, which is the whole point of the TPU redesign.
+  * Standalone elementwise unary/binary "kernels" are returned as jnp
+    closures: under jit, XLA emits fused VPU loops for these already, and a
+    hand-written Pallas elementwise kernel cannot beat a fused XLA one. The
+    dispatch/invoke *interface* is preserved; only the backend differs.
+
+Block-size selection mirrors the role of the reference's BrgemmLinalgTiling /
+--registerBlocking knobs but targets MXU/VMEM geometry instead of AVX
+registers.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.target import current_target
+from .flags import BinaryKey, BlockedMatmulKey, BrgemmKey, UnaryKey
+
+_JNP_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f16": jnp.float16,
+               "i32": jnp.int32, "i8": jnp.int8}
+
+
+def _jdt(name: str):
+    return _JNP_DTYPES[name]
+
+
+def interpret_default() -> bool:
+    """Pallas interpret mode when not on TPU (CPU test suite); compiled via
+    Mosaic on real hardware. This is the analogue of the reference's
+    -linalg-to-loops validation path (SURVEY.md section 4)."""
+    return current_target().generation == 0
+
+
+# ---------------------------------------------------------------------------
+# Epilogues (VPU)
+# ---------------------------------------------------------------------------
+
+_UNARY_FNS = {
+    "relu": lambda x: jnp.maximum(x, 0.0),
+    "identity": lambda x: x,
+    "exp": jnp.exp,
+    "square": lambda x: x * x,
+    "sqrt": jnp.sqrt,
+    "rsqrt": jax.lax.rsqrt,
+    "tanh": jnp.tanh,
+    "gelu": jax.nn.gelu,
+    "negate": lambda x: -x,
+    "zero": lambda x: jnp.zeros_like(x),
+}
+
+_BINARY_FNS = {
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b,
+    "div": lambda a, b: a / b,
+    "max": jnp.maximum,
+}
+
+
+def _apply_epilogue(acc, d_blk, binary_kind, unary_kind):
+    if binary_kind:
+        acc = _BINARY_FNS[binary_kind](acc, d_blk.astype(acc.dtype))
+    if unary_kind:
+        acc = _UNARY_FNS[unary_kind](acc)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Block-size heuristic
+# ---------------------------------------------------------------------------
+
+def _divisor_block(dim: int, target: int, mult: int) -> int:
+    """Largest b <= target with b % mult == 0 and dim % b == 0; falls back to
+    dim itself (no split) when no aligned divisor exists."""
+    if dim <= target:
+        return dim
+    best = 0
+    b = (target // mult) * mult
+    while b >= mult:
+        if dim % b == 0:
+            best = b
+            break
+        b -= mult
+    return best or dim
+
+
+def pick_blocks(m: int, n: int, k: int, dtype: str,
+                bm: int = 0, bn: int = 0, bk: int = 0) -> tuple[int, int, int]:
+    """MXU/VMEM-aware block sizes for the BRGEMM grid.
+
+    Defaults aim at: output tile >= MXU (128x128) when the problem allows,
+    K-block deep enough to amortize the epilogue+write, and
+    2*(bm*bk + bk*bn)*dsize + 4*bm*bn within a ~60% VMEM budget
+    (double-buffered input blocks + f32 accumulator).
+    """
+    t = current_target()
+    sub, lane = t.min_tile(dtype)
+    dsize = 2 if dtype in ("bf16", "f16") else 4
+    bm = bm or _divisor_block(m, 512 if m >= 512 else m, sub) if m >= sub else (bm or m)
+    bn = bn or _divisor_block(n, 512, lane)
+    budget = int(t.vmem_bytes * 0.6)
+    target_bk = 2048 // dsize * 2  # 1024 f32 / 2048 bf16 starting point
+    bk_final = bk or _divisor_block(k, min(k, target_bk), lane if k % lane == 0 else 1)
+    while (2 * (bm * bk_final + bk_final * bn) * dsize + 4 * bm * bn > budget
+           and bk_final % 2 == 0 and bk_final > lane):
+        bk_final //= 2
+    while (2 * (bm * bk_final + bk_final * bn) * dsize + 4 * bm * bn > budget
+           and bn % 2 == 0 and bn > lane):
+        bn //= 2
+    return bm, bn, bk_final
+
+
+# ---------------------------------------------------------------------------
+# BRGEMM family
+# ---------------------------------------------------------------------------
+
+def _build_brgemm(key: BrgemmKey, interpret: bool):
+    B, m, n, k = key.batch, key.m, key.n, key.k
+    dtype = _jdt(key.dtype)
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    vf = key.vnni
+    if vf:
+        assert key.dtype in ("bf16", "f16") and k % vf == 0, key
+    bm, bn, bk = pick_blocks(m, n, k, key.dtype, key.bm, key.bn, key.bk)
+    kb_steps = max(1, k // bk) if k % bk == 0 else 1
+    if k % bk != 0:
+        bk = k  # no aligned divisor: single K block
+    red_steps = B * kb_steps
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), red_steps)
+
+    has_c = not key.beta0
+    has_d = key.binary_kind is not None
+
+    in_specs = [
+        pl.BlockSpec((1, bm, bk),
+                     lambda i, j, r: (r // kb_steps, i, r % kb_steps),
+                     memory_space=pltpu.VMEM),
+    ]
+    if vf:
+        in_specs.append(pl.BlockSpec(
+            (1, bk // vf, bn, vf),
+            lambda i, j, r: (r // kb_steps, r % kb_steps, j, 0),
+            memory_space=pltpu.VMEM))
+    elif key.transpose_b:
+        in_specs.append(pl.BlockSpec(
+            (1, bn, bk),
+            lambda i, j, r: (r // kb_steps, j, r % kb_steps),
+            memory_space=pltpu.VMEM))
+    else:
+        in_specs.append(pl.BlockSpec(
+            (1, bk, bn),
+            lambda i, j, r: (r // kb_steps, r % kb_steps, j),
+            memory_space=pltpu.VMEM))
+    if has_c:
+        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, r: (i, j),
+                                     memory_space=pltpu.VMEM))
+    if has_d:
+        # D (binary rhs, e.g. bias) is canonicalized to 2D by the wrapper.
+        if key.binary_bcast == "bcast_col":      # shape (1, n)
+            in_specs.append(pl.BlockSpec((1, bn), lambda i, j, r: (0, j),
+                                         memory_space=pltpu.VMEM))
+        elif key.binary_bcast == "bcast_row":    # shape (m, 1)
+            in_specs.append(pl.BlockSpec((bm, 1), lambda i, j, r: (i, 0),
+                                         memory_space=pltpu.VMEM))
+        elif key.binary_bcast == "bcast_scalar":  # shape (1, 1)
+            in_specs.append(pl.BlockSpec((1, 1), lambda i, j, r: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        else:                                     # full (m, n)
+            in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, r: (i, j),
+                                         memory_space=pltpu.VMEM))
+
+    out_spec = pl.BlockSpec((bm, bn), lambda i, j, r: (i, j),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        idx = 0
+        a_ref = refs[idx]; idx += 1
+        b_ref = refs[idx]; idx += 1
+        c_ref = refs[idx] if has_c else None
+        idx += has_c
+        d_ref = refs[idx] if has_d else None
+        idx += has_d
+        o_ref = refs[idx]
+        acc_ref = refs[idx + 1]
+
+        r = pl.program_id(2)
+
+        @pl.when(r == 0)
+        def _init():
+            if has_c:
+                acc_ref[:] = c_ref[:].astype(jnp.float32)
+            else:
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        a = a_ref[0]
+        if vf:
+            a_r = a.reshape(bm, bk // vf, vf)
+            update = jax.lax.dot_general(
+                a_r, b_ref[0],
+                dimension_numbers=(((1, 2), (0, 2)), ((), ())),
+                preferred_element_type=jnp.float32)
+        elif key.transpose_b:
+            update = jax.lax.dot_general(
+                a, b_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            update = jnp.dot(a, b_ref[0], preferred_element_type=jnp.float32)
+        acc_ref[:] += update
+
+        @pl.when(r == red_steps - 1)
+        def _finish():
+            res = acc_ref[:]
+            d_blk = d_ref[:] if has_d else None
+            res = _apply_epilogue(res, d_blk, key.binary_kind, key.unary_kind)
+            o_ref[:] = res.astype(out_dtype)
+
+    dsize = jnp.dtype(dtype).itemsize
+    cost = pl.CostEstimate(
+        flops=2 * B * m * n * k,
+        bytes_accessed=(B * m * k + B * k * n) * dsize + m * n * jnp.dtype(out_dtype).itemsize,
+        transcendentals=m * n if key.unary_kind in ("exp", "tanh", "gelu") else 0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+
+    def fn(a, b, c=None, d=None):
+        args = [a, b]
+        if has_c:
+            assert c is not None, "kernel dispatched without beta_0 needs C"
+            args.append(c)
+        if has_d:
+            assert d is not None, "fused kernel needs the binary operand D"
+            if d.ndim == 0:
+                d = d.reshape(1, 1)
+            elif d.ndim == 1:
+                d = d.reshape(1, -1) if key.binary_bcast == "bcast_col" \
+                    else d.reshape(-1, 1)
+            args.append(d)
+        return call(*args)
+
+    return fn
+
+
+def _build_blocked_matmul(key: BlockedMatmulKey, interpret: bool):
+    """Packed-layout matmul: per (Mb,Nb) output tile, batch-reduce over Kb —
+    the reference's blocked GEMM normal form (ToBlockLayoutAndBack.cpp:484)
+    executed as one Pallas kernel with the Kb loop as the innermost grid dim."""
+    Mb, Nb, Kb = key.Mb, key.Nb, key.Kb
+    mb, nb, kb = key.mb, key.nb, key.kb
+    dtype = _jdt(key.dtype)
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    vf = key.vnni
+    has_c = not key.beta0
+    has_d = key.binary_kind is not None
+
+    grid = (Mb, Nb, Kb)
+    in_specs = [
+        pl.BlockSpec((1, 1, mb, kb), lambda i, j, r: (i, r, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if vf:
+        in_specs.append(pl.BlockSpec((1, 1, kb // vf, nb, vf),
+                                     lambda i, j, r: (j, r, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    else:
+        in_specs.append(pl.BlockSpec((1, 1, kb, nb),
+                                     lambda i, j, r: (j, r, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    if has_c:
+        in_specs.append(pl.BlockSpec((1, 1, mb, nb), lambda i, j, r: (i, j, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    if has_d:
+        # packed bias [Nb, nb]
+        in_specs.append(pl.BlockSpec((1, nb), lambda i, j, r: (j, 0),
+                                     memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((1, 1, mb, nb), lambda i, j, r: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        idx = 0
+        a_ref = refs[idx]; idx += 1
+        b_ref = refs[idx]; idx += 1
+        c_ref = refs[idx] if has_c else None
+        idx += has_c
+        d_ref = refs[idx] if has_d else None
+        idx += has_d
+        o_ref = refs[idx]
+        acc_ref = refs[idx + 1]
+
+        r = pl.program_id(2)
+
+        @pl.when(r == 0)
+        def _init():
+            if has_c:
+                acc_ref[:] = c_ref[0, 0].astype(jnp.float32)
+            else:
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        a = a_ref[0, 0]
+        if vf:
+            a_r = a.reshape(mb, kb // vf, vf)
+            update = jax.lax.dot_general(
+                a_r, b_ref[0, 0],
+                dimension_numbers=(((1, 2), (0, 2)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            update = jnp.dot(a, b_ref[0, 0], preferred_element_type=jnp.float32)
+        acc_ref[:] += update
+
+        @pl.when(r == Kb - 1)
+        def _finish():
+            res = acc_ref[:]
+            d_blk = d_ref[0] if has_d else None
+            res = _apply_epilogue(res, d_blk, key.binary_kind, key.unary_kind)
+            o_ref[0, 0] = res.astype(out_dtype)
+
+    cost = pl.CostEstimate(
+        flops=2 * Mb * Nb * Kb * mb * nb * kb,
+        bytes_accessed=(Mb * Kb * mb * kb + Nb * Kb * kb * nb
+                        + Mb * Nb * mb * nb) * jnp.dtype(dtype).itemsize,
+        transcendentals=0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((Mb, Nb, mb, nb), out_dtype),
+        scratch_shapes=[pltpu.VMEM((mb, nb), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+
+    def fn(a, b, c=None, d=None):
+        args = [a, b]
+        if has_c:
+            args.append(c)
+        if has_d:
+            args.append(d)
+        return call(*args)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Unary / binary (XLA-fused VPU path; see module docstring)
+# ---------------------------------------------------------------------------
+
+def _build_unary(key: UnaryKey, interpret: bool):
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    kind = key.kind
+    if kind == "zero":
+        shape = key.out_shape or key.shape
+        return lambda x=None: jnp.zeros(shape, out_dtype)
+    if kind == "identity":
+        out_shape = key.out_shape or key.shape
+
+        def identity(x):
+            return jnp.broadcast_to(x, out_shape).astype(out_dtype)
+        return identity
+    if kind == "transpose":
+        perm = key.perm or tuple(reversed(range(len(key.shape))))
+        return lambda x: jnp.transpose(x, perm).astype(out_dtype)
+    if kind in ("vnni2", "vnni"):
+        vf = key.vnni
+
+        def vnni_pack(x):
+            kdim, ndim = x.shape
+            return x.reshape(kdim // vf, vf, ndim).transpose(0, 2, 1)
+        return vnni_pack
+    fn = _UNARY_FNS[kind]
+    return lambda x: fn(x.astype(jnp.float32)).astype(out_dtype)
+
+
+def _build_binary(key: BinaryKey, interpret: bool):
+    fn = _BINARY_FNS[key.kind]
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    return lambda a, b: fn(a.astype(jnp.float32),
+                           b.astype(jnp.float32)).astype(out_dtype)
+
+
+def build_kernel(key, interpret: bool | None = None):
+    if interpret is None:
+        interpret = interpret_default()
+    if isinstance(key, BrgemmKey):
+        return _build_brgemm(key, interpret)
+    if isinstance(key, BlockedMatmulKey):
+        return _build_blocked_matmul(key, interpret)
+    if isinstance(key, UnaryKey):
+        return _build_unary(key, interpret)
+    if isinstance(key, BinaryKey):
+        return _build_binary(key, interpret)
+    raise TypeError(f"unknown kernel key {key!r}")

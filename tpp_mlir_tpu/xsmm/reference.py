@@ -1,0 +1,79 @@
+"""Pure-jnp reference semantics for every kernel.
+
+The reference differentially tests the xsmm path against naive scalar loops
+(-linalg-to-loops, SURVEY.md section 4); here the "loops" role is played by
+straight-line jnp, which XLA compiles without any of our blocking decisions.
+Tests compare Pallas kernels against these with fpcmp-style tolerances.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .flags import BinaryKey, BlockedMatmulKey, BrgemmKey, UnaryKey
+from .kernels import _BINARY_FNS, _UNARY_FNS, _jdt
+
+
+def _epi(res, d, key):
+    if key.binary_kind:
+        if d.ndim == 1:
+            d = d.reshape(1, -1) if key.binary_bcast == "bcast_col" \
+                else d.reshape(-1, 1)
+        res = _BINARY_FNS[key.binary_kind](res, d.astype(res.dtype))
+    if key.unary_kind:
+        res = _UNARY_FNS[key.unary_kind](res)
+    return res
+
+
+def brgemm_reference(key: BrgemmKey):
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+
+    def fn(a, b, c=None, d=None):
+        if key.vnni:
+            # B [batch, k/v, n, v] -> [batch, k, n]
+            bb, kv, n, v = b.shape
+            b = b.transpose(0, 1, 3, 2).reshape(bb, kv * v, n)
+        if key.transpose_b:
+            b = b.transpose(0, 2, 1)
+        acc = jnp.einsum("bmk,bkn->mn", a.astype(jnp.float32),
+                         b.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        if not key.beta0:
+            acc = acc + c.astype(jnp.float32)
+        acc = _epi(acc, d, key) if (key.binary_kind or key.unary_kind) else acc
+        return acc.astype(out_dtype)
+    return fn
+
+
+def blocked_matmul_reference(key: BlockedMatmulKey):
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+
+    def fn(a, b, c=None, d=None):
+        if key.vnni:
+            Nb, Kb, kv, nb, v = b.shape
+            b = b.transpose(0, 1, 2, 4, 3).reshape(Nb, Kb, kv * v, nb)
+        acc = jnp.einsum("MKmk,NKkn->MNmn", a.astype(jnp.float32),
+                         b.astype(jnp.float32))
+        if not key.beta0:
+            acc = acc + c.astype(jnp.float32)
+        if key.binary_kind:
+            acc = _BINARY_FNS[key.binary_kind](acc, d[None, :, None, :].astype(acc.dtype))
+        if key.unary_kind:
+            acc = _UNARY_FNS[key.unary_kind](acc)
+        return acc.astype(out_dtype)
+    return fn
+
+
+def reference_kernel(key):
+    from .kernels import _build_binary, _build_unary
+
+    if isinstance(key, BrgemmKey):
+        return brgemm_reference(key)
+    if isinstance(key, BlockedMatmulKey):
+        return blocked_matmul_reference(key)
+    if isinstance(key, (UnaryKey, BinaryKey)):
+        # eltwise kernels are already jnp closures; reference == kernel
+        return (_build_unary if isinstance(key, UnaryKey)
+                else _build_binary)(key, True)
+    raise TypeError(key)
