@@ -51,7 +51,7 @@ def test_gemm_transpose_b():
 def test_brgemm_f32_multiblock():
     key = BrgemmKey(batch=3, m=32, n=256, k=128, bm=16, bn=128, bk=64)
     a, b, c = rng(3, 32, 128), rng(3, 128, 256, seed=1), rng(32, 256, seed=2)
-    check(key, (a, b, c))
+    check(key, (a, b, c), atol=1e-4, rtol=1e-4)  # accumulation-order noise
 
 
 def test_fused_brgemm_bias_relu():

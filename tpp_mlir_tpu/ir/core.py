@@ -167,7 +167,12 @@ class Builder:
 
     def __init__(self, func: Function):
         self.func = func
-        self._counter = itertools.count()
+        hi = -1
+        for op in func.ops:
+            for r in op.results:
+                if r.name.isdigit():
+                    hi = max(hi, int(r.name))
+        self._counter = itertools.count(hi + 1)
 
     def _name(self) -> str:
         return str(next(self._counter))

@@ -209,6 +209,19 @@ def _v_zero(op):
         _fail(op, "result type must match dest")
 
 
+@_op("tl.broadcast")
+def _v_broadcast(op):
+    if len(op.operands) != 1:
+        _fail(op, "expects one operand")
+    try:
+        shape = broadcast_shapes(op.operands[0].type.shape,
+                                 op.result.type.shape)
+    except ValueError as e:
+        _fail(op, str(e))
+    if shape != op.result.type.shape:
+        _fail(op, f"operand does not broadcast to {op.result.type.shape}")
+
+
 @_op("tl.cast")
 def _v_cast(op):
     if len(op.operands) != 1:
@@ -232,14 +245,15 @@ def _v_transpose(op):
 
 @_op("tl.vnni_pack")
 def _v_vnni_pack(op):
-    # [K, N] -> [K/vf, N, vf] relayout for bf16 (reference xsmm unary VNNI2)
+    # [..., K, N] -> [..., K/vf, N, vf] relayout for bf16
+    # (reference xsmm unary VNNI2; applied to brgemm/blocked operands too)
     if len(op.operands) != 1:
         _fail(op, "expects one operand")
     vf = op.attrs.get("vnni", 2)
     src = op.operands[0].type
-    if src.rank != 2 or src.shape[0] % vf:
+    if src.rank < 2 or src.shape[-2] % vf:
         _fail(op, f"source {src} not VNNI-packable by {vf}")
-    want = (src.shape[0] // vf, src.shape[1], vf)
+    want = src.shape[:-2] + (src.shape[-2] // vf, src.shape[-1], vf)
     if op.result.type.shape != want:
         _fail(op, f"result shape {op.result.type.shape} != {want}")
 
@@ -449,6 +463,42 @@ def _v_xsmm_gemm(op):
         _fail(op, "result must match C")
 
 
+def _brgemm_shapes(d):
+    """Expected (A, B, C) shapes for a brgemm-family dispatch.
+
+    layout "flat" (default): A[B,m,k] B[B,k,n] C[m,n] — k is the reduction.
+    layout "blocked": the packed normal form of PackMatmul
+    (reference ToBlockLayoutAndBack.cpp:484): A[Mb,Kb,mb,kb], B[Nb,Kb,kb,nb],
+    C[Mb,Nb,mb,nb], with batch == Kb. The same dispatch surface covers both,
+    the way libxsmm brgemm takes stride hints (XsmmRunnerUtils.cpp:288-361).
+    """
+    m, n, k, B = (d.attrs[x] for x in ("m", "n", "k", "batch"))
+    vnni = d.attrs.get("vnni", 0)
+    if d.attrs.get("layout", "flat") == "conv":
+        # Conv-as-BRGEMM (docs/ConvMapping.md): A = blocked input
+        # [N,Cb,H,W,c], B = blocked filter [Kb,Cb,R,S,c,k], C = blocked
+        # output [N,Kb,P,Q,k]; reduction batch = Cb*R*S.
+        N, H, W = d.attrs["N"], d.attrs["H"], d.attrs["W"]
+        Cb, Kb = d.attrs["Cb"], d.attrs["Kb"]
+        R, S = d.attrs["R"], d.attrs["S"]
+        sh, sw = d.attrs.get("strides", (1, 1))
+        P = (H - R) // sh + 1
+        Q = (W - S) // sw + 1
+        c, kblk = d.attrs["c"], d.attrs["kblk"]
+        return ((N, Cb, H, W, c), (Kb, Cb, R, S, c, kblk),
+                (N, Kb, P, Q, kblk))
+    if d.attrs.get("layout", "flat") == "blocked":
+        Mb, Nb = d.attrs["Mb"], d.attrs["Nb"]
+        a = (Mb, B, m, k)
+        b = (Nb, B, k // vnni, n, vnni) if vnni else (Nb, B, k, n)
+        c = (Mb, Nb, m, n)
+    else:
+        a = (B, m, k)
+        b = (B, k // vnni, n, vnni) if vnni else (B, k, n)
+        c = (m, n)
+    return a, b, c
+
+
 @_op("xsmm.brgemm")
 def _v_xsmm_brgemm(op):
     if len(op.operands) != 4:
@@ -457,12 +507,10 @@ def _v_xsmm_brgemm(op):
     if d is None or d.opname != "xsmm.brgemm_dispatch":
         _fail(op, "first operand must be a brgemm_dispatch result")
     a, b, c = (_t(x) for x in op.operands[1:])
-    m, n, k, B = (d.attrs[x] for x in ("m", "n", "k", "batch"))
-    vnni = d.attrs.get("vnni", 0)
-    bshape = (B, k // vnni, n, vnni) if vnni else (B, k, n)
-    if a.shape != (B, m, k) or b.shape != bshape or c.shape != (m, n):
-        _fail(op, f"dispatch({m},{n},{k},batch={B},vnni={vnni}) inconsistent "
-                  f"with operands {a.shape},{b.shape},{c.shape}")
+    ea, eb, ec = _brgemm_shapes(d)
+    if a.shape != ea or b.shape != eb or c.shape != ec:
+        _fail(op, f"dispatch expects A{ea} B{eb} C{ec}, got "
+                  f"{a.shape},{b.shape},{c.shape}")
 
 
 @_op("xsmm.fused_brgemm")
@@ -474,12 +522,12 @@ def _v_xsmm_fused_brgemm(op):
     if d is None or d.opname != "xsmm.fused_brgemm_dispatch":
         _fail(op, "first operand must be a fused_brgemm_dispatch result")
     a, b, c, bias = (_t(x) for x in op.operands[1:])
-    m, n, k, B = (d.attrs[x] for x in ("m", "n", "k", "batch"))
-    vnni = d.attrs.get("vnni", 0)
-    bshape = (B, k // vnni, n, vnni) if vnni else (B, k, n)
-    if a.shape != (B, m, k) or b.shape != bshape or c.shape != (m, n):
-        _fail(op, f"dispatch({m},{n},{k},batch={B}) inconsistent with "
-                  f"operands {a.shape},{b.shape},{c.shape}")
+    ea, eb, ec = _brgemm_shapes(d)
+    if a.shape != ea or b.shape != eb:
+        _fail(op, f"dispatch expects A{ea} B{eb}, got {a.shape},{b.shape}")
+    if not d.attrs.get("flags") or "beta_0" not in d.attrs.get("flags", ()):
+        if c.shape != ec:
+            _fail(op, f"dispatch expects C{ec}, got {c.shape}")
     if d.attrs["binary_kind"] not in BINARY_KINDS:
         _fail(op, "bad binary_kind")
     if d.attrs["unary_kind"] not in UNARY_KINDS:
@@ -596,6 +644,10 @@ class TppBuilder(Builder):
 
     def identity(self, x: Value) -> Value:
         return self.unary("tl.identity", x)
+
+    def broadcast(self, x: Value, shape) -> Value:
+        return self.create("tl.broadcast", [x],
+                           [x.type.with_shape(shape)]).result
 
     def cast(self, x: Value, dtype: str) -> Value:
         return self.create("tl.cast", [x], [TensorType(x.type.shape, dtype)]).result

@@ -24,7 +24,7 @@ _TOKEN_RE = re.compile(
   | (?P<comment>//[^\n]*)
   | (?P<type>tensor<[^>]*>)
   | (?P<string>"[^"]*")
-  | (?P<number>-?\d+\.\d+(e[+-]?\d+)?|-?\d+)
+  | (?P<number>-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)
   | (?P<ident>[@%]?[A-Za-z_][A-Za-z0-9_.\-]*|%\d+)
   | (?P<punct>->|[(){}\[\]=:,])
     """,

@@ -1,0 +1,107 @@
+"""Parameterized MLP/GEMM model builder — the mlir-gen model core.
+
+Mirrors reference tools/mlir-gen (MLIRGen.cpp:148-230, MLIRGen.h:143-219):
+a chain of layers `out = relu(x @ W + bias)` with options for bias/relu/
+softmax, constant-vs-argument weights, fp32/bf16, and FLOP accounting
+(computeMatmulFlops/computeBiasOrReluFlops, MLIRGen.cpp:315-333).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..ir import Function, Module, TensorType, TppBuilder
+
+
+@dataclass
+class MlpConfig:
+    batch: int = 256
+    # layer sizes: first is the input width, rest are outputs of each layer
+    layers: tuple = (1024, 1024)
+    tiles: tuple | None = None       # (mb, nb, kb) pack blocks; None = auto
+    float_type: str = "f32"
+    bias: bool = False
+    relu: bool = False
+    softmax: bool = False
+    kernel: str = "args"             # "const": weights as constants
+    vnni: int = 0                    # 0/2/4; recorded for the pipeline
+    seed: int = 0
+    init_type: str = "normal"        # for const weights
+    name: str = "entry"
+
+
+def mlp_flops(cfg: MlpConfig) -> int:
+    """BENCH_TOTAL_FLOPS accounting (reference MLIRGen.cpp:315-333,551-555):
+    matmul 2*M*N*K; bias M*N; relu M*N; softmax 4*M*N."""
+    total = 0
+    M = cfg.batch
+    for i in range(len(cfg.layers) - 1):
+        K, N = cfg.layers[i], cfg.layers[i + 1]
+        total += 2 * M * N * K
+        if cfg.bias:
+            total += M * N
+        if cfg.relu:
+            total += M * N
+    if cfg.softmax:
+        total += 4 * M * cfg.layers[-1]
+    return total
+
+
+def build_mlp(cfg: MlpConfig) -> Module:
+    dt = cfg.float_type
+    m = Module()
+    arg_types = [TensorType((cfg.batch, cfg.layers[0]), dt)]
+    arg_names = ["x"]
+    if cfg.kernel != "const":
+        for i in range(len(cfg.layers) - 1):
+            K, N = cfg.layers[i], cfg.layers[i + 1]
+            arg_types.append(TensorType((K, N), dt))
+            arg_names.append(f"w{i}")
+            if cfg.bias:
+                arg_types.append(TensorType((N,), dt))
+                arg_names.append(f"b{i}")
+    f = m.add(Function(cfg.name, arg_types, arg_names))
+    b = TppBuilder(f)
+
+    x = f.args[0]
+    argi = 1
+    for i in range(len(cfg.layers) - 1):
+        K, N = cfg.layers[i], cfg.layers[i + 1]
+        if cfg.kernel == "const":
+            w = b.constant(TensorType((K, N), dt), init=cfg.init_type,
+                           seed=cfg.seed + 2 * i + 1)
+            bias = b.constant(TensorType((N,), dt), init=cfg.init_type,
+                              seed=cfg.seed + 2 * i + 2) if cfg.bias else None
+        else:
+            w = f.args[argi]
+            argi += 1
+            bias = None
+            if cfg.bias:
+                bias = f.args[argi]
+                argi += 1
+        acc = b.constant(TensorType((cfg.batch, N), dt), init="zero")
+        x = b.matmul(x, w, acc)
+        if cfg.bias:
+            x = b.add(x, bias)
+        if cfg.relu:
+            x = b.relu(x)
+    if cfg.softmax:
+        x = b.softmax(x, axis=1)
+    b.ret(x)
+
+    m.attrs["flops"] = mlp_flops(cfg)
+    if cfg.tiles:
+        m.attrs["tiles"] = tuple(cfg.tiles)
+    if cfg.vnni:
+        m.attrs["vnni"] = cfg.vnni
+    m.verify()
+    return m
+
+
+def build_gemm(batch: int, n: int, k: int, float_type: str = "f32",
+               bias: bool = False, relu: bool = False) -> Module:
+    """Single GEMM / FC layer (the matmul & fc benchmark sweeps,
+    reference benchmarks/config/{matmul,fc})."""
+    cfg = MlpConfig(batch=batch, layers=(k, n), float_type=float_type,
+                    bias=bias, relu=relu)
+    return build_mlp(cfg)

@@ -1,0 +1,182 @@
+"""Conv passes: init-simplify, channel-block packing, conv->BRGEMM.
+
+  conv-init-simplify  (reference ConvInitSimplify.cpp:121): conv into a
+                      zero-fill followed by a bias add becomes a conv whose
+                      accumulator is initialized with the broadcast bias.
+  pack-conv2d         (reference PackConv2DNchwFchw/NhwcHwcf,
+                      ToBlockLayoutAndBack.cpp:569-640): channel-blocked
+                      layout O[N,Kb,P,Q,k] += I[N,Cb,H,W,c] * W[Kb,Cb,R,S,c,k]
+  conv-to-brgemm      (reference RewriteConvsToMatmulOrBrgemm per
+                      docs/ConvMapping.md): marks the blocked conv for the
+                      conv-BRGEMM Pallas kernel, where the H/W collapse and
+                      (Cb,R,S) batch-reduce happen in the kernel grid. On TPU
+                      there is no separate loop-interchange step: the grid IS
+                      the interchanged loop nest. Stride-1 only, like the
+                      reference's mapping doc; strided convs stay on tl and
+                      execute via XLA's native conv.
+"""
+
+from __future__ import annotations
+
+from ..ir import Function, I64, Module, TppBuilder
+from ..ir.matcher import is_zero_op
+from ..utils.target import current_target
+from .pack import _divisor, _insert_before
+from .pass_manager import Pass, register
+
+
+def _hoist_before(func: Function, anchor, value) -> bool:
+    """Move the producer slice of `value` before `anchor` if legal."""
+    from ..ir.core import walk_backward_slice
+
+    idx = {id(o): i for i, o in enumerate(func.ops)}
+    apos = idx[id(anchor)]
+    chain = [o for o in walk_backward_slice(value) if idx[id(o)] > apos]
+    if not chain:
+        return True
+    # legality: the chain must not (transitively) depend on the anchor
+    chain_ids = {id(o) for o in chain}
+    for o in chain:
+        for v in o.operands:
+            if v.owner is not None and idx[id(v.owner)] > apos \
+                    and id(v.owner) not in chain_ids:
+                return False
+            if v.owner is anchor:
+                return False
+    chain.sort(key=lambda o: idx[id(o)])
+    for o in chain:
+        func.ops.remove(o)
+    pos = func.ops.index(anchor)
+    func.ops[pos:pos] = chain
+    return True
+
+
+@register
+class ConvInitSimplifyPass(Pass):
+    name = "conv-init-simplify"
+
+    def run_on_function(self, func: Function, module: Module) -> bool:
+        changed = False
+        b = TppBuilder(func)
+        for op in list(func.ops):
+            if op.parent is None or op.opname != "tl.add":
+                continue
+            conv_val, other = op.operands
+            conv = conv_val.owner
+            if conv is None or not conv.opname.startswith("tl.conv2d"):
+                conv_val, other = other, conv_val
+                conv = conv_val.owner
+            if conv is None or not conv.opname.startswith("tl.conv2d"):
+                continue
+            if len(conv_val.uses) != 1:
+                continue
+            dest = conv.operands[2]
+            if not is_zero_op(dest.owner) or len(dest.uses) != 1:
+                continue
+            out_t = conv.result.type
+            from ..ir import broadcast_shapes
+            bias_shape = other.type.shape
+            try:
+                ok = broadcast_shapes(bias_shape, out_t.shape) == out_t.shape
+            except ValueError:
+                ok = False
+            if not ok:
+                # NCHW channel bias (K,) -> (K,1,1) so it broadcasts over H,W
+                if conv.opname == "tl.conv2d_nchw_fchw" and \
+                        len(bias_shape) == 1 and bias_shape[0] == out_t.shape[1]:
+                    reshape_to = (bias_shape[0], 1, 1)
+                else:
+                    continue
+            else:
+                reshape_to = None
+
+            if not _hoist_before(func, conv, other):
+                continue
+
+            def emit(bb):
+                v = other
+                if reshape_to is not None:
+                    v = bb.reshape(v, reshape_to)
+                return bb.broadcast(v, out_t.shape)
+
+            init = _insert_before(func, conv, b, emit)
+            conv.set_operand(2, init)
+            func.replace_all_uses(op.result, conv.result)
+            func.erase(op)
+            changed = True
+        return changed
+
+
+@register
+class PackConv2DPass(Pass):
+    name = "pack-conv2d"
+
+    def run_on_function(self, func: Function, module: Module) -> bool:
+        changed = False
+        b = TppBuilder(func)
+        block = self.options.get("block")
+        for op in list(func.ops):
+            if op.parent is None or op.opname != "tl.conv2d_nchw_fchw":
+                continue
+            I, W, O = op.operands
+            N, C, H, Wd = I.type.shape
+            K, _, R, S = W.type.shape
+            lane = current_target().min_tile(I.type.dtype)[1]
+            cblk = block or _divisor(C, lane) or _divisor(C, 64) or C
+            kblk = block or _divisor(K, lane) or _divisor(K, 64) or K
+            if C % cblk or K % kblk:
+                continue
+            strides = tuple(op.attrs.get("strides", (1, 1)))
+
+            def emit(bb):
+                # I [N,C,H,W] -> [N,Cb,H,W,c]: pack dim1 then move tile last
+                pi = bb.pack(I, (1,), (cblk,))            # [N,Cb,H,W,c]
+                # pack() appends the tile dim: [N,Cb,H,W]+ (c) — correct.
+                pw = bb.pack(W, (0, 1), (kblk, cblk),
+                             outer_perm=(0, 1, 2, 3))      # [Kb,Cb,R,S,k,c]
+                pw = bb.transpose(pw, (0, 1, 2, 3, 5, 4))  # [Kb,Cb,R,S,c,k]
+                po = bb.pack(O, (1,), (kblk,))             # [N,Kb,P,Q,k]
+                blocked = bb.blocked_conv2d(pi, pw, po, strides)
+                return bb.unpack(blocked, (1,), (kblk,), O.type.shape)
+
+            res = _insert_before(func, op, b, emit)
+            func.replace_all_uses(op.result, res)
+            func.erase(op)
+            changed = True
+        return changed
+
+
+@register
+class ConvToBrgemmPass(Pass):
+    """tl.blocked_conv2d (stride 1) -> xsmm.brgemm with layout="conv"."""
+
+    name = "conv-to-brgemm"
+
+    def run_on_function(self, func: Function, module: Module) -> bool:
+        changed = False
+        b = TppBuilder(func)
+        for op in list(func.ops):
+            if op.parent is None or op.opname != "tl.blocked_conv2d":
+                continue
+            if tuple(op.attrs.get("strides", (1, 1))) != (1, 1):
+                continue
+            I, W, O = op.operands
+            N, Cb, H, Wd, c = I.type.shape
+            Kb, _, R, S, _, k = W.type.shape
+            attrs = {"layout": "conv", "N": N, "H": H, "W": Wd, "Cb": Cb,
+                     "Kb": Kb, "R": R, "S": S, "c": c, "kblk": k,
+                     "m": 0, "n": k, "k": c, "batch": Cb * R * S,
+                     "strides": (1, 1), "dtype": I.type.dtype, "flags": ()}
+
+            def emit(bb):
+                d = bb.create("xsmm.brgemm_dispatch", [], [I64], attrs)
+                inv = bb.create("xsmm.brgemm", [d.result, I, W, O], [O.type])
+                if "fusion_group" in op.attrs:
+                    inv.attrs["fusion_group"] = op.attrs["fusion_group"]
+                return inv.result
+
+            res = _insert_before(func, op, b, emit)
+            func.replace_all_uses(op.result, res)
+            func.erase(op)
+            changed = True
+        return changed

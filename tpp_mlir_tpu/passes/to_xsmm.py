@@ -1,0 +1,439 @@
+"""tl -> xsmm lowering, fused-kernel formation, and flag folding.
+
+  convert-tl-to-xsmm  the ConvertLinalgToXsmm equivalent
+                      (reference lib/TPP/Conversion/ConvertLinalgToXsmm.cpp):
+                      contractions and eltwise become dispatch+invoke pairs.
+                      Pure data movement (constant/pack/unpack/reshape) and
+                      reductions stay in tl: on TPU these are XLA's job and
+                      fuse into neighboring kernels.
+  xsmm-combine        CombineXsmmOpPass equivalent (CombineXsmmPass.cpp:30-150):
+                      {brgemm/gemm} -> binary(add bias) -> unary(relu) chains
+                      become one xsmm.fused_brgemm.
+  fold-xsmm-flags     FoldXsmmFlags equivalent (ConvertLinalgToXsmm.cpp:857-1005):
+                      zero-filled accumulators fold into the dispatch as the
+                      BETA_0 flag, deleting the zero-fill.
+  verify-xsmm         VerifyXsmmCalls equivalent: dispatch/invoke consistency.
+
+Supports `skip` option listing pattern names to skip, mirroring the
+reference's skip-operations list (ConvertLinalgToXsmm.cpp:1186-1235).
+"""
+
+from __future__ import annotations
+
+from ..ir import Function, I64, Module, Operation, TppBuilder
+from .pass_manager import Pass, register
+
+_UNARY_MAP = {
+    "tl.relu": "relu", "tl.identity": "identity", "tl.exp": "exp",
+    "tl.square": "square", "tl.sqrt": "sqrt", "tl.rsqrt": "rsqrt",
+    "tl.tanh": "tanh", "tl.gelu": "gelu", "tl.negate": "negate",
+}
+_BINARY_MAP = {"tl.add": "add", "tl.sub": "sub", "tl.mul": "mul",
+               "tl.div": "div", "tl.max": "max"}
+
+
+def infer_bcast(out_shape, operand_shape) -> str:
+    """NumPy-broadcast shape -> xsmm broadcast flag
+    (role of reference getBinaryFlags, XsmmUtils.h:33-127)."""
+    if tuple(operand_shape) == tuple(out_shape):
+        return "none"
+    n = 1
+    for d in operand_shape:
+        n *= d
+    if n == 1:
+        return "bcast_scalar"
+    if len(operand_shape) >= 1 and operand_shape[-1] == out_shape[-1]:
+        return "bcast_col"
+    if len(operand_shape) >= 2 and operand_shape[-2] == out_shape[-2] \
+            and operand_shape[-1] == 1:
+        return "bcast_row"
+    if len(operand_shape) == 1 and operand_shape[0] == out_shape[-2]:
+        return "bcast_row"
+    return "none"
+
+
+def _carry(src: Operation, dst: Operation):
+    for key in ("fusion_group",):
+        if key in src.attrs:
+            dst.attrs[key] = src.attrs[key]
+
+
+def _tile_attrs(op: Operation) -> dict:
+    return {f"tile_{d}": op.attrs[f"tile_{d}"]
+            for d in ("m", "n", "k") if f"tile_{d}" in op.attrs}
+
+
+@register
+class ConvertTlToXsmmPass(Pass):
+    name = "convert-tl-to-xsmm"
+
+    def run_on_function(self, func: Function, module: Module) -> bool:
+        skip = set(self.options.get("skip", ()))
+        changed = False
+        b = TppBuilder(func)
+
+        def before(anchor, emit):
+            start = len(func.ops)
+            res = emit()
+            new_ops = func.ops[start:]
+            del func.ops[start:]
+            i = func.ops.index(anchor)
+            func.ops[i:i] = new_ops
+            return res, new_ops
+
+        for op in list(func.ops):
+            if op.parent is None:
+                continue
+            name = op.opname
+            dt = op.results[0].type.dtype if op.results else "f32"
+
+            if name == "tl.matmul" and "matmul" not in skip:
+                A, B, C = op.operands
+                m, k = A.type.shape
+                n = C.type.shape[1]
+                flags = tuple(
+                    f for f in (("transpose_b",) if op.attrs.get("transpose_b")
+                                else ()))
+                attrs = {"m": m, "n": n, "k": k, "dtype": A.type.dtype,
+                         "flags": flags, **_tile_attrs(op)}
+
+                def emit():
+                    d = b.create("xsmm.gemm_dispatch", [], [I64], attrs)
+                    inv = b.create("xsmm.gemm", [d.result, A, B, C], [C.type])
+                    _carry(op, inv)
+                    return inv.result
+                res, _ = before(op, emit)
+                func.replace_all_uses(op.result, res)
+                func.erase(op)
+                changed = True
+
+            elif name in ("tl.brgemm", "tl.vnni_brgemm") and "brgemm" not in skip:
+                A, B, C = op.operands
+                Bt, m, k = A.type.shape
+                n = C.type.shape[1]
+                attrs = {"m": m, "n": n, "k": k, "batch": Bt,
+                         "dtype": A.type.dtype, "flags": (), **_tile_attrs(op)}
+                if name == "tl.vnni_brgemm":
+                    attrs["vnni"] = op.attrs.get("vnni", 2)
+
+                def emit():
+                    d = b.create("xsmm.brgemm_dispatch", [], [I64], attrs)
+                    inv = b.create("xsmm.brgemm", [d.result, A, B, C], [C.type])
+                    _carry(op, inv)
+                    return inv.result
+                res, _ = before(op, emit)
+                func.replace_all_uses(op.result, res)
+                func.erase(op)
+                changed = True
+
+            elif name == "tl.blocked_matmul" and "brgemm" not in skip:
+                A, B, C = op.operands
+                Mb, Kb, mb, kb = A.type.shape
+                Nb = C.type.shape[1]
+                nb = C.type.shape[3]
+                attrs = {"m": mb, "n": nb, "k": kb, "batch": Kb,
+                         "Mb": Mb, "Nb": Nb, "layout": "blocked",
+                         "dtype": A.type.dtype, "flags": ()}
+                if op.attrs.get("vnni"):
+                    attrs["vnni"] = op.attrs["vnni"]
+
+                def emit():
+                    d = b.create("xsmm.brgemm_dispatch", [], [I64], attrs)
+                    inv = b.create("xsmm.brgemm", [d.result, A, B, C], [C.type])
+                    _carry(op, inv)
+                    return inv.result
+                res, _ = before(op, emit)
+                func.replace_all_uses(op.result, res)
+                func.erase(op)
+                changed = True
+
+            elif name in _UNARY_MAP and "unary" not in skip:
+                X = op.operands[0]
+                shape = X.type.shape
+                attrs = {"kind": _UNARY_MAP[name],
+                         "m": int(X.type.num_elements // (shape[-1] if shape else 1)),
+                         "n": shape[-1] if shape else 1,
+                         "shape": tuple(shape), "dtype": X.type.dtype,
+                         "flags": ()}
+
+                def emit():
+                    d = b.create("xsmm.unary_dispatch", [], [I64], attrs)
+                    inv = b.create("xsmm.unary", [d.result, X],
+                                   [op.result.type])
+                    _carry(op, inv)
+                    return inv.result
+                res, _ = before(op, emit)
+                func.replace_all_uses(op.result, res)
+                func.erase(op)
+                changed = True
+
+            elif name in ("tl.zero",) or (name == "tl.fill"
+                                          and op.attrs.get("value") in (0, 0.0)):
+                if "zero" in skip:
+                    continue
+                X = op.operands[0]
+                shape = X.type.shape
+                attrs = {"kind": "zero", "m": int(X.type.num_elements //
+                                                  (shape[-1] if shape else 1)),
+                         "n": shape[-1] if shape else 1,
+                         "shape": tuple(shape), "dtype": X.type.dtype,
+                         "flags": ()}
+
+                def emit():
+                    d = b.create("xsmm.unary_dispatch", [], [I64], attrs)
+                    inv = b.create("xsmm.unary", [d.result, X],
+                                   [op.result.type])
+                    _carry(op, inv)
+                    return inv.result
+                res, _ = before(op, emit)
+                func.replace_all_uses(op.result, res)
+                func.erase(op)
+                changed = True
+
+            elif name == "tl.transpose" and "transpose" not in skip:
+                X = op.operands[0]
+                attrs = {"kind": "transpose", "m": X.type.shape[0],
+                         "n": X.type.shape[-1], "shape": tuple(X.type.shape),
+                         "perm": tuple(op.attrs["perm"]),
+                         "dtype": X.type.dtype, "flags": ()}
+
+                def emit():
+                    d = b.create("xsmm.unary_dispatch", [], [I64], attrs)
+                    inv = b.create("xsmm.unary", [d.result, X],
+                                   [op.result.type])
+                    return inv.result
+                res, _ = before(op, emit)
+                func.replace_all_uses(op.result, res)
+                func.erase(op)
+                changed = True
+
+            elif name == "tl.vnni_pack" and "vnni" not in skip:
+                X = op.operands[0]
+                attrs = {"kind": "vnni2", "m": X.type.shape[-2],
+                         "n": X.type.shape[-1], "shape": tuple(X.type.shape),
+                         "vnni": op.attrs.get("vnni", 2),
+                         "dtype": X.type.dtype, "flags": ()}
+
+                def emit():
+                    d = b.create("xsmm.unary_dispatch", [], [I64], attrs)
+                    inv = b.create("xsmm.unary", [d.result, X],
+                                   [op.result.type])
+                    return inv.result
+                res, _ = before(op, emit)
+                func.replace_all_uses(op.result, res)
+                func.erase(op)
+                changed = True
+
+            elif name in _BINARY_MAP and "binary" not in skip:
+                X, Y = op.operands
+                out_shape = op.result.type.shape
+                flags = []
+                fx = infer_bcast(out_shape, X.type.shape)
+                fy = infer_bcast(out_shape, Y.type.shape)
+                if fx != "none":
+                    flags.append(fx)
+                if fy != "none":
+                    flags.append(fy)
+                attrs = {"kind": _BINARY_MAP[name],
+                         "m": int(op.result.type.num_elements // out_shape[-1])
+                         if out_shape else 1,
+                         "n": out_shape[-1] if out_shape else 1,
+                         "shape_a": tuple(X.type.shape),
+                         "shape_b": tuple(Y.type.shape),
+                         "dtype": op.result.type.dtype,
+                         "flags": tuple(flags)}
+
+                def emit():
+                    d = b.create("xsmm.binary_dispatch", [], [I64], attrs)
+                    inv = b.create("xsmm.binary", [d.result, X, Y],
+                                   [op.result.type])
+                    _carry(op, inv)
+                    return inv.result
+                res, _ = before(op, emit)
+                func.replace_all_uses(op.result, res)
+                func.erase(op)
+                changed = True
+
+        return changed
+
+
+def _single_user(op: Operation):
+    if len(op.results) != 1 or len(op.result.uses) != 1:
+        return None
+    return op.result.uses[0][0]
+
+
+@register
+class CombineXsmmPass(Pass):
+    """{gemm|brgemm} -> binary(add) -> unary chains => one fused_brgemm.
+
+    Reference getFusedBrgemmSequenceFromProducer (CombineXsmmPass.cpp:30-150)
+    matches {zero?, brgemm, binary add, unary relu}; our kernel layer supports
+    any binary/unary epilogue combination, so the match is kind-generic.
+    """
+
+    name = "xsmm-combine"
+
+    def run_on_function(self, func: Function, module: Module) -> bool:
+        changed = False
+        b = TppBuilder(func)
+        for op in list(func.ops):
+            if op.parent is None or op.opname not in ("xsmm.gemm",
+                                                      "xsmm.brgemm"):
+                continue
+            disp = op.operands[0].owner
+            binary_op = None
+            unary_op = None
+            cur = op
+            user = _single_user(cur)
+            bias = None
+            if user is not None and user.opname == "xsmm.binary":
+                ud = user.operands[0].owner
+                if ud.attrs["kind"] in ("add", "mul", "sub", "div", "max"):
+                    # bias operand is whichever isn't the contraction result
+                    others = [v for v in user.operands[1:]
+                              if v is not cur.result]
+                    if len(others) == 1:
+                        binary_op = user
+                        bias = others[0]
+                        cur = user
+                        user = _single_user(cur)
+            if user is not None and user.opname == "xsmm.unary":
+                ud = user.operands[0].owner
+                if ud.attrs["kind"] in ("relu", "gelu", "tanh", "exp",
+                                        "square", "identity"):
+                    unary_op = user
+                    cur = user
+            if binary_op is None and unary_op is None:
+                continue
+
+            attrs = dict(disp.attrs)
+            attrs.pop("fusion_group", None)
+            if op.opname == "xsmm.gemm":
+                attrs.setdefault("batch", 1)
+                attrs.pop("flags", None)
+                attrs["flags"] = tuple(f for f in disp.attrs.get("flags", ())
+                                       if f != "transpose_b")
+                if "transpose_b" in disp.attrs.get("flags", ()):
+                    continue  # keep it simple: no fused transpose_b
+            if binary_op is not None:
+                bd = binary_op.operands[0].owner
+                attrs["binary_kind"] = bd.attrs["kind"]
+                out_shape = binary_op.result.type.shape
+                attrs["binary_bcast"] = infer_bcast(out_shape, bias.type.shape)
+            else:
+                attrs["binary_kind"] = "none"
+                attrs["binary_bcast"] = "none"
+            attrs["unary_kind"] = (unary_op.operands[0].owner.attrs["kind"]
+                                   if unary_op is not None else "none")
+
+            A, B, C = op.operands[1], op.operands[2], op.operands[3]
+            last = cur
+
+            def emit():
+                nonlocal A, B, bias
+                if op.opname == "xsmm.gemm":
+                    A = b.reshape(A, (1,) + A.type.shape)
+                    B = b.reshape(B, (1,) + B.type.shape)
+                if bias is None:
+                    bias = C  # placeholder operand; kernel ignores it
+                d = b.create("xsmm.fused_brgemm_dispatch", [], [I64], attrs)
+                inv = b.create("xsmm.fused_brgemm",
+                               [d.result, A, B, C, bias],
+                               [last.result.type])
+                return inv.result
+
+            start = len(func.ops)
+            res = emit()
+            new_ops = func.ops[start:]
+            del func.ops[start:]
+            # insert before the end of the chain: the bias operand may be
+            # defined between the contraction and the binary op
+            i = func.ops.index(last)
+            func.ops[i:i] = new_ops
+
+            func.replace_all_uses(last.result, res)
+            # erase the chain, now dead, from last to first
+            for dead in (unary_op, binary_op, op):
+                if dead is not None and dead.parent is not None \
+                        and not dead.result.uses:
+                    dd = dead.operands[0].owner
+                    func.erase(dead)
+                    if dd is not None and dd.parent is not None \
+                            and not dd.result.uses:
+                        func.erase(dd)
+            changed = True
+        return changed
+
+
+@register
+class FoldXsmmFlagsPass(Pass):
+    """Zero-filled accumulator -> BETA_0 dispatch flag
+    (reference FoldXsmmFlags, ConvertLinalgToXsmm.cpp:857-1005)."""
+
+    name = "fold-xsmm-flags"
+
+    def run_on_function(self, func: Function, module: Module) -> bool:
+        from ..ir.matcher import is_zero_op
+
+        changed = False
+        b = TppBuilder(func)
+        for op in list(func.ops):
+            if op.parent is None or op.opname not in (
+                    "xsmm.gemm", "xsmm.brgemm", "xsmm.fused_brgemm"):
+                continue
+            disp = op.operands[0].owner
+            if "beta_0" in disp.attrs.get("flags", ()):
+                continue
+            c_idx = 3
+            C = op.operands[c_idx]
+            producer = C.owner
+            new_c = None
+            if producer is not None and producer.opname == "xsmm.unary" \
+                    and producer.operands[0].owner.attrs["kind"] == "zero" \
+                    and len(C.uses) == 1:
+                new_c = producer.operands[1]
+            elif is_zero_op(producer) and len(C.uses) == 1:
+                if producer.opname == "tl.constant":
+                    new_c = C  # keep the constant; kernel won't read it
+                else:
+                    new_c = producer.operands[0]
+            if new_c is None:
+                continue
+            attrs = dict(disp.attrs)
+            attrs["flags"] = tuple(attrs.get("flags", ())) + ("beta_0",)
+            nd = Operation(disp.opname, [], [I64], attrs)
+            nd.results[0].name = b._name()
+            func.insert_before(op, nd)
+            op.set_operand(0, nd.results[0])
+            if new_c is not C:
+                op.set_operand(c_idx, new_c)
+            if producer is not None and producer.parent is not None \
+                    and not any(r.uses for r in producer.results) \
+                    and producer.opname != "tl.constant":
+                zd = producer.operands[0].owner if producer.opname == "xsmm.unary" else None
+                func.erase(producer)
+                if zd is not None and not zd.result.uses:
+                    func.erase(zd)
+            changed = True
+        return changed
+
+
+@register
+class VerifyXsmmPass(Pass):
+    """Dispatch/invoke consistency (reference VerifyXsmmCalls); the checks
+    live in the op verifiers, so this is module.verify() plus a check that
+    dispatches are only consumed by invokes."""
+
+    name = "verify-xsmm"
+
+    def run_on_function(self, func: Function, module: Module) -> bool:
+        func.verify()
+        for op in func.ops:
+            if op.opname.endswith("_dispatch"):
+                for user, idx in op.result.uses:
+                    if not user.opname.startswith("xsmm.") or idx != 0:
+                        raise ValueError(
+                            f"dispatch {op.opname} consumed by non-invoke "
+                            f"{user.opname}")
+        return False

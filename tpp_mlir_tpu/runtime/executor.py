@@ -1,0 +1,404 @@
+"""Executor: compile/interpret IR functions as JAX programs.
+
+Role of the reference's ExecutionEngine JIT path (tpp-run → LLVM JIT →
+runtime calls, SURVEY.md 3.1). Two modes:
+
+  * compile(module, fn):  trace every op into one JAX function and jax.jit
+    it. xsmm invokes become Pallas kernel calls resolved through the
+    dispatch cache at trace time (dispatches are pure and hoisted, exactly
+    like the reference LICM-hoists dispatch calls out of the hot loop).
+    Remaining tl ops (data movement, reductions, constants) trace to jnp —
+    XLA fuses them around the kernels.
+  * interpret(module, fn): eager evaluation op by op, including check.* ops
+    as runtime assertions (the reference lowers check to loops+asserts via
+    ConvertCheckToLoops) and perf.* timers.
+
+Constants materialize at compile time via tensor_init (+ any constant-folded
+pack recipe), so packed weights are prepared once, outside the hot loop.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+import numpy as np
+
+from ..ir import Function, Module, Operation
+from ..ir.types import jnp_dtype
+from ..xsmm.flags import (BinaryKey, BlockedMatmulKey, BrgemmKey,
+                          ConvBrgemmKey, UnaryKey)
+from ..xsmm.cache import global_cache
+from .tensor_init import apply_pack_recipe, tensor_init
+
+
+def _jnp():
+    import jax.numpy as jnp
+    return jnp
+
+
+# ---------------------------------------------------------------------------
+# tl-op evaluators (reference semantics; also the -linalg-to-loops analogue)
+# ---------------------------------------------------------------------------
+
+def _eval_tl(op: Operation, vals: list, interpret_kernels: bool):
+    import jax
+    jnp = _jnp()
+    name = op.opname
+    rt = op.results[0].type if op.results else None
+    odt = jnp_dtype(rt) if rt is not None else None
+
+    def acc32(x):
+        return x.astype(jnp.float32)
+
+    if name == "tl.constant":
+        arr = tensor_init(op.attrs.get("init", "zero"),
+                          op.attrs.get("orig_shape", rt.shape),
+                          rt.dtype, op.attrs.get("seed", 0),
+                          op.attrs.get("value", 1.0))
+        arr = apply_pack_recipe(arr, op.attrs)
+        assert tuple(arr.shape) == rt.shape, \
+            f"constant init shape {arr.shape} != {rt.shape}"
+        return jnp.asarray(arr)
+    if name == "tl.fill":
+        return jnp.full(rt.shape, op.attrs["value"], odt)
+    if name == "tl.zero":
+        return jnp.zeros(rt.shape, odt)
+    if name == "tl.matmul":
+        a, b, c = vals
+        if op.attrs.get("transpose_b"):
+            b = b.T
+        return (jnp.dot(acc32(a), acc32(b),
+                        preferred_element_type=jnp.float32)
+                + acc32(c)).astype(odt)
+    if name == "tl.batch_matmul":
+        a, b, c = vals
+        return (jnp.einsum("bmk,bkn->bmn", acc32(a), acc32(b))
+                + acc32(c)).astype(odt)
+    if name == "tl.brgemm":
+        a, b, c = vals
+        return (jnp.einsum("bmk,bkn->mn", acc32(a), acc32(b))
+                + acc32(c)).astype(odt)
+    if name == "tl.vnni_brgemm":
+        a, b, c = vals
+        B, kv, n, vf = b.shape
+        b = b.transpose(0, 1, 3, 2).reshape(B, kv * vf, n)
+        return (jnp.einsum("bmk,bkn->mn", acc32(a), acc32(b))
+                + acc32(c)).astype(odt)
+    if name == "tl.blocked_matmul":
+        a, b, c = vals
+        if op.attrs.get("vnni"):
+            Nb, Kb, kv, nb, vf = b.shape
+            b = b.transpose(0, 1, 2, 4, 3).reshape(Nb, Kb, kv * vf, nb)
+        return (jnp.einsum("MKmk,NKkn->MNmn", acc32(a), acc32(b))
+                + acc32(c)).astype(odt)
+    if name in ("tl.relu",):
+        return jnp.maximum(vals[0], 0)
+    if name == "tl.identity":
+        return vals[0]
+    if name == "tl.exp":
+        return jnp.exp(acc32(vals[0])).astype(odt)
+    if name == "tl.negate":
+        return -vals[0]
+    if name == "tl.square":
+        return vals[0] * vals[0]
+    if name == "tl.sqrt":
+        return jnp.sqrt(acc32(vals[0])).astype(odt)
+    if name == "tl.rsqrt":
+        return jax.lax.rsqrt(acc32(vals[0])).astype(odt)
+    if name == "tl.tanh":
+        return jnp.tanh(acc32(vals[0])).astype(odt)
+    if name == "tl.gelu":
+        return jax.nn.gelu(acc32(vals[0])).astype(odt)
+    if name == "tl.cast":
+        return vals[0].astype(odt)
+    if name == "tl.broadcast":
+        return jnp.broadcast_to(vals[0], rt.shape)
+    if name == "tl.transpose":
+        return jnp.transpose(vals[0], op.attrs["perm"])
+    if name == "tl.vnni_pack":
+        vf = op.attrs.get("vnni", 2)
+        x = vals[0]
+        *lead, K, N = x.shape
+        x = x.reshape(*lead, K // vf, vf, N)
+        return jnp.moveaxis(x, -2, -1)
+    if name in ("tl.add", "tl.sub", "tl.mul", "tl.div", "tl.max"):
+        a, b = vals
+        fn = {"tl.add": jnp.add, "tl.sub": jnp.subtract,
+              "tl.mul": jnp.multiply, "tl.div": jnp.divide,
+              "tl.max": jnp.maximum}[name]
+        return fn(a, b).astype(odt)
+    if name == "tl.reduce":
+        fn = {"sum": jnp.sum, "max": jnp.max}[op.attrs["kind"]]
+        return fn(vals[0], axis=tuple(op.attrs["axes"]),
+                  keepdims=op.attrs.get("keepdims", True)).astype(odt)
+    if name == "tl.softmax":
+        return jax.nn.softmax(acc32(vals[0]),
+                              axis=op.attrs.get("axis", -1)).astype(odt)
+    if name == "tl.reshape":
+        return vals[0].reshape(rt.shape)
+    if name == "tl.pack":
+        return _pack_val(vals[0], op.attrs)
+    if name == "tl.unpack":
+        return _unpack_val(vals[0], op.attrs, rt.shape)
+    if name == "tl.conv2d_nchw_fchw":
+        i, w, o = vals
+        out = jax.lax.conv_general_dilated(
+            acc32(i), acc32(w), window_strides=op.attrs.get("strides", (1, 1)),
+            padding="VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        return (out + acc32(o)).astype(odt)
+    if name == "tl.conv2d_nhwc_hwcf":
+        i, w, o = vals
+        out = jax.lax.conv_general_dilated(
+            acc32(i), acc32(w), window_strides=op.attrs.get("strides", (1, 1)),
+            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return (out + acc32(o)).astype(odt)
+    if name == "tl.blocked_conv2d":
+        i, w, o = vals
+        N, Cb, H, W, c = i.shape
+        Kb, _, R, S, _, k = w.shape
+        nhwc = i.transpose(0, 2, 3, 1, 4).reshape(N, H, W, Cb * c)
+        rsck = w.transpose(2, 3, 1, 4, 0, 5).reshape(R, S, Cb * c, Kb * k)
+        out = jax.lax.conv_general_dilated(
+            acc32(nhwc), acc32(rsck),
+            window_strides=op.attrs.get("strides", (1, 1)),
+            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        P, Q = out.shape[1], out.shape[2]
+        out = out.reshape(N, P, Q, Kb, k).transpose(0, 3, 1, 2, 4)
+        return (out + acc32(o)).astype(odt)
+    raise NotImplementedError(f"no evaluator for {name}")
+
+
+def _pack_val(x, attrs):
+    jnp = _jnp()
+    dims = tuple(attrs["inner_dims"])
+    tiles = tuple(attrs["inner_tiles"])
+    shape = x.shape
+    split = []
+    tile_axes = {}
+    for i, d in enumerate(shape):
+        if i in dims:
+            t = tiles[dims.index(i)]
+            tile_axes[i] = len(split) + 1
+            split.extend([d // t, t])
+        else:
+            split.append(d)
+    outer_positions = []
+    pos = 0
+    for i in range(len(shape)):
+        outer_positions.append(pos)
+        pos += 2 if i in dims else 1
+    x = x.reshape(split)
+    order = list(range(len(shape)))
+    if "outer_perm" in attrs:
+        order = [order[p] for p in attrs["outer_perm"]]
+    perm = [outer_positions[i] for i in order] + [tile_axes[i] for i in dims]
+    return jnp.transpose(x, perm)
+
+
+def _unpack_val(x, attrs, out_shape):
+    jnp = _jnp()
+    dims = tuple(attrs["inner_dims"])
+    n_out = len(out_shape)
+    order_outer = list(range(n_out))
+    if "outer_perm" in attrs:
+        perm = attrs["outer_perm"]
+        inv = [0] * len(perm)
+        for i, p in enumerate(perm):
+            inv[p] = i
+        order_outer = inv
+    tr = []
+    for i in range(n_out):
+        tr.append(order_outer[i])
+        if i in dims:
+            tr.append(n_out + dims.index(i))
+    x = jnp.transpose(x, tr)
+    return x.reshape(out_shape)
+
+
+# ---------------------------------------------------------------------------
+# xsmm-op evaluators: dispatch -> kernel key; invoke -> kernel call
+# ---------------------------------------------------------------------------
+
+def _dispatch_key(d: Operation, invoke: Operation):
+    a = d.attrs
+    out_dtype = invoke.results[0].type.dtype
+    beta0 = "beta_0" in a.get("flags", ())
+    name = d.opname
+    if name == "xsmm.gemm_dispatch":
+        return BrgemmKey(batch=1, m=a["m"], n=a["n"], k=a["k"],
+                         dtype=a["dtype"], out_dtype=out_dtype, beta0=beta0,
+                         transpose_b="transpose_b" in a.get("flags", ()),
+                         bm=a.get("tile_m", 0), bn=a.get("tile_n", 0),
+                         bk=a.get("tile_k", 0))
+    if name in ("xsmm.brgemm_dispatch", "xsmm.fused_brgemm_dispatch"):
+        fused = name == "xsmm.fused_brgemm_dispatch"
+        bk_kind = a.get("binary_kind") if fused else None
+        if bk_kind == "none":
+            bk_kind = None
+        un_kind = a.get("unary_kind") if fused else None
+        if un_kind in ("none", "identity"):
+            un_kind = None
+        layout = a.get("layout", "flat")
+        if layout == "blocked":
+            return BlockedMatmulKey(
+                Mb=a["Mb"], Nb=a["Nb"], Kb=a["batch"],
+                mb=a["m"], nb=a["n"], kb=a["k"], dtype=a["dtype"],
+                out_dtype=out_dtype, beta0=beta0, vnni=a.get("vnni", 0),
+                binary_kind=bk_kind, binary_bcast=a.get("binary_bcast",
+                                                        "bcast_col"),
+                unary_kind=un_kind)
+        if layout == "conv":
+            return ConvBrgemmKey(
+                N=a["N"], H=a["H"], W=a["W"], Cb=a["Cb"], c=a["c"],
+                Kb=a["Kb"], k=a["kblk"], R=a["R"], S=a["S"],
+                stride_h=a.get("strides", (1, 1))[0],
+                stride_w=a.get("strides", (1, 1))[1],
+                dtype=a["dtype"], out_dtype=out_dtype, beta0=beta0,
+                binary_kind=bk_kind,
+                binary_bcast=a.get("binary_bcast", "bcast_col"),
+                unary_kind=un_kind)
+        return BrgemmKey(batch=a["batch"], m=a["m"], n=a["n"], k=a["k"],
+                         dtype=a["dtype"], out_dtype=out_dtype, beta0=beta0,
+                         vnni=a.get("vnni", 0),
+                         binary_kind=bk_kind,
+                         binary_bcast=a.get("binary_bcast", "bcast_col"),
+                         unary_kind=un_kind,
+                         bm=a.get("tile_m", 0), bn=a.get("tile_n", 0),
+                         bk=a.get("tile_k", 0))
+    if name == "xsmm.unary_dispatch":
+        return UnaryKey(kind=a["kind"], shape=tuple(a.get("shape", ())),
+                        dtype=a["dtype"], out_dtype=out_dtype,
+                        out_shape=tuple(invoke.results[0].type.shape),
+                        perm=tuple(a["perm"]) if "perm" in a else None,
+                        vnni=a.get("vnni", 2))
+    if name == "xsmm.binary_dispatch":
+        return BinaryKey(kind=a["kind"], shape_a=tuple(a.get("shape_a", ())),
+                         shape_b=tuple(a.get("shape_b", ())),
+                         dtype=a["dtype"], out_dtype=out_dtype)
+    raise NotImplementedError(name)
+
+
+def _normalize_bias(key, bias):
+    """Reshape the fused-kernel D operand to what the kernel expects."""
+    jnp = _jnp()
+    if isinstance(key, BlockedMatmulKey):
+        return bias.reshape(key.Nb, key.nb)
+    if isinstance(key, ConvBrgemmKey):
+        return bias.reshape(key.Kb, key.k)
+    return bias  # BrgemmKey wrapper handles 1-D/scalar forms
+
+
+def _eval_xsmm(op: Operation, vals: list, interpret_kernels: bool):
+    name = op.opname
+    if name.endswith("_dispatch"):
+        return None  # resolved by the invoke
+    d = op.operands[0].owner
+    key = _dispatch_key(d, op)
+    fn = global_cache().dispatch(key, interpret_kernels or None)
+    if name == "xsmm.gemm":
+        _, a, b, c = vals
+        return fn(a[None], b[None], None if key.beta0 else c)
+    if name == "xsmm.brgemm":
+        _, a, b, c = vals
+        return fn(a, b, None if key.beta0 else c)
+    if name == "xsmm.fused_brgemm":
+        _, a, b, c, bias = vals
+        bias = _normalize_bias(key, bias) if key.binary_kind else None
+        return fn(a, b, None if key.beta0 else c, bias)
+    if name == "xsmm.unary":
+        return fn(vals[1])
+    if name == "xsmm.binary":
+        return fn(vals[1], vals[2])
+    raise NotImplementedError(name)
+
+
+# ---------------------------------------------------------------------------
+# Public entry points
+# ---------------------------------------------------------------------------
+
+def _run_func(func: Function, args, interpret_kernels: bool,
+              with_checks: bool, check_cb=None):
+    env: dict[int, Any] = {}
+    for a, v in zip(func.args, args):
+        env[id(a)] = v
+    for op in func.ops:
+        vals = [env.get(id(v)) for v in op.operands]
+        if op.opname.startswith("xsmm."):
+            if op.opname.endswith("_dispatch"):
+                # pure; resolved by the consuming invoke at trace time (the
+                # LICM-hoisted dispatch of the reference hot loop)
+                env[id(op.results[0])] = None
+                continue
+            res = _eval_xsmm(op, vals, interpret_kernels)
+        elif op.opname.startswith("perf."):
+            res = _eval_perf(op, vals)
+        elif op.opname.startswith("check."):
+            if with_checks and check_cb is not None:
+                check_cb(op, vals)
+            res = None
+        else:
+            res = _eval_tl(op, vals, interpret_kernels)
+        if op.results:
+            if res is None:
+                continue
+            env[id(op.results[0])] = res
+    return tuple(env[id(v)] for v in func.returns)
+
+
+def _eval_perf(op: Operation, vals):
+    if op.opname == "perf.timer_start":
+        return time.perf_counter_ns()
+    if op.opname == "perf.timer_stop":
+        return (time.perf_counter_ns() - vals[0]) / 1e9
+    if op.opname == "perf.sink":
+        return None
+    raise NotImplementedError(op.opname)
+
+
+def compile(module: Module, func_name: str = "entry",
+            interpret_kernels: bool | None = None,
+            jit: bool = True) -> Callable:
+    """Build a (jitted) JAX callable for `func_name`.
+
+    check.* ops are skipped under jit (use `interpret` or `run_checks` for
+    assertion semantics); perf.* ops are skipped too — the bench harness
+    times whole compiled programs on device, matching perf.bench semantics.
+    """
+    import jax
+
+    func = module[func_name]
+    ik = bool(interpret_kernels) if interpret_kernels is not None else None
+
+    def fn(*args):
+        outs = _run_func(func, args, bool(ik), with_checks=False)
+        return outs[0] if len(outs) == 1 else outs
+
+    return jax.jit(fn) if jit else fn
+
+
+def _default_check_cb(op: Operation, vals):
+    arrs = [np.asarray(v, np.float32) for v in vals]
+    if op.opname == "check.expect_sane":
+        if not np.isfinite(arrs[0]).all():
+            raise AssertionError("check.expect_sane failed: NaN/Inf present")
+    elif op.opname == "check.expect_almost_eq":
+        thr = op.attrs.get("threshold", 1e-5)
+        diff = np.max(np.abs(arrs[0] - arrs[1]))
+        if diff > thr:
+            raise AssertionError(
+                f"check.expect_almost_eq failed: max |diff| {diff} > {thr}")
+    elif op.opname == "check.expect_true":
+        if not np.all(arrs[0]):
+            raise AssertionError("check.expect_true failed")
+
+
+def interpret(module: Module, func_name: str = "entry", *args,
+              interpret_kernels: bool | None = None):
+    """Eager, op-by-op execution with check.* enforced (tpp-run semantics)."""
+    from ..xsmm.kernels import interpret_default
+
+    func = module[func_name]
+    ik = interpret_default() if interpret_kernels is None else interpret_kernels
+    return _run_func(func, args, ik, with_checks=True,
+                     check_cb=_default_check_cb)

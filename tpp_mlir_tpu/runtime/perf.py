@@ -1,0 +1,91 @@
+"""Benchmark timing — the perf dialect / MLIRBench timing-loop equivalent.
+
+The reference wraps the kernel in `perf.bench` (a timed scf.for loop, mean =
+deltas/iters; reference lib/TPP/Runner/MLIRBench.cpp:265-295). On TPU,
+dispatch is asynchronous and (under the axon tunnel) a host round trip can
+cost tens of milliseconds, so wall-timing individual calls measures the
+tunnel, not the kernel. Instead the timed loop runs ON DEVICE as a
+lax.scan over the compiled step (output fed back as input so iterations are
+sequentially dependent, like the reference's iter_args), and the per-iteration
+time is the slope between two loop lengths — fixed host/dispatch overhead
+cancels exactly.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+
+@dataclass
+class BenchResult:
+    mean_seconds: float       # per-iteration device time (slope method)
+    total_seconds: float      # wall time of the long run
+    iters: int
+    flops: int | None = None
+
+    @property
+    def gflops(self) -> float | None:
+        if not self.flops:
+            return None
+        return self.flops / self.mean_seconds / 1e9
+
+
+def _chain(step: Callable, n: int):
+    """Build jit(fn) running `step` n times with a sequential dependency."""
+    import jax
+    import jax.numpy as jnp
+
+    def loop(*args):
+        def body(carry, _):
+            out = step(*carry)
+            outs = out if isinstance(out, tuple) else (out,)
+            # feed outputs back into the matching leading args (same
+            # shape/dtype), keep the rest
+            new_args = list(carry)
+            for o in outs:
+                for i, a in enumerate(new_args):
+                    if a.shape == o.shape and a.dtype == o.dtype:
+                        new_args[i] = o
+                        break
+            return tuple(new_args), None
+        final, _ = jax.lax.scan(body, tuple(args), None, length=n)
+        return jax.tree.map(lambda x: jnp.sum(x.astype(jnp.float32)), final)
+
+    return jax.jit(loop)
+
+
+def bench(step: Callable, args: Sequence, iters: int = 100,
+          warmup: int = 1, flops: int | None = None) -> BenchResult:
+    """Time `step(*args)` per-iteration using the two-length slope method."""
+    import jax
+
+    n_short = max(1, iters // 10)
+    n_long = iters
+    short = _chain(step, n_short)
+    long_ = _chain(step, n_long)
+    # warmup = compile (excluded, like the reference's warmup)
+    jax.block_until_ready(short(*args))
+    jax.block_until_ready(long_(*args))
+
+    def timed(fn):
+        best = float("inf")
+        for _ in range(max(1, warmup)):
+            t0 = time.perf_counter()
+            r = fn(*args)
+            jax.tree.map(lambda x: float(x), r)  # force full completion
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short = timed(short)
+    t_long = timed(long_)
+    per_iter = max((t_long - t_short) / (n_long - n_short), 1e-12)
+    return BenchResult(mean_seconds=per_iter, total_seconds=t_long,
+                       iters=n_long, flops=flops)
+
+
+def model_flops(module) -> int | None:
+    """BENCH_TOTAL_FLOPS equivalent: read the generator-recorded flop count
+    (reference tools/mlir-gen/MLIRGen.cpp:300-334)."""
+    return module.attrs.get("flops")

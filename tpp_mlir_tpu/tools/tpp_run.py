@@ -1,0 +1,116 @@
+"""tpp-run: compile, execute, time, and print IR programs.
+
+The reference tpp-run (tools/tpp-run/tpp-run.cpp) wraps a kernel in a
+generated main: deterministic arg init (TensorInit), a perf.bench timing
+loop, result printing, then JIT + run. Equivalent flags:
+
+  tpp-run model.ir -n 100                 # benchmark, report mean + GFLOPS
+  tpp-run model.ir --print                # print result tensors
+  tpp-run model.ir --linalg-to-loops      # reference semantics, no lowering
+  tpp-run model.ir -seed 7 -init-type rand
+  echo ... | tpp-gen --bias --relu | tpp-run - -n 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..ir import Module, parse_module
+from ..passes import PassManager
+from ..runtime import bench, tensor_init
+from ..runtime import compile as tpp_compile
+from ..runtime.perf import model_flops
+from ..xsmm.kernels import interpret_default
+
+
+def print_tensor(arr, file=sys.stdout):
+    """Row-wise tensor printing in the MLIRBench style
+    (reference MLIRBench.cpp printShapedType:313-372: '( v, v, ... )' rows;
+    bf16 extended to f32 for printing, :302-311)."""
+    a = np.asarray(arr, dtype=np.float32)
+    if a.ndim == 0:
+        print(f"{float(a):g}", file=file)
+        return
+    rows = a.reshape(-1, a.shape[-1])
+    for row in rows:
+        print("( " + ", ".join(f"{v:g}" for v in row) + " )", file=file)
+
+
+def init_args(module: Module, func_name: str, init_type: str, seed: int):
+    import jax.numpy as jnp
+
+    func = module[func_name]
+    out = []
+    for i, a in enumerate(func.args):
+        arr = tensor_init(init_type, a.type.shape, a.type.dtype,
+                          seed=seed + i)
+        out.append(jnp.asarray(arr))
+    return out
+
+
+def run_module(module: Module, func_name: str = "entry", n: int = 0,
+               init_type: str = "normal", seed: int = 0,
+               pipeline: str = "default-tpp-passes",
+               linalg_to_loops: bool = False, print_result: bool = False,
+               print_mlir: str = "", out_stream=sys.stdout) -> dict:
+    stages = {"early": None, "late": None}
+    if print_mlir == "early":
+        print(module, file=sys.stderr)
+    if not linalg_to_loops:
+        PassManager([pipeline]).run(module)
+    if print_mlir in ("late", "mid"):
+        print(module, file=sys.stderr)
+
+    args = init_args(module, func_name, init_type, seed)
+    fn = tpp_compile(module, func_name,
+                     interpret_kernels=interpret_default() or None)
+    result = {"module": module}
+    if n > 0:
+        res = bench(fn, args, iters=n, flops=model_flops(module))
+        result["mean_seconds"] = res.mean_seconds
+        result["gflops"] = res.gflops
+        if res.gflops is not None:
+            print(f"{res.gflops:.3f} gflops ({res.mean_seconds * 1e3:.6f} ms "
+                  f"mean of {n})", file=out_stream)
+        else:
+            print(f"{res.mean_seconds * 1e3:.6f} ms (mean of {n})",
+                  file=out_stream)
+    out = fn(*args)
+    outs = out if isinstance(out, tuple) else (out,)
+    result["outputs"] = outs
+    if print_result:
+        for o in outs:
+            print_tensor(o, file=out_stream)
+    return result
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tpp-run", description=__doc__)
+    p.add_argument("input", nargs="?", default="-")
+    p.add_argument("-e", "--entry", default="entry")
+    p.add_argument("-n", type=int, default=0, help="benchmark iterations")
+    p.add_argument("--print", dest="print_result", action="store_true")
+    p.add_argument("-seed", "--seed", type=int, default=0)
+    p.add_argument("-init-type", "--init-type", default="normal")
+    p.add_argument("--linalg-to-loops", action="store_true",
+                   help="skip lowering; execute reference semantics")
+    p.add_argument("--pipeline", default="default-tpp-passes")
+    p.add_argument("-print-mlir", "--print-mlir",
+                   choices=["", "early", "mid", "late"], default="")
+    args = p.parse_args(argv)
+
+    text = sys.stdin.read() if args.input == "-" else open(args.input).read()
+    module = parse_module(text)
+    module.verify()
+    run_module(module, args.entry, n=args.n, init_type=args.init_type,
+               seed=args.seed, pipeline=args.pipeline,
+               linalg_to_loops=args.linalg_to_loops,
+               print_result=args.print_result, print_mlir=args.print_mlir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -60,6 +60,41 @@ class BlockedMatmulKey:
 
 
 @dataclass(frozen=True)
+class ConvBrgemmKey:
+    """Key for channel-blocked conv executed as batch-reduce GEMM
+    (reference docs/ConvMapping.md; RewriteConvsToMatmulOrBrgemm.cpp):
+    O[N,Kb,P,Q,k] += sum_{Cb,R,S} I[N,Cb,h+r,w+s,c] * W[Kb,Cb,R,S,c,k].
+    The (P*Q, c) x (c, k) contraction runs on the MXU; the (Cb,R,S)
+    reduction is the BRGEMM batch dimension of the Pallas grid."""
+
+    N: int
+    H: int
+    W: int
+    Cb: int
+    c: int
+    Kb: int
+    k: int
+    R: int = 1
+    S: int = 1
+    stride_h: int = 1
+    stride_w: int = 1
+    dtype: str = "f32"
+    out_dtype: str | None = None
+    beta0: bool = False
+    binary_kind: str | None = None
+    binary_bcast: str = "bcast_col"
+    unary_kind: str | None = None
+
+    @property
+    def P(self) -> int:
+        return (self.H - self.R) // self.stride_h + 1
+
+    @property
+    def Q(self) -> int:
+        return (self.W - self.S) // self.stride_w + 1
+
+
+@dataclass(frozen=True)
 class UnaryKey:
     kind: str                      # identity/zero/relu/transpose/vnni2/...
     shape: tuple[int, ...]

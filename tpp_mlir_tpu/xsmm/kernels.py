@@ -35,7 +35,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.target import current_target
-from .flags import BinaryKey, BlockedMatmulKey, BrgemmKey, UnaryKey
+from .flags import (BinaryKey, BlockedMatmulKey, BrgemmKey, ConvBrgemmKey,
+                    UnaryKey)
 
 _JNP_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f16": jnp.float16,
                "i32": jnp.int32, "i8": jnp.int8}
@@ -375,6 +376,112 @@ def _build_blocked_matmul(key: BlockedMatmulKey, interpret: bool):
     return fn
 
 
+def _build_conv_brgemm(key: ConvBrgemmKey, interpret: bool):
+    """Channel-blocked conv as BRGEMM. Stride-1 (any R,S): the (r,s) filter
+    tap slides a (P,Q) window over the resident (H,W) input block, so the
+    reduction over (Cb,R,S) is the grid's innermost 'arbitrary' dimension —
+    input blocks are DMA'd once per Cb, not once per tap."""
+    N, H, W, Cb, c, Kb, k = (key.N, key.H, key.W, key.Cb, key.c, key.Kb, key.k)
+    R, S, sh, sw = key.R, key.S, key.stride_h, key.stride_w
+    if (sh, sw) != (1, 1):
+        raise NotImplementedError(
+            "stride>1 conv stays on the XLA conv path (reference also "
+            "restricts conv-to-BRGEMM to stride 1, docs/ConvMapping.md)")
+    P, Q = key.P, key.Q
+    dtype = _jdt(key.dtype)
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    has_c = not key.beta0
+    has_d = key.binary_kind is not None
+    taps = R * S
+    red_steps = Cb * taps
+
+    grid = (N, Kb, red_steps)
+    in_specs = [
+        pl.BlockSpec((1, 1, H, W, c),
+                     lambda n_, kb, r: (n_, r // taps, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, 1, c, k),
+                     lambda n_, kb, r: (kb, r // taps,
+                                        (r % taps) // S, (r % taps) % S, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_c:
+        in_specs.append(pl.BlockSpec((1, 1, P, Q, k),
+                                     lambda n_, kb, r: (n_, kb, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    if has_d:
+        # bias packed [Kb, k]
+        in_specs.append(pl.BlockSpec((1, k), lambda n_, kb, r: (kb, 0),
+                                     memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((1, 1, P, Q, k),
+                            lambda n_, kb, r: (n_, kb, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        idx = 0
+        i_ref = refs[idx]; idx += 1
+        w_ref = refs[idx]; idx += 1
+        c_ref = refs[idx] if has_c else None
+        idx += has_c
+        d_ref = refs[idx] if has_d else None
+        idx += has_d
+        o_ref = refs[idx]
+        acc_ref = refs[idx + 1]
+
+        r = pl.program_id(2)
+
+        @pl.when(r == 0)
+        def _init():
+            if has_c:
+                acc_ref[:] = c_ref[0, 0].reshape(P * Q, k).astype(jnp.float32)
+            else:
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        rs = r % taps
+        rr, ss = rs // S, rs % S
+        img = i_ref[0, 0]                      # (H, W, c)
+        win = jax.lax.dynamic_slice(img, (rr, ss, 0), (P, Q, c))
+        a = win.reshape(P * Q, c)
+        w = w_ref[0, 0, 0, 0]                  # (c, k)
+        acc_ref[:] += jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+        @pl.when(r == red_steps - 1)
+        def _finish():
+            res = acc_ref[:]
+            d_blk = d_ref[:] if has_d else None
+            res = _apply_epilogue(res, d_blk, key.binary_kind, key.unary_kind)
+            o_ref[0, 0] = res.reshape(P, Q, k).astype(out_dtype)
+
+    cost = pl.CostEstimate(
+        flops=2 * N * Kb * Cb * R * S * P * Q * c * k,
+        bytes_accessed=(N * Cb * H * W * c + Kb * Cb * R * S * c * k
+                        + N * Kb * P * Q * k) * jnp.dtype(dtype).itemsize,
+        transcendentals=0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((N, Kb, P, Q, k), out_dtype),
+        scratch_shapes=[pltpu.VMEM((P * Q, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+
+    def fn(i, w, cacc=None, d=None):
+        args = [i, w]
+        if has_c:
+            args.append(cacc)
+        if has_d:
+            args.append(d)
+        return call(*args)
+
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # Unary / binary (XLA-fused VPU path; see module docstring)
 # ---------------------------------------------------------------------------
@@ -419,6 +526,8 @@ def build_kernel(key, interpret: bool | None = None):
         return _build_brgemm(key, interpret)
     if isinstance(key, BlockedMatmulKey):
         return _build_blocked_matmul(key, interpret)
+    if isinstance(key, ConvBrgemmKey):
+        return _build_conv_brgemm(key, interpret)
     if isinstance(key, UnaryKey):
         return _build_unary(key, interpret)
     if isinstance(key, BinaryKey):

@@ -11,7 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .flags import BinaryKey, BlockedMatmulKey, BrgemmKey, UnaryKey
+from .flags import (BinaryKey, BlockedMatmulKey, BrgemmKey, ConvBrgemmKey,
+                    UnaryKey)
 from .kernels import _BINARY_FNS, _UNARY_FNS, _jdt
 
 
@@ -65,6 +66,32 @@ def blocked_matmul_reference(key: BlockedMatmulKey):
     return fn
 
 
+def conv_brgemm_reference(key: ConvBrgemmKey):
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+
+    def fn(i, w, cacc=None, d=None):
+        # i [N,Cb,H,W,c] -> NHWC; w [Kb,Cb,R,S,c,k] -> RSCK; XLA conv as oracle
+        N, Cb, H, W, c = i.shape
+        Kb, _, R, S, _, k = w.shape
+        nhwc = i.transpose(0, 2, 3, 1, 4).reshape(N, H, W, Cb * c)
+        rsck = w.transpose(2, 3, 1, 4, 0, 5).reshape(R, S, Cb * c, Kb * k)
+        out = jax.lax.conv_general_dilated(
+            nhwc.astype(jnp.float32), rsck.astype(jnp.float32),
+            window_strides=(key.stride_h, key.stride_w), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        P, Q = key.P, key.Q
+        out = out.reshape(N, P, Q, Kb, k).transpose(0, 3, 1, 2, 4)
+        if not key.beta0:
+            out = out + cacc.astype(jnp.float32)
+        if key.binary_kind:
+            out = _BINARY_FNS[key.binary_kind](
+                out, d[None, :, None, None, :].astype(out.dtype))
+        if key.unary_kind:
+            out = _UNARY_FNS[key.unary_kind](out)
+        return out.astype(out_dtype)
+    return fn
+
+
 def reference_kernel(key):
     from .kernels import _build_binary, _build_unary
 
@@ -72,6 +99,8 @@ def reference_kernel(key):
         return brgemm_reference(key)
     if isinstance(key, BlockedMatmulKey):
         return blocked_matmul_reference(key)
+    if isinstance(key, ConvBrgemmKey):
+        return conv_brgemm_reference(key)
     if isinstance(key, (UnaryKey, BinaryKey)):
         # eltwise kernels are already jnp closures; reference == kernel
         return (_build_unary if isinstance(key, UnaryKey)
