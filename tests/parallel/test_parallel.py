@@ -1,0 +1,97 @@
+"""Sharded execution tests on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.sharding import PartitionSpec as P
+
+from tpp_mlir_tpu.parallel import (data_parallel_run, make_mesh,
+                                   make_train_step, mlp_init, task_grid_mesh)
+
+
+def test_make_mesh():
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    g = task_grid_mesh((2, 4))
+    assert g.shape == {"dp": 2, "tp": 4}
+
+
+def test_data_parallel_mlp_forward():
+    """--def-parallel equivalent: batch sharded over dp, weights replicated."""
+    from tpp_mlir_tpu.ir import parse_module
+    from tpp_mlir_tpu.passes import run_pipeline
+    from tpp_mlir_tpu.runtime import compile as tpp_compile
+
+    text = """func @entry(%x: tensor<64x128xf32>, %w: tensor<128x128xf32>, %b: tensor<128xf32>) {
+  %0 = tl.constant {init = "zero"} : tensor<64x128xf32>
+  %1 = tl.matmul %x, %w, %0 : tensor<64x128xf32>
+  %2 = tl.add %1, %b : tensor<64x128xf32>
+  %3 = tl.relu %2 : tensor<64x128xf32>
+  return %3 : tensor<64x128xf32>
+}
+"""
+    m = parse_module(text)
+    run_pipeline(m, "default-tpp-passes")
+    base = tpp_compile(m, jit=False, interpret_kernels=True)
+
+    mesh = make_mesh({"dp": 8})
+    fn = data_parallel_run(base, mesh, batch_arg_indices=[0], num_args=3)
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 128), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (128, 128), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(2), (128,), jnp.float32)
+    got = fn(x, w, b)
+    want = jnp.maximum(x @ w + b, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_train_step_dp_tp():
+    """Full dp x tp training step: loss decreases, params update."""
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    layers = (64, 128, 64)
+    params = mlp_init(layers, seed=0)
+    step = make_train_step(mesh, layers, lr=1e-2, use_pallas=False)
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (32, 64), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(4), (32, 64), jnp.float32)
+
+    losses = []
+    for _ in range(5):
+        params, loss = step(params, x, y)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_train_step_matches_single_device():
+    """The sharded step computes the same loss as an unsharded reference."""
+    mesh = make_mesh({"dp": 2, "tp": 2})
+    layers = (32, 64, 32)
+    params = mlp_init(layers, seed=1)
+    step = make_train_step(mesh, layers, lr=0.0, use_pallas=False)
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (16, 32), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(6), (16, 32), jnp.float32)
+    _, loss = step(params, x, y)
+
+    # unsharded reference
+    h = x
+    for i, (w, b) in enumerate(params):
+        h = jnp.maximum(h @ w + b, 0)
+    want = jnp.mean((h - y) ** 2)
+    np.testing.assert_allclose(float(loss), float(want), rtol=1e-5)
+
+
+def test_train_step_pallas_interpret():
+    """Same step with the Pallas custom-VJP kernels (interpret mode)."""
+    mesh = make_mesh({"dp": 2, "tp": 2})
+    layers = (32, 64, 32)
+    params = mlp_init(layers, seed=2)
+    step = make_train_step(mesh, layers, lr=1e-2, use_pallas=True)
+    x = jax.random.normal(jax.random.PRNGKey(7), (16, 32), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(8), (16, 32), jnp.float32)
+    p2, l0 = step(params, x, y)
+    _, l1 = step(p2, x, y)
+    assert float(l1) < float(l0)

@@ -1,0 +1,94 @@
+"""Tool tests: tpp-gen | tpp-opt | tpp-run | tpp-fpcmp round trips
+(the reference's mlir-gen.mlir end-to-end generator tests and fpcmp usage,
+SURVEY.md section 4)."""
+
+import io
+import sys
+
+import numpy as np
+import pytest
+
+from tpp_mlir_tpu.ir import parse_module
+from tpp_mlir_tpu.tools.fpcmp import compare_values, extract_floats
+from tpp_mlir_tpu.tools.mlir_gen import (build_parser, config_from_args,
+                                         generate_text)
+from tpp_mlir_tpu.tools.tpp_run import print_tensor, run_module
+
+
+def gen(argv):
+    return generate_text(config_from_args(build_parser().parse_args(argv)))
+
+
+def test_gen_flags_and_flops():
+    text = gen(["--batch=8", "--layers=16,32,64", "--bias", "--relu"])
+    assert "BENCH_TOTAL_FLOPS" in text
+    m = parse_module(text)
+    m.verify()
+    # flops: 2*8*32*16 + 8*32 + 8*32 (layer1) + 2*8*64*32 + 8*64 + 8*64
+    want = 2 * 8 * 32 * 16 + 2 * 8 * 32 + 2 * 8 * 64 * 32 + 2 * 8 * 64
+    assert m.attrs["flops"] == want
+    s = str(m)
+    assert s.count("tl.matmul") == 2
+    assert s.count("tl.relu") == 2
+
+
+def test_gen_const_weights_softmax():
+    text = gen(["--batch=4", "--layers=8,8", "--kernel=const", "--softmax",
+                "--seed=3"])
+    m = parse_module(text)
+    s = str(m)
+    assert "tl.constant" in s and "tl.softmax" in s
+    # only the input is an argument
+    assert len(m["entry"].args) == 1
+
+
+def test_gen_run_roundtrip(capsys):
+    text = gen(["--batch=8", "--layers=16,32", "--bias", "--relu",
+                "--kernel=const"])
+    m = parse_module(text)
+    res = run_module(m, print_result=True, init_type="simple")
+    out = capsys.readouterr().out
+    floats = extract_floats(out)
+    assert len(floats) == 8 * 32
+    got = np.asarray(res["outputs"][0], np.float32).ravel()
+    ok, msg = compare_values(list(got), floats, 1e-4, 1e-4)
+    assert ok, msg
+
+
+def test_run_linalg_to_loops_differential():
+    """The reference's xsmm-vs-loops differential test via the tools."""
+    text = gen(["--batch=8", "--layers=32,64", "--bias", "--relu"])
+    m1 = parse_module(text)
+    r1 = run_module(m1, init_type="rand", seed=5)
+    m2 = parse_module(text)
+    r2 = run_module(m2, init_type="rand", seed=5, linalg_to_loops=True)
+    a = np.asarray(r1["outputs"][0], np.float32)
+    b = np.asarray(r2["outputs"][0], np.float32)
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_fpcmp_tool(tmp_path):
+    f1 = tmp_path / "a.txt"
+    f2 = tmp_path / "b.txt"
+    f1.write_text("( 1.0, 2.0 )\n( 3.0, 4.0 )\n")
+    f2.write_text("( 1.0, 2.0000001 )\n( 3.0, 4.0 )\n")
+    from tpp_mlir_tpu.tools.fpcmp import main
+    assert main([str(f1), str(f2)]) == 0
+    f2.write_text("( 1.0, 9.0 )\n( 3.0, 4.0 )\n")
+    assert main([str(f1), str(f2)]) == 1
+
+
+def test_tpp_opt_cli(tmp_path, capsys):
+    from tpp_mlir_tpu.tools.tpp_opt import main
+    src = tmp_path / "m.ir"
+    src.write_text(gen(["--batch=8", "--layers=16,32", "--bias", "--relu"]))
+    rc = main([str(src), "--default-tpp-passes"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "xsmm.fused_brgemm" in out
+
+
+def test_print_tensor_format(capsys):
+    print_tensor(np.arange(6, dtype=np.float32).reshape(2, 3))
+    out = capsys.readouterr().out
+    assert out == "( 0, 1, 2 )\n( 3, 4, 5 )\n"

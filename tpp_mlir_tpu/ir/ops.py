@@ -175,14 +175,24 @@ def _v_vnni_brgemm(op):
 def _v_blocked_matmul(op):
     # C[Mb,Nb,mb,nb] += A[Mb,Kb,mb,kb] * B[Nb,Kb,kb,nb]
     # (the reference's PackMatmul target layout, ToBlockLayoutAndBack.cpp:484)
+    # With a 'vnni' attr, B is additionally VNNI-packed: [Nb,Kb,kb/vf,nb,vf].
     if len(op.operands) != 3:
         _fail(op, "expects (A, B, C)")
     a, b, c = (_t(x) for x in op.operands)
-    if not (a.rank == b.rank == c.rank == 4):
-        _fail(op, "operands must be rank-4 blocked")
+    vf = op.attrs.get("vnni", 0)
+    if a.rank != 4 or c.rank != 4 or b.rank != (5 if vf else 4):
+        _fail(op, "operands must be rank-4 blocked"
+                  + (" (B rank-5 VNNI)" if vf else ""))
     Mb, Kb, mb, kb = a.shape
-    Nb, Kb2, kb2, nb = b.shape
-    if Kb != Kb2 or kb != kb2 or c.shape != (Mb, Nb, mb, nb):
+    if vf:
+        Nb, Kb2, kv, nb, vf2 = b.shape
+        if vf2 != vf or kv * vf != kb:
+            _fail(op, f"bad VNNI B {b.shape} for kb={kb}, vnni={vf}")
+    else:
+        Nb, Kb2, kb2, nb = b.shape
+        if kb != kb2:
+            _fail(op, f"blocked shape mismatch {a.shape} x {b.shape}")
+    if Kb != Kb2 or c.shape != (Mb, Nb, mb, nb):
         _fail(op, f"blocked shape mismatch {a.shape} x {b.shape} -> {c.shape}")
 
 

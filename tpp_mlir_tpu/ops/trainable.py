@@ -32,7 +32,7 @@ def _mlp_layer_bwd(res, g):
     dx = gemm(g, w, transpose_b=True)       # [m,n] @ [k,n]^T on MXU
     dw = jnp.einsum("mk,mn->kn", x.astype(jnp.float32),
                     g.astype(jnp.float32)).astype(w.dtype)
-    db = jnp.sum(g, axis=0).astype(b.dtype)
+    db = jnp.sum(g, axis=0).astype(w.dtype)
     return dx.astype(x.dtype), dw, db
 
 

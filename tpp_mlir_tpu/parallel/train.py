@@ -43,7 +43,7 @@ def mlp_init(layers, dtype="float32", seed: int = 0):
              * np.sqrt(2.0 / K)).astype(dtype)
         b = jnp.zeros((N,), dtype)
         params.append((w, b))
-    return params
+    return tuple(params)
 
 
 def param_specs(n_layers: int, tp_axis: str = "tp"):
@@ -122,5 +122,7 @@ def make_train_step(mesh, layers, lr: float = 1e-3, dp_axis: str = "dp",
         local_step, mesh=mesh,
         in_specs=(pspecs, P(dp_axis, None), P(dp_axis, None)),
         out_specs=(pspecs, P()),
+        # pallas_call outputs carry no varying-mesh-axes metadata
+        check_vma=False,
     )
     return jax.jit(sharded)

@@ -39,7 +39,11 @@ def default_tiles(M: int, N: int, K: int, dtype: str) -> tuple[int, int, int]:
     t = current_target()
     sub, lane = t.min_tile(dtype)
     mb = _divisor(M, 256, sub) or _divisor(M, 256) or M
-    nb = _divisor(N, 256, lane) or _divisor(N, 256) or N
+    # nb == kb wherever possible: then unpack(layer_i) and pack(layer_{i+1})
+    # have identical recipes and cancel (simplify-pack), so an MLP chain stays
+    # blocked end-to-end with no activation relayout — the layout-propagation
+    # property the reference gets from PropagatePackUnPack + canonicalize.
+    nb = _divisor(N, 512, lane) or _divisor(N, 512) or N
     kb = _divisor(K, 512, lane) or _divisor(K, 512) or K
     return mb, nb, kb
 
@@ -297,7 +301,9 @@ class ConstantFoldPackPass(Pass):
             if src is None or src.opname != "tl.constant":
                 continue
             attrs = dict(src.attrs)
-            attrs["orig_shape"] = tuple(src.result.type.shape)
+            # on a second fold (e.g. vnni_pack of an already pack-folded
+            # constant) keep the true original shape
+            attrs.setdefault("orig_shape", tuple(src.result.type.shape))
             if op.opname == "tl.pack":
                 attrs["pack_inner_dims"] = tuple(op.attrs["inner_dims"])
                 attrs["pack_inner_tiles"] = tuple(op.attrs["inner_tiles"])

@@ -26,10 +26,11 @@ from ..runtime.perf import model_flops
 from ..xsmm.kernels import interpret_default
 
 
-def print_tensor(arr, file=sys.stdout):
+def print_tensor(arr, file=None):
     """Row-wise tensor printing in the MLIRBench style
     (reference MLIRBench.cpp printShapedType:313-372: '( v, v, ... )' rows;
     bf16 extended to f32 for printing, :302-311)."""
+    file = file or sys.stdout
     a = np.asarray(arr, dtype=np.float32)
     if a.ndim == 0:
         print(f"{float(a):g}", file=file)
@@ -55,7 +56,8 @@ def run_module(module: Module, func_name: str = "entry", n: int = 0,
                init_type: str = "normal", seed: int = 0,
                pipeline: str = "default-tpp-passes",
                linalg_to_loops: bool = False, print_result: bool = False,
-               print_mlir: str = "", out_stream=sys.stdout) -> dict:
+               print_mlir: str = "", out_stream=None) -> dict:
+    out_stream = out_stream or sys.stdout
     stages = {"early": None, "late": None}
     if print_mlir == "early":
         print(module, file=sys.stderr)
