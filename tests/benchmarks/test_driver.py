@@ -1,0 +1,73 @@
+"""Benchmark harness smoke tests (tiny shapes, CPU interpret mode) —
+the 'benchmarks-as-tests' category of the reference (SURVEY.md section 4:
+benchmark kernels carry RUN lines and are correctness-tested in check-tpp)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def test_driver_tiny_config(tmp_path):
+    cfg = {
+        "benchmarks": [
+            {"name": "tiny_mlp", "iters": 3, "dtype": "f32",
+             "gen": "--batch=16 --layers=64,64 --bias --relu"},
+            {"name": "tiny_mha_qk", "iters": 3, "dtype": "f32",
+             "model": "mha_qk:{\"batch\": 2, \"heads\": 2, \"seq\": 16, \"head_dim\": 32}"},
+            {"name": "gated_out", "iters": 1, "targets": ["tpu-v99"],
+             "gen": "--batch=8 --layers=8,8"}
+        ]
+    }
+    cfg_path = tmp_path / "tiny.json"
+    cfg_path.write_text(json.dumps(cfg))
+    out_path = tmp_path / "res.json"
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "driver.py"),
+         "-c", str(cfg_path), "--json", str(out_path), "--platform", "cpu"],
+        capture_output=True, text=True, timeout=300,
+        cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "tiny_mlp" in r.stdout
+    assert "SKIP" in r.stdout  # the gated entry
+    res = json.load(open(out_path))
+    names = [x["name"] for x in res["results"]]
+    assert "tiny_mlp" in names and "tiny_mha_qk" in names
+    for row in res["results"]:
+        assert "error" not in row, row
+
+
+def test_mha_builders_execute():
+    from tpp_mlir_tpu.models import mha
+    from tpp_mlir_tpu.passes import run_pipeline
+    from tpp_mlir_tpu.runtime import compile as tpp_compile
+    from tpp_mlir_tpu.runtime import tensor_init
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    for build, kw in [(mha.build_qk, dict(batch=2, heads=2, seq=16,
+                                          head_dim=32)),
+                      (mha.build_softmax_v, dict(batch=2, heads=2, seq=16,
+                                                 head_dim=32)),
+                      (mha.build_mha, dict(batch=1, heads=2, seq=32,
+                                           head_dim=32))]:
+        m = build(**kw)
+        ref = tpp_compile(m, jit=False)
+        args = tuple(jnp.asarray(tensor_init("rand", a.type.shape,
+                                             a.type.dtype, seed=i))
+                     for i, a in enumerate(m["entry"].args))
+        want = ref(*args)
+        run_pipeline(m, "default-tpp-passes")
+        got = tpp_compile(m, jit=False)(*args)
+        w = want[0] if isinstance(want, tuple) else want
+        g = got[0] if isinstance(got, tuple) else got
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(w, np.float32),
+                                   atol=1e-4, rtol=1e-4)

@@ -1,0 +1,94 @@
+"""MHA kernel benchmarks — Q·Kt, softmax·V, projection.
+
+The reference ships these as hand-written benchmark kernels
+(benchmarks/mlir/fp32-{query-times-key,out-softmax-times-value,projection}.mlir
+with BENCH_TOTAL_FLOPS headers) plus an MHA tile-and-fuse test
+(test/Passes/pass-tile-and-fuse-mha.mlir). Here each piece is an IR builder;
+FLOP accounting follows the reference's headers (e.g. QK 67108864 for
+batch=64, heads=8(?), seq=32 shapes scaled accordingly).
+"""
+
+from __future__ import annotations
+
+from ..ir import Function, Module, TensorType, TppBuilder
+
+
+def build_qk(batch: int = 64, heads: int = 16, seq: int = 32,
+             head_dim: int = 64, dtype: str = "f32") -> Module:
+    """scores[b,h,s,s] = Q[b,h,s,d] @ K[b,h,s,d]^T, flattened to a batched
+    matmul over (batch*heads)."""
+    B = batch * heads
+    m = Module()
+    f = m.add(Function("entry", [
+        TensorType((B, seq, head_dim), dtype),
+        TensorType((B, seq, head_dim), dtype),
+    ], ["q", "k"]))
+    b = TppBuilder(f)
+    kt = b.transpose(f.args[1], (0, 2, 1))
+    acc = b.constant(TensorType((B, seq, seq), dtype), init="zero")
+    out = b.batch_matmul(f.args[0], kt, acc)
+    b.ret(out)
+    m.attrs["flops"] = 2 * B * seq * seq * head_dim
+    m.verify()
+    return m
+
+
+def build_softmax_v(batch: int = 64, heads: int = 16, seq: int = 32,
+                    head_dim: int = 64, dtype: str = "f32") -> Module:
+    """out[b,h,s,d] = softmax(scores) @ V."""
+    B = batch * heads
+    m = Module()
+    f = m.add(Function("entry", [
+        TensorType((B, seq, seq), dtype),
+        TensorType((B, seq, head_dim), dtype),
+    ], ["scores", "v"]))
+    b = TppBuilder(f)
+    p = b.softmax(f.args[0], axis=2)
+    acc = b.constant(TensorType((B, seq, head_dim), dtype), init="zero")
+    out = b.batch_matmul(p, f.args[1], acc)
+    b.ret(out)
+    m.attrs["flops"] = 4 * B * seq * seq + 2 * B * seq * seq * head_dim
+    m.verify()
+    return m
+
+
+def build_projection(batch: int = 64, seq: int = 32, model_dim: int = 1024,
+                     dtype: str = "f32") -> Module:
+    """out[b*s, D] = X @ Wproj."""
+    M = batch * seq
+    m = Module()
+    f = m.add(Function("entry", [
+        TensorType((M, model_dim), dtype),
+        TensorType((model_dim, model_dim), dtype),
+    ], ["x", "w"]))
+    b = TppBuilder(f)
+    acc = b.constant(TensorType((M, model_dim), dtype), init="zero")
+    out = b.matmul(f.args[0], f.args[1], acc)
+    b.ret(out)
+    m.attrs["flops"] = 2 * M * model_dim * model_dim
+    m.verify()
+    return m
+
+
+def build_mha(batch: int = 16, heads: int = 16, seq: int = 256,
+              head_dim: int = 64, dtype: str = "f32") -> Module:
+    """Full attention core: softmax(Q Kt) V as one IR function (the
+    tile-and-fuse MHA test case shape)."""
+    B = batch * heads
+    m = Module()
+    f = m.add(Function("entry", [
+        TensorType((B, seq, head_dim), dtype),
+        TensorType((B, seq, head_dim), dtype),
+        TensorType((B, seq, head_dim), dtype),
+    ], ["q", "k", "v"]))
+    b = TppBuilder(f)
+    kt = b.transpose(f.args[1], (0, 2, 1))
+    acc = b.constant(TensorType((B, seq, seq), dtype), init="zero")
+    scores = b.batch_matmul(f.args[0], kt, acc)
+    p = b.softmax(scores, axis=2)
+    acc2 = b.constant(TensorType((B, seq, head_dim), dtype), init="zero")
+    out = b.batch_matmul(p, f.args[2], acc2)
+    b.ret(out)
+    m.attrs["flops"] = (2 * B * seq * seq * head_dim) * 2 + 4 * B * seq * seq
+    m.verify()
+    return m

@@ -87,6 +87,17 @@ def _apply_epilogue(acc, d_blk, binary_kind, unary_kind):
     return acc
 
 
+def _unvnni(b):
+    """[..., kv, n, v] -> [..., kv*v, n]: normalize a VNNI operand to the
+    flat bf16 layout the MXU consumes. Runs OUTSIDE the kernel: for constant
+    weights XLA folds it at compile time, so VNNI parity costs nothing at
+    runtime; Mosaic cannot express the packed-lane contraction in-kernel
+    (multi-dim contractions and packed shape casts are unsupported)."""
+    import jax.numpy as jnp
+    *lead, kv, n, v = b.shape
+    return jnp.moveaxis(b, -1, -2).reshape(*lead, kv * v, n)
+
+
 # ---------------------------------------------------------------------------
 # Block-size heuristic
 # ---------------------------------------------------------------------------
@@ -143,6 +154,12 @@ def _build_brgemm(key: BrgemmKey, interpret: bool):
     vf = key.vnni
     if vf:
         assert key.dtype in ("bf16", "f16") and k % vf == 0, key
+        import dataclasses
+        inner = _build_brgemm(dataclasses.replace(key, vnni=0), interpret)
+
+        def vnni_fn(a, b, c=None, d=None):
+            return inner(a, _unvnni(b), c, d)
+        return vnni_fn
     bm, bn, bk = pick_blocks(m, n, k, key.dtype, key.bm, key.bn, key.bk)
     kb_steps = max(1, k // bk) if k % bk == 0 else 1
     if k % bk != 0:
@@ -158,12 +175,7 @@ def _build_brgemm(key: BrgemmKey, interpret: bool):
                      lambda i, j, r: (r // kb_steps, i, r % kb_steps),
                      memory_space=pltpu.VMEM),
     ]
-    if vf:
-        in_specs.append(pl.BlockSpec(
-            (1, bk // vf, bn, vf),
-            lambda i, j, r: (r // kb_steps, r % kb_steps, j, 0),
-            memory_space=pltpu.VMEM))
-    elif key.transpose_b:
+    if key.transpose_b:
         in_specs.append(pl.BlockSpec(
             (1, bn, bk),
             lambda i, j, r: (r // kb_steps, j, r % kb_steps),
@@ -215,13 +227,7 @@ def _build_brgemm(key: BrgemmKey, interpret: bool):
                 acc_ref[:] = jnp.zeros_like(acc_ref)
 
         a = a_ref[0]
-        if vf:
-            a_r = a.reshape(bm, bk // vf, vf)
-            update = jax.lax.dot_general(
-                a_r, b_ref[0],
-                dimension_numbers=(((1, 2), (0, 2)), ((), ())),
-                preferred_element_type=jnp.float32)
-        elif key.transpose_b:
+        if key.transpose_b:
             update = jax.lax.dot_general(
                 a, b_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -282,6 +288,14 @@ def _build_blocked_matmul(key: BlockedMatmulKey, interpret: bool):
     dtype = _jdt(key.dtype)
     out_dtype = _jdt(key.out_dtype or key.dtype)
     vf = key.vnni
+    if vf:
+        import dataclasses
+        inner = _build_blocked_matmul(dataclasses.replace(key, vnni=0),
+                                      interpret)
+
+        def vnni_fn(a, b, c=None, d=None):
+            return inner(a, _unvnni(b), c, d)
+        return vnni_fn
     has_c = not key.beta0
     has_d = key.binary_kind is not None
 
@@ -290,20 +304,18 @@ def _build_blocked_matmul(key: BlockedMatmulKey, interpret: bool):
         pl.BlockSpec((1, 1, mb, kb), lambda i, j, r: (i, r, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    if vf:
-        in_specs.append(pl.BlockSpec((1, 1, kb // vf, nb, vf),
-                                     lambda i, j, r: (j, r, 0, 0, 0),
-                                     memory_space=pltpu.VMEM))
-    else:
-        in_specs.append(pl.BlockSpec((1, 1, kb, nb),
-                                     lambda i, j, r: (j, r, 0, 0),
-                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((1, 1, kb, nb),
+                                 lambda i, j, r: (j, r, 0, 0),
+                                 memory_space=pltpu.VMEM))
     if has_c:
         in_specs.append(pl.BlockSpec((1, 1, mb, nb), lambda i, j, r: (i, j, 0, 0),
                                      memory_space=pltpu.VMEM))
     if has_d:
-        # packed bias [Nb, nb]
-        in_specs.append(pl.BlockSpec((1, nb), lambda i, j, r: (j, 0),
+        # packed bias [Nb, nb] is contiguous (a 1-D pack is a pure reshape),
+        # so it is passed flat (1, Nb*nb) and block-indexed by column —
+        # Mosaic cannot dynamically index sub-sublane rows of a packed-dtype
+        # 2D array, but a lane-aligned column block is free
+        in_specs.append(pl.BlockSpec((1, nb), lambda i, j, r: (0, j),
                                      memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((1, 1, mb, nb), lambda i, j, r: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -320,6 +332,7 @@ def _build_blocked_matmul(key: BlockedMatmulKey, interpret: bool):
         acc_ref = refs[idx + 1]
 
         r = pl.program_id(2)
+        j = pl.program_id(1)
 
         @pl.when(r == 0)
         def _init():
@@ -329,20 +342,13 @@ def _build_blocked_matmul(key: BlockedMatmulKey, interpret: bool):
                 acc_ref[:] = jnp.zeros_like(acc_ref)
 
         a = a_ref[0, 0]
-        if vf:
-            a_r = a.reshape(mb, kb // vf, vf)
-            update = jax.lax.dot_general(
-                a_r, b_ref[0, 0],
-                dimension_numbers=(((1, 2), (0, 2)), ((), ())),
-                preferred_element_type=jnp.float32)
-        else:
-            update = jnp.dot(a, b_ref[0, 0], preferred_element_type=jnp.float32)
-        acc_ref[:] += update
+        acc_ref[:] += jnp.dot(a, b_ref[0, 0],
+                              preferred_element_type=jnp.float32)
 
         @pl.when(r == Kb - 1)
         def _finish():
             res = acc_ref[:]
-            d_blk = d_ref[0] if has_d else None
+            d_blk = d_ref[:] if has_d else None
             res = _apply_epilogue(res, d_blk, key.binary_kind, key.unary_kind)
             o_ref[0, 0] = res.astype(out_dtype)
 
@@ -370,7 +376,7 @@ def _build_blocked_matmul(key: BlockedMatmulKey, interpret: bool):
         if has_c:
             args.append(c)
         if has_d:
-            args.append(d)
+            args.append(d.reshape(1, -1))
         return call(*args)
 
     return fn
@@ -410,8 +416,8 @@ def _build_conv_brgemm(key: ConvBrgemmKey, interpret: bool):
                                      lambda n_, kb, r: (n_, kb, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
     if has_d:
-        # bias packed [Kb, k]
-        in_specs.append(pl.BlockSpec((1, k), lambda n_, kb, r: (kb, 0),
+        # bias packed [Kb, k] passed flat (1, Kb*k), column-block per kb
+        in_specs.append(pl.BlockSpec((1, k), lambda n_, kb, r: (0, kb),
                                      memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((1, 1, P, Q, k),
                             lambda n_, kb, r: (n_, kb, 0, 0, 0),
@@ -429,6 +435,7 @@ def _build_conv_brgemm(key: ConvBrgemmKey, interpret: bool):
         acc_ref = refs[idx + 1]
 
         r = pl.program_id(2)
+        kb_idx = pl.program_id(1)
 
         @pl.when(r == 0)
         def _init():
@@ -476,7 +483,7 @@ def _build_conv_brgemm(key: ConvBrgemmKey, interpret: bool):
         if has_c:
             args.append(cacc)
         if has_d:
-            args.append(d)
+            args.append(d.reshape(1, -1))
         return call(*args)
 
     return fn
