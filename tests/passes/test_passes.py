@@ -156,12 +156,22 @@ def test_convert_to_xsmm_and_combine():
     assert "xsmm.gemm " not in s
 
 
-def test_default_tpp_passes_mlp():
-    m = run(MLP, "default-tpp-passes")
+def test_default_tpp_passes_packed_mlp():
+    """Parity mode: physical blocked layouts, like the reference."""
+    m = run(MLP, "default-tpp-passes-packed")
     s = print_module(m)
     # end state: packed weights + one fused blocked brgemm + unpack
     assert "xsmm.fused_brgemm" in s
     assert 'layout = "blocked"' in s
+    assert '"beta_0"' in s
+
+
+def test_default_tpp_passes_flat_mlp():
+    """Default (TPU perf) mode: flat fused kernel, beta_0 folded."""
+    m = run(MLP, "default-tpp-passes")
+    s = print_module(m)
+    assert "xsmm.fused_brgemm" in s
+    assert "tl.pack" not in s
     assert '"beta_0"' in s
 
 

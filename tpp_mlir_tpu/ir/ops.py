@@ -544,6 +544,55 @@ def _v_xsmm_fused_brgemm(op):
         _fail(op, "bad unary_kind")
 
 
+@_op("xsmm.fused_chain_dispatch")
+def _v_chain_dispatch(op):
+    # Whole-chain fusion: one kernel for x -> L layers of act(x@W+b).
+    # No reference analogue — the reference fuses within a layer
+    # (CombineXsmmPass); on TPU, VMEM (16MB+) holds several layers of
+    # weights, so the chain fuses across contractions and intermediate
+    # activations never touch HBM.
+    if op.operands:
+        _fail(op, "dispatch is pure, takes no operands")
+    for a in ("m", "dims"):
+        if a not in op.attrs:
+            _fail(op, f"missing attr '{a}'")
+    if len(op.attrs["dims"]) < 2:
+        _fail(op, "dims must be (k0, n1, ..., nL)")
+    if op.result.type != I64:
+        _fail(op, "dispatch returns an i64 kernel handle")
+
+
+@_op("xsmm.fused_chain")
+def _v_chain(op):
+    d = _dispatch_of(op)
+    if d is None or d.opname != "xsmm.fused_chain_dispatch":
+        _fail(op, "first operand must be a fused_chain_dispatch result")
+    m = d.attrs["m"]
+    dims = tuple(d.attrs["dims"])
+    has_bias = bool(d.attrs.get("has_bias", True))
+    L = len(dims) - 1
+    want_n = 1 + 1 + L * (2 if has_bias else 1)
+    if len(op.operands) != want_n:
+        _fail(op, f"expects {want_n} operands for {L} layers")
+    x = op.operands[1].type
+    if x.shape != (m, dims[0]):
+        _fail(op, f"x shape {x.shape} != ({m}, {dims[0]})")
+    idx = 2
+    for i in range(L):
+        w = op.operands[idx].type
+        if w.shape != (dims[i], dims[i + 1]):
+            _fail(op, f"layer {i} weight {w.shape} != "
+                      f"({dims[i]}, {dims[i + 1]})")
+        idx += 1
+        if has_bias:
+            b = op.operands[idx].type
+            if b.num_elements != dims[i + 1]:
+                _fail(op, f"layer {i} bias {b.shape} != ({dims[i + 1]},)")
+            idx += 1
+    if op.result.type.shape != (m, dims[-1]):
+        _fail(op, f"result {op.result.type.shape} != ({m}, {dims[-1]})")
+
+
 @_op("xsmm.unary")
 def _v_xsmm_unary(op):
     if len(op.operands) != 2:

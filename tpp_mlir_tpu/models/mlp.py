@@ -23,7 +23,7 @@ class MlpConfig:
     bias: bool = False
     relu: bool = False
     softmax: bool = False
-    kernel: str = "args"             # "const": weights as constants
+    kernel: str = "const"            # weights as constants (reference default); "args"
     vnni: int = 0                    # 0/2/4; recorded for the pipeline
     seed: int = 0
     init_type: str = "normal"        # for const weights

@@ -393,10 +393,12 @@ class FoldXsmmFlagsPass(Pass):
                     and producer.operands[0].owner.attrs["kind"] == "zero" \
                     and len(C.uses) == 1:
                 new_c = producer.operands[1]
-            elif is_zero_op(producer) and len(C.uses) == 1:
+            elif is_zero_op(producer):
                 if producer.opname == "tl.constant":
+                    # pure zero constant: safe to flag even when shared
+                    # across invokes (CSE merges identical zero inits)
                     new_c = C  # keep the constant; kernel won't read it
-                else:
+                elif len(C.uses) == 1:
                     new_c = producer.operands[0]
             if new_c is None:
                 continue

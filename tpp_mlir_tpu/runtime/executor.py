@@ -266,6 +266,16 @@ def _dispatch_key(d: Operation, invoke: Operation):
                          unary_kind=un_kind,
                          bm=a.get("tile_m", 0), bn=a.get("tile_n", 0),
                          bk=a.get("tile_k", 0))
+    if name == "xsmm.fused_chain_dispatch":
+        from ..xsmm.flags import ChainKey
+
+        def _kind(x):
+            return None if x in (None, "none") else x
+        return ChainKey(m=a["m"], dims=tuple(a["dims"]), dtype=a["dtype"],
+                        out_dtype=out_dtype,
+                        has_bias=bool(a.get("has_bias", True)),
+                        unary_kind=_kind(a.get("unary_kind")),
+                        last_unary=_kind(a.get("last_unary")))
     if name == "xsmm.unary_dispatch":
         return UnaryKey(kind=a["kind"], shape=tuple(a.get("shape", ())),
                         dtype=a["dtype"], out_dtype=out_dtype,
@@ -306,6 +316,8 @@ def _eval_xsmm(op: Operation, vals: list, interpret_kernels: bool):
         _, a, b, c, bias = vals
         bias = _normalize_bias(key, bias) if key.binary_kind else None
         return fn(a, b, None if key.beta0 else c, bias)
+    if name == "xsmm.fused_chain":
+        return fn(vals[1], *vals[2:])
     if name == "xsmm.unary":
         return fn(vals[1])
     if name == "xsmm.binary":

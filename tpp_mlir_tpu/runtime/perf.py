@@ -57,29 +57,41 @@ def _chain(step: Callable, n: int):
 
 
 def bench(step: Callable, args: Sequence, iters: int = 100,
-          warmup: int = 1, flops: int | None = None) -> BenchResult:
-    """Time `step(*args)` per-iteration using the two-length slope method."""
-    import jax
+          warmup: int = 2, flops: int | None = None,
+          min_delta: float = 0.05, max_iters: int = 50_000) -> BenchResult:
+    """Time `step(*args)` per-iteration using the two-length slope method.
 
-    n_short = max(1, iters // 10)
-    n_long = iters
-    short = _chain(step, n_short)
-    long_ = _chain(step, n_long)
-    # warmup = compile (excluded, like the reference's warmup)
-    jax.block_until_ready(short(*args))
-    jax.block_until_ready(long_(*args))
+    The loop length escalates until the long-vs-short wall-time difference
+    exceeds `min_delta` seconds, so the slope is well above host/tunnel
+    jitter even for microsecond kernels. Each length is timed min-of-N
+    (the reference's warmup/mean discipline, MLIRBench.cpp:265-295, adapted
+    to an async remote device).
+    """
+    import jax
 
     def timed(fn):
         best = float("inf")
-        for _ in range(max(1, warmup)):
+        for _ in range(max(2, warmup)):
             t0 = time.perf_counter()
             r = fn(*args)
             jax.tree.map(lambda x: float(x), r)  # force full completion
             best = min(best, time.perf_counter() - t0)
         return best
 
+    n_short = max(1, iters // 4)
+    short = _chain(step, n_short)
+    jax.block_until_ready(short(*args))  # compile, excluded
     t_short = timed(short)
-    t_long = timed(long_)
+
+    n_long = max(iters, n_short * 4)
+    while True:
+        long_ = _chain(step, n_long)
+        jax.block_until_ready(long_(*args))
+        t_long = timed(long_)
+        if t_long - t_short >= min_delta or n_long >= max_iters:
+            break
+        n_long = min(n_long * 8, max_iters)
+
     per_iter = max((t_long - t_short) / (n_long - n_short), 1e-12)
     return BenchResult(mean_seconds=per_iter, total_seconds=t_long,
                        iters=n_long, flops=flops)

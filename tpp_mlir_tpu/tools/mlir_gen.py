@@ -28,7 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bias", action="store_true")
     p.add_argument("--relu", action="store_true")
     p.add_argument("--softmax", action="store_true")
-    p.add_argument("--kernel", choices=["args", "const"], default="args")
+    p.add_argument("--kernel", choices=["args", "const"], default="const")
     p.add_argument("--vnni", type=int, choices=[0, 2, 4], default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--init-type", default="normal",

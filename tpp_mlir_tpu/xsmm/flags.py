@@ -60,6 +60,24 @@ class BlockedMatmulKey:
 
 
 @dataclass(frozen=True)
+class ChainKey:
+    """Key for the whole-chain fused MLP kernel: one Pallas program computes
+    act(...act(act(x@W1+b1)@W2+b2)...) with every weight resident in VMEM.
+    Intermediate activations never touch HBM — fusion ACROSS contractions,
+    which the reference cannot do (its CombineXsmm fuses within one layer);
+    on TPU it is the roofline play for small-batch MLP chains."""
+
+    m: int
+    dims: tuple[int, ...]          # (k0, n1, ..., nL)
+    dtype: str = "f32"
+    out_dtype: str | None = None
+    has_bias: bool = True
+    unary_kind: str | None = "relu"   # activation after every layer
+    last_unary: str | None = "relu"   # activation after the final layer
+    bm: int = 0                       # M block (0 = heuristic)
+
+
+@dataclass(frozen=True)
 class ConvBrgemmKey:
     """Key for channel-blocked conv executed as batch-reduce GEMM
     (reference docs/ConvMapping.md; RewriteConvsToMatmulOrBrgemm.cpp):

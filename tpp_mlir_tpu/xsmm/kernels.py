@@ -382,6 +382,91 @@ def _build_blocked_matmul(key: BlockedMatmulKey, interpret: bool):
     return fn
 
 
+def chain_fits_vmem(key: "ChainKey") -> bool:
+    """Budget check: all weights + biases + 2 activation buffers in VMEM."""
+    t = current_target()
+    dsize = 2 if key.dtype in ("bf16", "f16") else 4
+    weights = sum(key.dims[i] * key.dims[i + 1]
+                  for i in range(len(key.dims) - 1)) * dsize
+    biases = sum(key.dims[1:]) * dsize if key.has_bias else 0
+    bm = key.bm or min(key.m, 256)
+    acts = 3 * bm * max(key.dims) * 4
+    return weights + biases + acts < int(t.vmem_bytes * 0.75)
+
+
+def _build_chain(key, interpret: bool):
+    from .flags import ChainKey
+    assert isinstance(key, ChainKey)
+    m, dims = key.m, key.dims
+    L = len(dims) - 1
+    dtype = _jdt(key.dtype)
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    sub, _ = current_target().min_tile(key.dtype)
+    bm = key.bm or min(m, 256)
+    bm = max(sub, bm - bm % sub) if m % sub == 0 else bm
+
+    grid = (pl.cdiv(m, bm),)
+    in_specs = [pl.BlockSpec((bm, dims[0]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for li in range(L):
+        # weights/biases: one full resident block; the index map is constant
+        # so Pallas fetches each once and keeps it across M-blocks
+        in_specs.append(pl.BlockSpec((dims[li], dims[li + 1]),
+                                     lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        if key.has_bias:
+            in_specs.append(pl.BlockSpec((1, dims[li + 1]), lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((bm, dims[-1]), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    act = _UNARY_FNS.get(key.unary_kind or "identity")
+    last_act = _UNARY_FNS.get(key.last_unary or "identity")
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        o_ref = refs[-1]
+        h = x_ref[:].astype(jnp.float32)
+        idx = 1
+        for li in range(L):
+            w = refs[idx][:]
+            idx += 1
+            z = jnp.dot(h.astype(dtype), w, preferred_element_type=jnp.float32)
+            if key.has_bias:
+                z = z + refs[idx][:].astype(jnp.float32)
+                idx += 1
+            h = (act if li < L - 1 else last_act)(z)
+        o_ref[:] = h.astype(out_dtype)
+
+    flops = sum(2 * m * dims[i] * dims[i + 1] for i in range(L))
+    dsize = jnp.dtype(dtype).itemsize
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=(m * dims[0] + m * dims[-1]
+                        + sum(dims[i] * dims[i + 1] for i in range(L))) * dsize,
+        transcendentals=0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((m, dims[-1]), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+
+    def fn(x, *wb):
+        args = [x]
+        for v in wb:
+            args.append(v.reshape(1, -1) if v.ndim == 1 else v)
+        return call(*args)
+
+    return fn
+
+
 def _build_conv_brgemm(key: ConvBrgemmKey, interpret: bool):
     """Channel-blocked conv as BRGEMM. Stride-1 (any R,S): the (r,s) filter
     tap slides a (P,Q) window over the resident (H,W) input block, so the
@@ -512,8 +597,10 @@ def _build_unary(key: UnaryKey, interpret: bool):
         vf = key.vnni
 
         def vnni_pack(x):
-            kdim, ndim = x.shape
-            return x.reshape(kdim // vf, vf, ndim).transpose(0, 2, 1)
+            # [..., K, N] -> [..., K/vf, N, vf] on any rank
+            *lead, kdim, ndim = x.shape
+            x = x.reshape(*lead, kdim // vf, vf, ndim)
+            return jnp.moveaxis(x, -2, -1)
         return vnni_pack
     fn = _UNARY_FNS[kind]
     return lambda x: fn(x.astype(jnp.float32)).astype(out_dtype)
@@ -535,6 +622,9 @@ def build_kernel(key, interpret: bool | None = None):
         return _build_blocked_matmul(key, interpret)
     if isinstance(key, ConvBrgemmKey):
         return _build_conv_brgemm(key, interpret)
+    from .flags import ChainKey
+    if isinstance(key, ChainKey):
+        return _build_chain(key, interpret)
     if isinstance(key, UnaryKey):
         return _build_unary(key, interpret)
     if isinstance(key, BinaryKey):

@@ -92,6 +92,29 @@ def conv_brgemm_reference(key: ConvBrgemmKey):
     return fn
 
 
+def chain_reference(key):
+    from .flags import ChainKey
+    from .kernels import _UNARY_FNS as UF, _jdt as jd
+
+    out_dtype = jd(key.out_dtype or key.dtype)
+
+    def fn(x, *wb):
+        h = x.astype(jnp.float32)
+        L = len(key.dims) - 1
+        idx = 0
+        for li in range(L):
+            w = wb[idx]; idx += 1
+            z = jnp.dot(h.astype(w.dtype), w,
+                        preferred_element_type=jnp.float32)
+            if key.has_bias:
+                z = z + wb[idx].reshape(1, -1).astype(jnp.float32)
+                idx += 1
+            kind = key.unary_kind if li < L - 1 else key.last_unary
+            h = UF[kind or "identity"](z)
+        return h.astype(out_dtype)
+    return fn
+
+
 def reference_kernel(key):
     from .kernels import _build_binary, _build_unary
 
@@ -101,6 +124,9 @@ def reference_kernel(key):
         return blocked_matmul_reference(key)
     if isinstance(key, ConvBrgemmKey):
         return conv_brgemm_reference(key)
+    from .flags import ChainKey
+    if isinstance(key, ChainKey):
+        return chain_reference(key)
     if isinstance(key, (UnaryKey, BinaryKey)):
         # eltwise kernels are already jnp closures; reference == kernel
         return (_build_unary if isinstance(key, UnaryKey)
