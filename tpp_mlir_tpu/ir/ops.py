@@ -418,6 +418,7 @@ def _v_blocked_conv(op):
 
 _DISPATCH_ATTRS = {
     "xsmm.gemm_dispatch": ("m", "n", "k"),
+    "xsmm.batch_gemm_dispatch": ("batch", "m", "n", "k"),
     "xsmm.brgemm_dispatch": ("m", "n", "k", "batch"),
     "xsmm.fused_brgemm_dispatch": ("m", "n", "k", "batch",
                                    "binary_kind", "unary_kind"),
@@ -542,6 +543,23 @@ def _v_xsmm_fused_brgemm(op):
         _fail(op, "bad binary_kind")
     if d.attrs["unary_kind"] not in UNARY_KINDS:
         _fail(op, "bad unary_kind")
+
+
+@_op("xsmm.batch_gemm")
+def _v_xsmm_batch_gemm(op):
+    # Parallel-batch matmul invoke. The reference has no batched libxsmm
+    # GEMM and loops matmuls instead (RewriteBatchMatmulToMatmul.cpp); on
+    # TPU the batch is a parallel grid dimension of the same kernel.
+    if len(op.operands) != 4:
+        _fail(op, "expects (dispatch, A, B, C)")
+    d = _dispatch_of(op)
+    if d is None or d.opname != "xsmm.batch_gemm_dispatch":
+        _fail(op, "first operand must be a batch_gemm_dispatch result")
+    a, b, c = (_t(x) for x in op.operands[1:])
+    m, n, k, B = (d.attrs[x] for x in ("m", "n", "k", "batch"))
+    if a.shape != (B, m, k) or b.shape != (B, k, n) or c.shape != (B, m, n):
+        _fail(op, f"dispatch({B},{m},{n},{k}) inconsistent with operands "
+                  f"{a.shape},{b.shape},{c.shape}")
 
 
 @_op("xsmm.fused_chain_dispatch")

@@ -23,11 +23,23 @@ from .pass_manager import Pass, register
 
 
 def _layer_info(op: Operation):
-    """If `op` is a chainable fused_brgemm, return its pieces."""
-    if op.opname != "xsmm.fused_brgemm":
+    """If `op` is a chainable fused_brgemm / plain gemm layer, return its
+    pieces (a bare xsmm.gemm chains as a layer with no epilogue)."""
+    if op.opname not in ("xsmm.fused_brgemm", "xsmm.gemm"):
         return None
     d = op.operands[0].owner
     a = d.attrs
+    if op.opname == "xsmm.gemm":
+        if a.get("flags") and set(a["flags"]) - {"beta_0"}:
+            return None
+        if "beta_0" not in a.get("flags", ()):
+            return None
+        A2, B2 = op.operands[1], op.operands[2]
+        if A2.type.rank != 2 or B2.type.rank != 2:
+            return None
+        return {"op": op, "dispatch": d, "x": A2, "w": B2, "bias": None,
+                "m": a["m"], "k": a["k"], "n": a["n"],
+                "unary": "none", "dtype": a["dtype"]}
     if a.get("layout", "flat") != "flat" or a.get("batch") != 1:
         return None
     if "beta_0" not in a.get("flags", ()):
@@ -78,10 +90,13 @@ class ChainFusionPass(Pass):
                 uses = cur["op"].result.uses
                 if len(uses) != 1:
                     break
-                user, _ = uses[0]
-                if user.opname != "tl.reshape" or len(user.result.uses) != 1:
-                    break
-                nxt_op, idx = user.result.uses[0]
+                user, uidx = uses[0]
+                if user.opname == "tl.reshape":
+                    if len(user.result.uses) != 1:
+                        break
+                    nxt_op, idx = user.result.uses[0]
+                else:
+                    nxt_op, idx = user, uidx
                 if idx != 1:
                     break
                 nxt = _layer_info(nxt_op)
@@ -89,8 +104,10 @@ class ChainFusionPass(Pass):
                     break
                 if nxt["m"] != first["m"] or nxt["dtype"] != first["dtype"]:
                     break
-                if nxt["unary"] != cur["unary"]:
-                    break  # keep one inter-layer activation kind
+                # appending makes `cur` an inner layer: inner activations
+                # must be uniform; only the final layer's may differ
+                if cur["unary"] != first["unary"]:
+                    break
                 chain.append(nxt)
                 cur = nxt
             if len(chain) < 2:

@@ -67,7 +67,8 @@ class PackMatmulPass(Pass):
     name = "pack-matmul"
 
     def run_on_function(self, func: Function, module: Module) -> bool:
-        tiles = self.options.get("tiles")
+        # explicit option > module attr (tpp-gen --tiles) > target default
+        tiles = self.options.get("tiles") or module.attrs.get("tiles")
         min_dim = self.options.get("min_dim", 2)  # don't pack tiny matmuls
         changed = False
         b = TppBuilder(func)

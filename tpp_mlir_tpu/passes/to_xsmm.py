@@ -107,6 +107,24 @@ class ConvertTlToXsmmPass(Pass):
                 func.erase(op)
                 changed = True
 
+            elif name == "tl.batch_matmul" and "batch_matmul" not in skip:
+                A, B, C = op.operands
+                Bt, m, k = A.type.shape
+                n = C.type.shape[2]
+                attrs = {"batch": Bt, "m": m, "n": n, "k": k,
+                         "dtype": A.type.dtype, "flags": ()}
+
+                def emit():
+                    d = b.create("xsmm.batch_gemm_dispatch", [], [I64], attrs)
+                    inv = b.create("xsmm.batch_gemm", [d.result, A, B, C],
+                                   [C.type])
+                    _carry(op, inv)
+                    return inv.result
+                res, _ = before(op, emit)
+                func.replace_all_uses(op.result, res)
+                func.erase(op)
+                changed = True
+
             elif name in ("tl.brgemm", "tl.vnni_brgemm") and "brgemm" not in skip:
                 A, B, C = op.operands
                 Bt, m, k = A.type.shape
@@ -380,7 +398,8 @@ class FoldXsmmFlagsPass(Pass):
         b = TppBuilder(func)
         for op in list(func.ops):
             if op.parent is None or op.opname not in (
-                    "xsmm.gemm", "xsmm.brgemm", "xsmm.fused_brgemm"):
+                    "xsmm.gemm", "xsmm.brgemm", "xsmm.fused_brgemm",
+                    "xsmm.batch_gemm"):
                 continue
             disp = op.operands[0].owner
             if "beta_0" in disp.attrs.get("flags", ()):

@@ -276,6 +276,11 @@ def _dispatch_key(d: Operation, invoke: Operation):
                         has_bias=bool(a.get("has_bias", True)),
                         unary_kind=_kind(a.get("unary_kind")),
                         last_unary=_kind(a.get("last_unary")))
+    if name == "xsmm.batch_gemm_dispatch":
+        from ..xsmm.flags import BatchMatmulKey
+        return BatchMatmulKey(batch=a["batch"], m=a["m"], n=a["n"], k=a["k"],
+                              dtype=a["dtype"], out_dtype=out_dtype,
+                              beta0=beta0)
     if name == "xsmm.unary_dispatch":
         return UnaryKey(kind=a["kind"], shape=tuple(a.get("shape", ())),
                         dtype=a["dtype"], out_dtype=out_dtype,
@@ -316,6 +321,9 @@ def _eval_xsmm(op: Operation, vals: list, interpret_kernels: bool):
         _, a, b, c, bias = vals
         bias = _normalize_bias(key, bias) if key.binary_kind else None
         return fn(a, b, None if key.beta0 else c, bias)
+    if name == "xsmm.batch_gemm":
+        _, a_, b_, c_ = vals
+        return fn(a_, b_, None if key.beta0 else c_)
     if name == "xsmm.fused_chain":
         return fn(vals[1], *vals[2:])
     if name == "xsmm.unary":

@@ -102,15 +102,38 @@ def main(argv=None) -> int:
     p.add_argument("--pipeline", default="default-tpp-passes")
     p.add_argument("-print-mlir", "--print-mlir",
                    choices=["", "early", "mid", "late"], default="")
+    p.add_argument("--profile", default="",
+                   help="write a jax profiler trace to this directory "
+                        "(the reference's perf-dialect timing + IR staging "
+                        "equivalents live in -n/-print-mlir; this adds "
+                        "device-level tracing, SURVEY.md section 5)")
+    p.add_argument("--sanitize", choices=["", "nan"], default="",
+                   help="'nan' enables jax_debug_nans — the runtime "
+                        "numerical-safety net (role of the reference's "
+                        "USE_SANITIZER build + check dialect)")
     args = p.parse_args(argv)
+
+    if args.sanitize == "nan":
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     text = sys.stdin.read() if args.input == "-" else open(args.input).read()
     module = parse_module(text)
     module.verify()
-    run_module(module, args.entry, n=args.n, init_type=args.init_type,
-               seed=args.seed, pipeline=args.pipeline,
-               linalg_to_loops=args.linalg_to_loops,
-               print_result=args.print_result, print_mlir=args.print_mlir)
+
+    def go():
+        run_module(module, args.entry, n=args.n, init_type=args.init_type,
+                   seed=args.seed, pipeline=args.pipeline,
+                   linalg_to_loops=args.linalg_to_loops,
+                   print_result=args.print_result,
+                   print_mlir=args.print_mlir)
+
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            go()
+    else:
+        go()
     return 0
 
 

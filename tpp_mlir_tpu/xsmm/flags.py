@@ -60,6 +60,25 @@ class BlockedMatmulKey:
 
 
 @dataclass(frozen=True)
+class BatchMatmulKey:
+    """Key for parallel-batch matmul C[b] = A[b] @ B[b] (tl.batch_matmul).
+    The reference rewrites batch_matmul to a loop of matmuls because libxsmm
+    has no batched GEMM (RewriteBatchMatmulToMatmul.cpp); on TPU the batch is
+    simply an extra parallel grid dimension of the same MXU kernel."""
+
+    batch: int
+    m: int
+    n: int
+    k: int
+    dtype: str = "f32"
+    out_dtype: str | None = None
+    beta0: bool = False
+    bm: int = 0
+    bn: int = 0
+    bk: int = 0
+
+
+@dataclass(frozen=True)
 class ChainKey:
     """Key for the whole-chain fused MLP kernel: one Pallas program computes
     act(...act(act(x@W1+b1)@W2+b2)...) with every weight resident in VMEM.

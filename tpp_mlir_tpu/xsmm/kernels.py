@@ -382,6 +382,83 @@ def _build_blocked_matmul(key: BlockedMatmulKey, interpret: bool):
     return fn
 
 
+def _build_batch_matmul(key, interpret: bool):
+    """Parallel-batch matmul: batch is a parallel grid dim; per-batch tiles
+    follow the BRGEMM blocking. Feeds the MHA Q@Kt / P@V benchmarks."""
+    from .flags import BatchMatmulKey
+    assert isinstance(key, BatchMatmulKey)
+    B, m, n, k = key.batch, key.m, key.n, key.k
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    bm, bn, bk = pick_blocks(m, n, k, key.dtype, key.bm, key.bn, key.bk)
+    kb_steps = max(1, k // bk) if k % bk == 0 else 1
+    if k % bk != 0:
+        bk = k
+    grid = (B, pl.cdiv(m, bm), pl.cdiv(n, bn), kb_steps)
+    has_c = not key.beta0
+
+    in_specs = [
+        pl.BlockSpec((1, bm, bk), lambda b, i, j, r: (b, i, r),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, bn), lambda b, i, j, r: (b, r, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_c:
+        in_specs.append(pl.BlockSpec((1, bm, bn),
+                                     lambda b, i, j, r: (b, i, j),
+                                     memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((1, bm, bn), lambda b, i, j, r: (b, i, j),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        a_ref, b_ref = refs[0], refs[1]
+        c_ref = refs[2] if has_c else None
+        o_ref = refs[2 + has_c]
+        acc_ref = refs[3 + has_c]
+        r = pl.program_id(3)
+
+        @pl.when(r == 0)
+        def _init():
+            if has_c:
+                acc_ref[:] = c_ref[0].astype(jnp.float32)
+            else:
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += jnp.dot(a_ref[0], b_ref[0],
+                              preferred_element_type=jnp.float32)
+
+        @pl.when(r == kb_steps - 1)
+        def _finish():
+            o_ref[0] = acc_ref[:].astype(out_dtype)
+
+    dsize = jnp.dtype(_jdt(key.dtype)).itemsize
+    cost = pl.CostEstimate(
+        flops=2 * B * m * n * k,
+        bytes_accessed=B * (m * k + k * n + m * n) * dsize,
+        transcendentals=0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+
+    def fn(a, b, c=None):
+        args = [a, b]
+        if has_c:
+            args.append(c)
+        return call(*args)
+
+    return fn
+
+
 def chain_fits_vmem(key: "ChainKey") -> bool:
     """Budget check: all weights + biases + 2 activation buffers in VMEM."""
     t = current_target()
@@ -622,9 +699,11 @@ def build_kernel(key, interpret: bool | None = None):
         return _build_blocked_matmul(key, interpret)
     if isinstance(key, ConvBrgemmKey):
         return _build_conv_brgemm(key, interpret)
-    from .flags import ChainKey
+    from .flags import BatchMatmulKey, ChainKey
     if isinstance(key, ChainKey):
         return _build_chain(key, interpret)
+    if isinstance(key, BatchMatmulKey):
+        return _build_batch_matmul(key, interpret)
     if isinstance(key, UnaryKey):
         return _build_unary(key, interpret)
     if isinstance(key, BinaryKey):

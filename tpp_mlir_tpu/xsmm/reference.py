@@ -92,6 +92,19 @@ def conv_brgemm_reference(key: ConvBrgemmKey):
     return fn
 
 
+def batch_matmul_reference(key):
+    from .flags import BatchMatmulKey
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+
+    def fn(a, b, c=None):
+        acc = jnp.einsum("bmk,bkn->bmn", a.astype(jnp.float32),
+                         b.astype(jnp.float32))
+        if not key.beta0:
+            acc = acc + c.astype(jnp.float32)
+        return acc.astype(out_dtype)
+    return fn
+
+
 def chain_reference(key):
     from .flags import ChainKey
     from .kernels import _UNARY_FNS as UF, _jdt as jd
@@ -124,9 +137,11 @@ def reference_kernel(key):
         return blocked_matmul_reference(key)
     if isinstance(key, ConvBrgemmKey):
         return conv_brgemm_reference(key)
-    from .flags import ChainKey
+    from .flags import BatchMatmulKey, ChainKey
     if isinstance(key, ChainKey):
         return chain_reference(key)
+    if isinstance(key, BatchMatmulKey):
+        return batch_matmul_reference(key)
     if isinstance(key, (UnaryKey, BinaryKey)):
         # eltwise kernels are already jnp closures; reference == kernel
         return (_build_unary if isinstance(key, UnaryKey)
