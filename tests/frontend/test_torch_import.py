@@ -1,0 +1,68 @@
+"""Torch importer tests: numerics vs torch eager, through the full pipeline
+(the torch-dynamo benchmark ingestion path, reference
+benchmarks/mlir/pytorch/*.mlir)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from tpp_mlir_tpu.frontend import import_torch  # noqa: E402
+from tpp_mlir_tpu.passes import run_pipeline  # noqa: E402
+from tpp_mlir_tpu.runtime import compile as tpp_compile  # noqa: E402
+
+
+def test_torch_mlp_roundtrip():
+    torch.manual_seed(0)
+    model = torch.nn.Sequential(
+        torch.nn.Linear(64, 128), torch.nn.ReLU(),
+        torch.nn.Linear(128, 64), torch.nn.ReLU(),
+        torch.nn.Linear(64, 32),
+    )
+    x = torch.randn(16, 64)
+    with torch.no_grad():
+        want = model(x).numpy()
+
+    m = import_torch(model, (16, 64))
+    assert m.attrs["flops"] > 0
+    run_pipeline(m, "default-tpp-passes")
+    got = tpp_compile(m, jit=False)(jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_torch_conv_block():
+    torch.manual_seed(1)
+    model = torch.nn.Sequential(
+        torch.nn.Conv2d(128, 128, 3, stride=1, padding=0),
+        torch.nn.ReLU(),
+    )
+    x = torch.randn(2, 128, 10, 10)
+    with torch.no_grad():
+        want = model(x).numpy()
+
+    m = import_torch(model, (2, 128, 10, 10))
+    run_pipeline(m, "default-tpp-passes")
+    assert 'layout = "conv"' in str(m)
+    got = tpp_compile(m, jit=False)(jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_torch_mlp_softmax_flatten():
+    torch.manual_seed(2)
+    model = torch.nn.Sequential(
+        torch.nn.Flatten(),
+        torch.nn.Linear(64, 32), torch.nn.GELU(),
+        torch.nn.Linear(32, 10), torch.nn.Softmax(dim=1),
+    )
+    x = torch.randn(4, 8, 8)
+    with torch.no_grad():
+        want = model(x).numpy()
+    m = import_torch(model, (4, 8, 8))
+    run_pipeline(m, "default-tpp-passes")
+    got = tpp_compile(m, jit=False)(jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=1e-4, rtol=1e-3)

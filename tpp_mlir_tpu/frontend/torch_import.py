@@ -1,0 +1,122 @@
+"""PyTorch importer — the torch-dynamo ingestion equivalent.
+
+The reference benchmarks torch-dynamo-exported MLP/GEMM models
+(benchmarks/mlir/pytorch/*.mlir, config/pytorch/torch_dynamo.json): torch
+traces to linalg IR, then the TPP pipeline compiles it. Here the importer
+converts a torch.nn module directly into the tensor IR; weights become
+literal constants (pre-packable by constant-fold-pack like any weight).
+
+Supported module classes: Sequential / Linear / ReLU / GELU / Tanh /
+Softmax / Flatten / Conv2d (padding=0) / Identity / Dropout (eval = no-op).
+Everything runs through the same default pipeline as tpp-gen models.
+"""
+
+from __future__ import annotations
+
+from ..ir import Function, Module, TensorType, TppBuilder
+
+
+def _dtype_of(t) -> str:
+    import torch
+
+    return {torch.float32: "f32", torch.bfloat16: "bf16",
+            torch.float16: "f16"}[t]
+
+
+def import_torch(model, example_shape, dtype: str = "f32",
+                 name: str = "entry") -> Module:
+    """Convert a torch.nn module to a tensor-IR Module.
+
+    example_shape: input tensor shape (batch included)."""
+    import torch
+    import torch.nn as nn
+
+    model = model.eval()
+    m = Module()
+    f = m.add(Function(name, [TensorType(tuple(example_shape), dtype)],
+                       ["x"]))
+    b = TppBuilder(f)
+    x = f.args[0]
+    counter = [0]
+
+    def literal(tensor, suffix):
+        key = f"t{counter[0]}_{suffix}"
+        counter[0] += 1
+        m.literals[key] = tensor.detach().cpu().float().numpy()
+        return key
+
+    def const_of(tensor, shape):
+        key = literal(tensor, "w")
+        return b.create("tl.constant", [], [TensorType(shape, dtype)],
+                        {"init": "literal", "literal": key}).result
+
+    def emit(layer, x):
+        if isinstance(layer, nn.Sequential):
+            for sub in layer:
+                x = emit(sub, x)
+            return x
+        if isinstance(layer, nn.Linear):
+            K, N = layer.in_features, layer.out_features
+            w = const_of(layer.weight.T.contiguous(), (K, N))
+            acc = b.constant(TensorType((x.type.shape[0], N), dtype),
+                             init="zero")
+            x = b.matmul(x, w, acc)
+            if layer.bias is not None:
+                bias = const_of(layer.bias, (N,))
+                x = b.add(x, bias)
+            return x
+        if isinstance(layer, nn.ReLU):
+            return b.relu(x)
+        if isinstance(layer, nn.GELU):
+            return b.unary("tl.gelu", x)
+        if isinstance(layer, nn.Tanh):
+            return b.unary("tl.tanh", x)
+        if isinstance(layer, nn.Softmax):
+            return b.softmax(x, axis=layer.dim if layer.dim is not None
+                             else -1)
+        if isinstance(layer, nn.Flatten):
+            n = 1
+            for d in x.type.shape[1:]:
+                n *= d
+            return b.reshape(x, (x.type.shape[0], n))
+        if isinstance(layer, nn.Conv2d):
+            if any(p != 0 for p in layer.padding):
+                raise NotImplementedError(
+                    "Conv2d padding != 0 not supported by the importer yet")
+            K = layer.out_channels
+            w = const_of(layer.weight, tuple(layer.weight.shape))
+            N, C, H, W = x.type.shape
+            R, S = layer.kernel_size
+            sh, sw = layer.stride
+            P = (H - R) // sh + 1
+            Q = (W - S) // sw + 1
+            acc = b.constant(TensorType((N, K, P, Q), dtype), init="zero")
+            x = b.conv2d_nchw_fchw(x, w, acc, strides=(sh, sw))
+            if layer.bias is not None:
+                bias = const_of(layer.bias, (K,))
+                bias3 = b.reshape(bias, (K, 1, 1))
+                x = b.add(x, bias3)
+            return x
+        if isinstance(layer, (nn.Identity, nn.Dropout)):
+            return x
+        raise NotImplementedError(
+            f"torch import: unsupported layer {type(layer).__name__}")
+
+    out = emit(model, x)
+    b.ret(out)
+    m.verify()
+
+    # FLOP accounting for the harness (BENCH_TOTAL_FLOPS role)
+    flops = 0
+    for op in f.ops:
+        if op.opname == "tl.matmul":
+            mm, kk = op.operands[0].type.shape
+            nn_ = op.operands[1].type.shape[1]
+            flops += 2 * mm * nn_ * kk
+        elif op.opname == "tl.conv2d_nchw_fchw":
+            i, w, o = (v.type.shape for v in op.operands)
+            flops += 2 * o[0] * o[1] * o[2] * o[3] * w[1] * w[2] * w[3]
+        elif op.opname in ("tl.add", "tl.relu"):
+            flops += op.results[0].type.num_elements
+    m.attrs["flops"] = flops
+    return m

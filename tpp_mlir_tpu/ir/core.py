@@ -86,6 +86,7 @@ class Function:
         self.ops: list[Operation] = []
         self.returns: list[Value] = []
         self.attrs: dict[str, Any] = {}
+        self.module: "Module | None" = None
 
     def append(self, op: Operation) -> Operation:
         op.parent = self
@@ -144,9 +145,14 @@ class Module:
     def __init__(self):
         self.funcs: dict[str, Function] = {}
         self.attrs: dict[str, Any] = {}
+        # named literal tensors for tl.constant {init="literal"}: in-memory
+        # payloads (e.g. imported torch weights). The textual form references
+        # them by name only; they do not survive print/parse round-trips.
+        self.literals: dict[str, Any] = {}
 
     def add(self, func: Function) -> Function:
         self.funcs[func.name] = func
+        func.module = self
         return func
 
     def __getitem__(self, name: str) -> Function:

@@ -97,7 +97,8 @@ class CleanupPass(Pass):
             # constants with init="rand"/"normal" are deterministic per seed,
             # so they are CSE-able too.
             key = (op.opname, tuple(id(v) for v in op.operands),
-                   _attr_key(op.attrs))
+                   _attr_key(op.attrs),
+                   tuple(r.type for r in op.results))
             prev = seen.get(key)
             if prev is None:
                 seen[key] = op

@@ -52,6 +52,13 @@ def _eval_tl(op: Operation, vals: list, interpret_kernels: bool):
         return x.astype(jnp.float32)
 
     if name == "tl.constant":
+        if op.attrs.get("init") == "literal":
+            mod = op.parent.module if op.parent is not None else None
+            lit = (mod.literals if mod is not None else {})[
+                op.attrs["literal"]]
+            arr = np.asarray(lit)
+            arr = apply_pack_recipe(arr, op.attrs)
+            return jnp.asarray(arr).astype(jnp_dtype(rt))
         arr = tensor_init(op.attrs.get("init", "zero"),
                           op.attrs.get("orig_shape", rt.shape),
                           rt.dtype, op.attrs.get("seed", 0),
