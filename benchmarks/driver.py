@@ -40,6 +40,8 @@ def build_module(entry):
         args = build_parser().parse_args(entry["gen"].split())
         return parse_module(generate_text(config_from_args(args)))
     if "model" in entry:
+        from tpp_mlir_tpu.models import convnet
+
         name, *rest = entry["model"].split(":", 1)
         kwargs = json.loads(rest[0]) if rest else {}
         builder = {
@@ -47,6 +49,8 @@ def build_module(entry):
             "mha_softmax_v": mha.build_softmax_v,
             "mha_projection": mha.build_projection,
             "mha_full": mha.build_mha,
+            "convnet": lambda **kw: convnet.build_convnet(
+                convnet.ConvConfig(**kw)),
         }[name]
         return builder(**kwargs)
     raise ValueError(f"benchmark entry needs 'gen' or 'model': {entry}")
@@ -99,15 +103,19 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default="",
                    help="force a JAX platform (e.g. cpu for smoke tests; "
                         "the env var alone cannot override the axon plugin)")
-    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-v", "--verbose", action="count", default=0,
+                   help="-v info, -vv debug (harness Logger levels)")
     args = p.parse_args(argv)
 
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    from tpp_mlir_tpu.utils.logger import Logger
     from tpp_mlir_tpu.utils.target import current_target, roofline_flops
 
+    log = Logger(args.verbose)
+    log.info(f"target: {current_target().name}")
     results = []
     for cfg_path in args.config:
         cfg = json.load(open(cfg_path))
@@ -119,6 +127,7 @@ def main(argv=None) -> int:
                 print(f"{name}: SKIP (target gate {entry.get('targets')})")
                 continue
             iters = args.iters or entry.get("iters", 100)
+            log.debug(f"running {name} (iters={iters})")
             t0 = time.time()
             try:
                 res, base = run_benchmark(entry, iters, args.verbose)

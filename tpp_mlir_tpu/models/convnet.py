@@ -1,0 +1,92 @@
+"""Conv model builders — the ResNet-style conv->BRGEMM benchmark family
+(BASELINE.md config 5: 3x3 stride-1 Conv2d -> BRGEMM per docs/ConvMapping.md
+with fused bias+ReLU epilogue)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..ir import Function, Module, TensorType, TppBuilder
+
+
+@dataclass
+class ConvConfig:
+    batch: int = 8
+    channels: int = 128          # input channels C
+    filters: int = 128           # output channels K
+    height: int = 30             # input H (output H-R+1)
+    width: int = 30
+    kernel: int = 3              # R = S
+    layers: int = 1              # stacked conv+bias+relu blocks
+    float_type: str = "f32"
+    bias: bool = True
+    relu: bool = True
+    const_weights: bool = True
+    seed: int = 0
+
+
+def conv_flops(cfg: ConvConfig) -> int:
+    total = 0
+    H, W = cfg.height, cfg.width
+    C = cfg.channels
+    for _ in range(cfg.layers):
+        P, Q = H - cfg.kernel + 1, W - cfg.kernel + 1
+        total += 2 * cfg.batch * cfg.filters * P * Q * C * cfg.kernel ** 2
+        if cfg.bias:
+            total += cfg.batch * cfg.filters * P * Q
+        if cfg.relu:
+            total += cfg.batch * cfg.filters * P * Q
+        H, W, C = P, Q, cfg.filters
+    return total
+
+
+def build_convnet(cfg: ConvConfig) -> Module:
+    dt = cfg.float_type
+    m = Module()
+    arg_types = [TensorType((cfg.batch, cfg.channels, cfg.height, cfg.width),
+                            dt)]
+    arg_names = ["x"]
+    if not cfg.const_weights:
+        C = cfg.channels
+        for i in range(cfg.layers):
+            arg_types.append(TensorType(
+                (cfg.filters, C, cfg.kernel, cfg.kernel), dt))
+            arg_names.append(f"w{i}")
+            if cfg.bias:
+                arg_types.append(TensorType((cfg.filters,), dt))
+                arg_names.append(f"b{i}")
+            C = cfg.filters
+    f = m.add(Function("entry", arg_types, arg_names))
+    b = TppBuilder(f)
+
+    x = f.args[0]
+    argi = 1
+    C, H, W = cfg.channels, cfg.height, cfg.width
+    for i in range(cfg.layers):
+        P, Q = H - cfg.kernel + 1, W - cfg.kernel + 1
+        if cfg.const_weights:
+            w = b.constant(TensorType((cfg.filters, C, cfg.kernel,
+                                       cfg.kernel), dt),
+                           init="normal", seed=cfg.seed + 2 * i + 1)
+            bias = b.constant(TensorType((cfg.filters,), dt), init="normal",
+                              seed=cfg.seed + 2 * i + 2) if cfg.bias else None
+        else:
+            w = f.args[argi]
+            argi += 1
+            bias = None
+            if cfg.bias:
+                bias = f.args[argi]
+                argi += 1
+        acc = b.constant(TensorType((cfg.batch, cfg.filters, P, Q), dt),
+                         init="zero")
+        x = b.conv2d_nchw_fchw(x, w, acc, strides=(1, 1))
+        if cfg.bias:
+            bias3 = b.reshape(bias, (cfg.filters, 1, 1))
+            x = b.add(x, bias3)
+        if cfg.relu:
+            x = b.relu(x)
+        C, H, W = cfg.filters, P, Q
+    b.ret(x)
+    m.attrs["flops"] = conv_flops(cfg)
+    m.verify()
+    return m
