@@ -460,18 +460,27 @@ def _build_batch_matmul(key, interpret: bool):
 
 
 def chain_fits_vmem(key: "ChainKey") -> bool:
-    """Budget check: all weights + biases + 2 activation buffers in VMEM."""
+    """Budget check: double-buffered weight slots + biases + activation
+    buffers in VMEM (the chain kernel streams weights, so only the two
+    largest consecutive layers must be resident at once)."""
     t = current_target()
     dsize = 2 if key.dtype in ("bf16", "f16") else 4
-    weights = sum(key.dims[i] * key.dims[i + 1]
-                  for i in range(len(key.dims) - 1)) * dsize
+    L = len(key.dims) - 1
+    wmax = max(key.dims[i] * key.dims[i + 1] for i in range(L)) * dsize
     biases = sum(key.dims[1:]) * dsize if key.has_bias else 0
-    bm = key.bm or min(key.m, 256)
+    bm = key.bm or min(key.m, 512)
     acts = 3 * bm * max(key.dims) * 4
-    return weights + biases + acts < int(t.vmem_bytes * 0.75)
+    return 2 * wmax + biases + acts < int(t.vmem_bytes * 0.8)
 
 
 def _build_chain(key, interpret: bool):
+    """Whole-chain fused MLP kernel, weight-streaming version.
+
+    Weights stay in HBM (memory_space=ANY) and are DMA'd into two ping-pong
+    VMEM slots: layer i+1's weight transfer overlaps layer i's MXU compute,
+    so the kernel runs at max(weight-DMA, compute) instead of their sum —
+    the double-buffering pattern from the pallas guide, applied across
+    layers instead of across K-blocks."""
     from .flags import ChainKey
     assert isinstance(key, ChainKey)
     m, dims = key.m, key.dims
@@ -479,18 +488,17 @@ def _build_chain(key, interpret: bool):
     dtype = _jdt(key.dtype)
     out_dtype = _jdt(key.out_dtype or key.dtype)
     sub, _ = current_target().min_tile(key.dtype)
-    bm = key.bm or min(m, 256)
+    bm = key.bm or min(m, 512)
     bm = max(sub, bm - bm % sub) if m % sub == 0 else bm
+    kmax = max(dims[:-1])
+    nmax = max(dims[1:])
 
     grid = (pl.cdiv(m, bm),)
     in_specs = [pl.BlockSpec((bm, dims[0]), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)]
     for li in range(L):
-        # weights/biases: one full resident block; the index map is constant
-        # so Pallas fetches each once and keeps it across M-blocks
-        in_specs.append(pl.BlockSpec((dims[li], dims[li + 1]),
-                                     lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM))
+        # weights stream from HBM via manual DMA (see kernel body)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         if key.has_bias:
             in_specs.append(pl.BlockSpec((1, dims[li + 1]), lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
@@ -499,19 +507,39 @@ def _build_chain(key, interpret: bool):
 
     act = _UNARY_FNS.get(key.unary_kind or "identity")
     last_act = _UNARY_FNS.get(key.last_unary or "identity")
+    step = 2 if key.has_bias else 1
 
     def kernel(*refs):
         x_ref = refs[0]
-        o_ref = refs[-1]
+        w_refs = [refs[1 + step * li] for li in range(L)]
+        b_refs = [refs[2 + step * li] for li in range(L)] \
+            if key.has_bias else [None] * L
+        o_ref = refs[1 + step * L]
+        wbuf = refs[2 + step * L]      # VMEM (2, kmax, nmax)
+        sems = refs[3 + step * L]      # DMA semaphores (2,)
+
+        def wcopy(li, slot):
+            kd, nd = dims[li], dims[li + 1]
+            return pltpu.make_async_copy(
+                w_refs[li],
+                wbuf.at[slot, :kd, :nd],
+                sems.at[slot])
+
+        # warm up: start layer-0 weight transfer
+        wcopy(0, 0).start()
+
         h = x_ref[:].astype(jnp.float32)
-        idx = 1
         for li in range(L):
-            w = refs[idx][:]
-            idx += 1
-            z = jnp.dot(h.astype(dtype), w, preferred_element_type=jnp.float32)
+            slot = li % 2
+            # overlap: kick off the next layer's weights before waiting
+            if li + 1 < L:
+                wcopy(li + 1, (li + 1) % 2).start()
+            wcopy(li, slot).wait()
+            w = wbuf[slot, :dims[li], :dims[li + 1]]
+            z = jnp.dot(h.astype(dtype), w,
+                        preferred_element_type=jnp.float32)
             if key.has_bias:
-                z = z + refs[idx][:].astype(jnp.float32)
-                idx += 1
+                z = z + b_refs[li][:].astype(jnp.float32)
             h = (act if li < L - 1 else last_act)(z)
         o_ref[:] = h.astype(out_dtype)
 
@@ -529,8 +557,10 @@ def _build_chain(key, interpret: bool):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((m, dims[-1]), out_dtype),
+        scratch_shapes=[pltpu.VMEM((2, kmax, nmax), dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("arbitrary",)),
         cost_estimate=cost,
         interpret=interpret,
     )
