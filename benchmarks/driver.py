@@ -1,163 +1,13 @@
 #!/usr/bin/env python
-"""Benchmark driver — JSON-config harness (reference benchmarks/driver.py +
-harness/controller.py, SURVEY.md 2.10).
+"""Shim: the harness lives in tpp_mlir_tpu.tools.bench_driver (also exposed
+as the `tpp-bench` console script). Configs live in benchmarks/configs/."""
 
-Each benchmark entry either generates a model (`gen` args string, like the
-reference's IR-GEN run type piping mlir-gen into tpp-run) or names a builder
-(`model`, for MHA pieces — the reference's hand-written benchmark kernels).
-The comparison target, where the reference uses hand-written libxsmm-dnn
-kernels, is the straight-XLA execution of the same program (`baseline: true`):
-"how far off are we from what the platform's own compiler does" — plus a
-roofline column from the target descriptor.
-
-Output per benchmark: `<name>: <gflops> gflops (<x>% roofline, <y>x vs XLA)`
-— and a JSON results file with --json.
-
-Hardware gating: a benchmark may list `targets` (e.g. ["tpu"], ["tpu-v5e"]),
-the analogue of the reference's CPU-extension regex gating
-(driver.py:73-103 ExtensionFlags).
-"""
-
-from __future__ import annotations
-
-import argparse
-import fnmatch
-import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def build_module(entry):
-    from tpp_mlir_tpu.ir import parse_module
-    from tpp_mlir_tpu.models import mha
-    from tpp_mlir_tpu.tools.mlir_gen import (build_parser, config_from_args,
-                                             generate_text)
-
-    if "gen" in entry:
-        args = build_parser().parse_args(entry["gen"].split())
-        return parse_module(generate_text(config_from_args(args)))
-    if "model" in entry:
-        from tpp_mlir_tpu.models import convnet
-
-        name, *rest = entry["model"].split(":", 1)
-        kwargs = json.loads(rest[0]) if rest else {}
-        builder = {
-            "mha_qk": mha.build_qk,
-            "mha_softmax_v": mha.build_softmax_v,
-            "mha_projection": mha.build_projection,
-            "mha_full": mha.build_mha,
-            "convnet": lambda **kw: convnet.build_convnet(
-                convnet.ConvConfig(**kw)),
-        }[name]
-        return builder(**kwargs)
-    raise ValueError(f"benchmark entry needs 'gen' or 'model': {entry}")
-
-
-def run_benchmark(entry, iters, verbose=False):
-    import jax.numpy as jnp
-
-    from tpp_mlir_tpu.passes import run_pipeline
-    from tpp_mlir_tpu.runtime import bench, tensor_init
-    from tpp_mlir_tpu.runtime import compile as tpp_compile
-    from tpp_mlir_tpu.runtime.perf import model_flops
-
-    module = build_module(entry)
-    flops = model_flops(module)
-    func = module["entry"]
-    args = tuple(
-        jnp.asarray(tensor_init(entry.get("init", "normal"), a.type.shape,
-                                a.type.dtype, seed=i))
-        for i, a in enumerate(func.args))
-
-    # XLA baseline: the same program, un-lowered (straight jnp under jit)
-    baseline_fn = tpp_compile(module, jit=True)
-    base = bench(baseline_fn, args, iters=iters, flops=flops)
-
-    run_pipeline(module, entry.get("pipeline", "default-tpp-passes"))
-    fn = tpp_compile(module, jit=True)
-    res = bench(fn, args, iters=iters, flops=flops)
-    return res, base
-
-
-def target_matches(entry) -> bool:
-    from tpp_mlir_tpu.utils.target import current_target
-
-    pats = entry.get("targets")
-    if not pats:
-        return True
-    name = current_target().name
-    return any(fnmatch.fnmatch(name, p) or name.startswith(p) for p in pats)
-
-
-def main(argv=None) -> int:
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("-c", "--config", action="append", required=True,
-                   help="JSON config file (repeatable)")
-    p.add_argument("-n", "--iters", type=int, default=0,
-                   help="override per-benchmark iterations")
-    p.add_argument("--json", help="write results JSON here")
-    p.add_argument("--filter", default="*", help="glob on benchmark names")
-    p.add_argument("--platform", default="",
-                   help="force a JAX platform (e.g. cpu for smoke tests; "
-                        "the env var alone cannot override the axon plugin)")
-    p.add_argument("-v", "--verbose", action="count", default=0,
-                   help="-v info, -vv debug (harness Logger levels)")
-    args = p.parse_args(argv)
-
-    if args.platform:
-        import jax
-        jax.config.update("jax_platforms", args.platform)
-
-    from tpp_mlir_tpu.utils.logger import Logger
-    from tpp_mlir_tpu.utils.target import current_target, roofline_flops
-
-    log = Logger(args.verbose)
-    log.info(f"target: {current_target().name}")
-    results = []
-    for cfg_path in args.config:
-        cfg = json.load(open(cfg_path))
-        for entry in cfg.get("benchmarks", []):
-            name = entry["name"]
-            if not fnmatch.fnmatch(name, args.filter):
-                continue
-            if not target_matches(entry):
-                print(f"{name}: SKIP (target gate {entry.get('targets')})")
-                continue
-            iters = args.iters or entry.get("iters", 100)
-            log.debug(f"running {name} (iters={iters})")
-            t0 = time.time()
-            try:
-                res, base = run_benchmark(entry, iters, args.verbose)
-            except Exception as e:
-                print(f"{name}: FAIL ({type(e).__name__}: {e})")
-                results.append({"name": name, "error": str(e)})
-                continue
-            dtype = entry.get("dtype", "bf16" if "bf16" in name else "f32")
-            roof = roofline_flops(dtype)
-            gflops = res.gflops
-            row = {"name": name, "mean_seconds": res.mean_seconds,
-                   "iters": iters,
-                   "baseline_mean_seconds": base.mean_seconds}
-            if gflops is not None:
-                pct = gflops * 1e9 / roof * 100
-                speedup = base.mean_seconds / res.mean_seconds
-                print(f"{name}: {gflops:10.3f} gflops "
-                      f"({pct:5.1f}% roofline, {speedup:4.2f}x vs XLA) "
-                      f"[{time.time()-t0:.0f}s]")
-                row.update(gflops=gflops, roofline_pct=pct,
-                           vs_xla=speedup)
-            else:
-                print(f"{name}: {res.mean_seconds*1e3:.3f} ms")
-            results.append(row)
-
-    if args.json:
-        json.dump({"target": current_target().name, "results": results},
-                  open(args.json, "w"), indent=1)
-    return 0
-
+from tpp_mlir_tpu.tools.bench_driver import main
 
 if __name__ == "__main__":
     sys.exit(main())

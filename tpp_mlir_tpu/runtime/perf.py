@@ -42,14 +42,18 @@ def _chain(step: Callable, n: int):
             out = step(*carry)
             outs = out if isinstance(out, tuple) else (out,)
             # feed outputs back into the matching leading args (same
-            # shape/dtype), keep the rest
+            # shape/dtype) so iterations are sequentially dependent ...
             new_args = list(carry)
             for o in outs:
                 for i, a in enumerate(new_args):
                     if a.shape == o.shape and a.dtype == o.dtype:
                         new_args[i] = o
                         break
-            return tuple(new_args), None
+            # ... and tie everything through an optimization barrier so XLA
+            # cannot hoist the (otherwise loop-invariant) kernel out of the
+            # scan when no output shape matches an input
+            tied = jax.lax.optimization_barrier(tuple(new_args) + outs)
+            return tied[:len(new_args)], None
         final, _ = jax.lax.scan(body, tuple(args), None, length=n)
         return jax.tree.map(lambda x: jnp.sum(x.astype(jnp.float32)), final)
 

@@ -509,38 +509,62 @@ def _build_chain(key, interpret: bool):
     last_act = _UNARY_FNS.get(key.last_unary or "identity")
     step = 2 if key.has_bias else 1
 
+    # Column-chunked streaming: each layer's weight is fetched as CHUNKS
+    # column slices through NBUF rotating VMEM slots, keeping several DMAs
+    # in flight (one stream does not saturate HBM) and overlapping the tail
+    # of layer i's compute with the head of layer i+1's transfers.
+    CHUNKS = 2 if min(dims[1:]) >= 256 else 1
+    if any(n % CHUNKS for n in dims[1:]):
+        CHUNKS = 1
+    queue = [(li, ci) for li in range(L) for ci in range(CHUNKS)]
+    NBUF = min(3, len(queue))
+    nc_of = {li: dims[li + 1] // CHUNKS for li in range(L)}
+    ncmax = max(nc_of.values())
+
     def kernel(*refs):
         x_ref = refs[0]
         w_refs = [refs[1 + step * li] for li in range(L)]
         b_refs = [refs[2 + step * li] for li in range(L)] \
             if key.has_bias else [None] * L
         o_ref = refs[1 + step * L]
-        wbuf = refs[2 + step * L]      # VMEM (2, kmax, nmax)
-        sems = refs[3 + step * L]      # DMA semaphores (2,)
+        wbuf = refs[2 + step * L]      # VMEM (NBUF, kmax, ncmax)
+        sems = refs[3 + step * L]      # DMA semaphores (NBUF,)
+        zbuf = refs[4 + step * L]      # VMEM (bm, nmax) f32 layer output
 
-        def wcopy(li, slot):
-            kd, nd = dims[li], dims[li + 1]
-            return pltpu.make_async_copy(
-                w_refs[li],
-                wbuf.at[slot, :kd, :nd],
-                sems.at[slot])
+        def start(qi):
+            li, ci = queue[qi]
+            kd, nc = dims[li], nc_of[li]
+            slot = qi % NBUF
+            pltpu.make_async_copy(
+                w_refs[li].at[:, pl.ds(ci * nc, nc)],
+                wbuf.at[slot, :kd, :nc],
+                sems.at[slot]).start()
 
-        # warm up: start layer-0 weight transfer
-        wcopy(0, 0).start()
+        for qi in range(NBUF):
+            start(qi)
 
         h = x_ref[:].astype(jnp.float32)
+        qi = 0
         for li in range(L):
-            slot = li % 2
-            # overlap: kick off the next layer's weights before waiting
-            if li + 1 < L:
-                wcopy(li + 1, (li + 1) % 2).start()
-            wcopy(li, slot).wait()
-            w = wbuf[slot, :dims[li], :dims[li + 1]]
-            z = jnp.dot(h.astype(dtype), w,
-                        preferred_element_type=jnp.float32)
-            if key.has_bias:
-                z = z + b_refs[li][:].astype(jnp.float32)
-            h = (act if li < L - 1 else last_act)(z)
+            kd, nc = dims[li], nc_of[li]
+            hd = h.astype(dtype)
+            a = act if li < L - 1 else last_act
+            for ci in range(CHUNKS):
+                slot = qi % NBUF
+                pltpu.make_async_copy(
+                    w_refs[li].at[:, pl.ds(ci * nc, nc)],
+                    wbuf.at[slot, :kd, :nc],
+                    sems.at[slot]).wait()
+                z = jnp.dot(hd, wbuf[slot, :kd, :nc],
+                            preferred_element_type=jnp.float32)
+                if key.has_bias:
+                    z = z + b_refs[li][:, pl.ds(ci * nc, nc)] \
+                        .astype(jnp.float32)
+                if qi + NBUF < len(queue):
+                    start(qi + NBUF)
+                zbuf[:, pl.ds(ci * nc, nc)] = a(z)
+                qi += 1
+            h = zbuf[:, :dims[li + 1]]
         o_ref[:] = h.astype(out_dtype)
 
     flops = sum(2 * m * dims[i] * dims[i + 1] for i in range(L))
@@ -557,8 +581,9 @@ def _build_chain(key, interpret: bool):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((m, dims[-1]), out_dtype),
-        scratch_shapes=[pltpu.VMEM((2, kmax, nmax), dtype),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[pltpu.VMEM((NBUF, kmax, ncmax), dtype),
+                        pltpu.SemaphoreType.DMA((NBUF,)),
+                        pltpu.VMEM((bm, nmax), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         cost_estimate=cost,
