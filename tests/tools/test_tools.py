@@ -92,3 +92,15 @@ def test_print_tensor_format(capsys):
     print_tensor(np.arange(6, dtype=np.float32).reshape(2, 3))
     out = capsys.readouterr().out
     assert out == "( 0, 1, 2 )\n( 3, 4, 5 )\n"
+
+
+def test_run_task_grid_mesh():
+    """--task-grid: data-parallel batch sharding over the CPU mesh."""
+    text = gen(["--batch=64", "--layers=32,32", "--bias", "--relu"])
+    m1 = parse_module(text)
+    r1 = run_module(m1, seed=3, init_type="rand")
+    m2 = parse_module(text)
+    r2 = run_module(m2, seed=3, init_type="rand", task_grid="8")
+    a = np.asarray(r1["outputs"][0], np.float32)
+    b = np.asarray(r2["outputs"][0], np.float32)
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)

@@ -1,0 +1,68 @@
+"""Flash-attention kernel + attention-fusion pass tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpp_mlir_tpu.models import mha
+from tpp_mlir_tpu.passes import run_pipeline
+from tpp_mlir_tpu.runtime import compile as tpp_compile
+from tpp_mlir_tpu.xsmm import build_kernel, reference_kernel
+from tpp_mlir_tpu.xsmm.flags import FlashMhaKey
+
+
+def rng(*shape, dtype=jnp.float32, seed=0):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape,
+                             jnp.float32).astype(dtype)
+
+
+def test_flash_kernel_matches_softmax():
+    key = FlashMhaKey(batch=2, seq=64, seq_kv=64, head_dim=32,
+                      bq=32, bk=32, scale=0.125)
+    kfn = build_kernel(key, interpret=True)
+    rfn = reference_kernel(key)
+    q, k, v = rng(2, 64, 32), rng(2, 64, 32, seed=1), rng(2, 64, 32, seed=2)
+    np.testing.assert_allclose(np.asarray(kfn(q, k, v), np.float32),
+                               np.asarray(rfn(q, k, v), np.float32),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_flash_kernel_causal():
+    key = FlashMhaKey(batch=1, seq=64, seq_kv=64, head_dim=32,
+                      bq=32, bk=32, causal=True)
+    kfn = build_kernel(key, interpret=True)
+    rfn = reference_kernel(key)
+    q, k, v = rng(1, 64, 32), rng(1, 64, 32, seed=1), rng(1, 64, 32, seed=2)
+    np.testing.assert_allclose(np.asarray(kfn(q, k, v), np.float32),
+                               np.asarray(rfn(q, k, v), np.float32),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_flash_kernel_bf16():
+    key = FlashMhaKey(batch=2, seq=128, seq_kv=128, head_dim=64,
+                      dtype="bf16", out_dtype="f32")
+    kfn = build_kernel(key, interpret=True)
+    rfn = reference_kernel(key)
+    q = rng(2, 128, 64, dtype=jnp.bfloat16)
+    k = rng(2, 128, 64, seed=1, dtype=jnp.bfloat16)
+    v = rng(2, 128, 64, seed=2, dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(kfn(q, k, v), np.float32),
+                               np.asarray(rfn(q, k, v), np.float32),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_attention_fusion_from_mha_model():
+    """The MHA benchmark model lowers to one xsmm.attention kernel."""
+    m = mha.build_mha(batch=1, heads=2, seq=64, head_dim=32)
+    ref = tpp_compile(m, jit=False)
+    args = tuple(rng(2, 64, 32, seed=i) for i in range(3))
+    want = ref(*args)[0]
+
+    run_pipeline(m, "default-tpp-passes")
+    s = str(m)
+    assert "xsmm.attention" in s
+    assert "tl.softmax" not in s and "xsmm.batch_gemm" not in s
+    got = tpp_compile(m, jit=False)(*args)[0]
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=1e-4, rtol=1e-4)

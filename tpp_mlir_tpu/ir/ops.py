@@ -320,6 +320,24 @@ def _v_reshape(op):
         _fail(op, "element count must be preserved")
 
 
+@_op("tl.attention")
+def _v_attention(op):
+    # Fused attention core: softmax(Q Kt * scale) V over [B, S, D] operands
+    # (formed by the attention-fusion pass from the MHA benchmark pattern;
+    # reference ships the pieces separately, benchmarks/mlir/fp32-*.mlir).
+    if len(op.operands) != 3:
+        _fail(op, "expects (Q, K, V)")
+    q, k, v = (_t(x) for x in op.operands)
+    if not (q.rank == k.rank == v.rank == 3):
+        _fail(op, "operands must be rank-3 [batch, seq, head_dim]")
+    B, S, D = q.shape
+    B2, Skv, D2 = k.shape
+    if B != B2 or D != D2 or v.shape != (B2, Skv, D):
+        _fail(op, f"shape mismatch q{q.shape} k{k.shape} v{v.shape}")
+    if op.result.type.shape != (B, S, D):
+        _fail(op, f"result {op.result.type.shape} != {(B, S, D)}")
+
+
 @_op("tl.pack")
 def _v_pack(op):
     # pack(src) {inner_dims, inner_tiles, outer_perm?} -> blocked tensor
@@ -560,6 +578,30 @@ def _v_xsmm_batch_gemm(op):
     if a.shape != (B, m, k) or b.shape != (B, k, n) or c.shape != (B, m, n):
         _fail(op, f"dispatch({B},{m},{n},{k}) inconsistent with operands "
                   f"{a.shape},{b.shape},{c.shape}")
+
+
+@_op("xsmm.attention_dispatch")
+def _v_attention_dispatch(op):
+    if op.operands:
+        _fail(op, "dispatch is pure, takes no operands")
+    for a in ("batch", "seq", "seq_kv", "head_dim"):
+        if a not in op.attrs:
+            _fail(op, f"missing attr '{a}'")
+    if op.result.type != I64:
+        _fail(op, "dispatch returns an i64 kernel handle")
+
+
+@_op("xsmm.attention")
+def _v_xsmm_attention(op):
+    if len(op.operands) != 4:
+        _fail(op, "expects (dispatch, Q, K, V)")
+    d = _dispatch_of(op)
+    if d is None or d.opname != "xsmm.attention_dispatch":
+        _fail(op, "first operand must be an attention_dispatch result")
+    q = op.operands[1].type
+    B, S, D = d.attrs["batch"], d.attrs["seq"], d.attrs["head_dim"]
+    if q.shape != (B, S, D):
+        _fail(op, f"dispatch inconsistent with Q {q.shape}")
 
 
 @_op("xsmm.fused_chain_dispatch")

@@ -1,0 +1,87 @@
+"""attention-fusion: recognize the MHA core and form tl.attention.
+
+Pattern (the reference's MHA benchmark suite shape,
+benchmarks/mlir/fp32-{query-times-key,out-softmax-times-value}.mlir and
+test/Passes/pass-tile-and-fuse-mha.mlir):
+
+    kt  = tl.transpose(K, (0, 2, 1))
+    s   = tl.batch_matmul(Q, kt, zero)     [optionally s = mul(s, scale)]
+    p   = tl.softmax(s, axis=-1)
+    out = tl.batch_matmul(p, V, zero)
+
+becomes one tl.attention, lowered to the flash-attention Pallas kernel
+(blocked online softmax; SURVEY.md section 5 'TPU plan'). Must run before
+decompose-softmax.
+"""
+
+from __future__ import annotations
+
+from ..ir import Function, Module, TppBuilder
+from ..ir.matcher import is_zero_op
+from .pass_manager import Pass, register
+
+
+@register
+class AttentionFusionPass(Pass):
+    name = "attention-fusion"
+
+    def run_on_function(self, func: Function, module: Module) -> bool:
+        changed = False
+        b = TppBuilder(func)
+        for op in list(func.ops):
+            if op.parent is None or op.opname != "tl.batch_matmul":
+                continue
+            # op is the final P @ V
+            P, V, C2 = op.operands
+            if not is_zero_op(C2.owner):
+                continue
+            sm = P.owner
+            scale = 1.0
+            if sm is not None and sm.opname == "tl.mul":
+                continue  # scale-after-softmax: not the pattern
+            if sm is None or sm.opname != "tl.softmax":
+                continue
+            axis = sm.attrs.get("axis", -1)
+            if axis not in (-1, 2):
+                continue
+            s_val = sm.operands[0]
+            s_op = s_val.owner
+            if s_op is not None and s_op.opname == "tl.mul":
+                other = s_op.operands[1]
+                const = other.owner
+                if const is not None and const.opname == "tl.constant" \
+                        and const.attrs.get("init") == "const" \
+                        and const.result.type.num_elements == 1:
+                    scale = float(const.attrs.get("value", 1.0))
+                    s_op = s_op.operands[0].owner
+                else:
+                    continue
+            if s_op is None or s_op.opname != "tl.batch_matmul":
+                continue
+            Q, KT, C1 = s_op.operands
+            if not is_zero_op(C1.owner):
+                continue
+            tr = KT.owner
+            if tr is None or tr.opname != "tl.transpose" \
+                    or tuple(tr.attrs.get("perm", ())) != (0, 2, 1):
+                continue
+            K = tr.operands[0]
+            if len(sm.result.uses) != 1 or len(s_op.result.uses) != 1:
+                continue
+
+            attrs = {"scale": scale}
+
+            def emit(bb):
+                return bb.create("tl.attention", [Q, K, V],
+                                 [op.result.type], attrs).result
+
+            start = len(func.ops)
+            res = emit(b)
+            new_ops = func.ops[start:]
+            del func.ops[start:]
+            pos = func.ops.index(op)
+            func.ops[pos:pos] = new_ops
+            func.replace_all_uses(op.result, res)
+            func.erase(op)
+            changed = True
+        return changed

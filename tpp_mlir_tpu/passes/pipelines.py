@@ -65,6 +65,7 @@ def default_tpp_passes(pack: bool = False, **opts):
 
     return [
         "fold-add-into-dest",
+        "attention-fusion",
         "decompose-softmax",
         "cleanup",
         *expand_pipeline("tpp-mapping", pack=pack),

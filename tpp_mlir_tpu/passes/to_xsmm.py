@@ -107,6 +107,26 @@ class ConvertTlToXsmmPass(Pass):
                 func.erase(op)
                 changed = True
 
+            elif name == "tl.attention" and "attention" not in skip:
+                Q, K, V = op.operands
+                Bt, S, D = Q.type.shape
+                Skv = K.type.shape[1]
+                attrs = {"batch": Bt, "seq": S, "seq_kv": Skv,
+                         "head_dim": D, "scale": op.attrs.get("scale", 1.0),
+                         "causal": bool(op.attrs.get("causal", False)),
+                         "dtype": Q.type.dtype, "flags": ()}
+
+                def emit():
+                    d = b.create("xsmm.attention_dispatch", [], [I64], attrs)
+                    inv = b.create("xsmm.attention", [d.result, Q, K, V],
+                                   [op.result.type])
+                    _carry(op, inv)
+                    return inv.result
+                res, _ = before(op, emit)
+                func.replace_all_uses(op.result, res)
+                func.erase(op)
+                changed = True
+
             elif name == "tl.batch_matmul" and "batch_matmul" not in skip:
                 A, B, C = op.operands
                 Bt, m, k = A.type.shape

@@ -139,6 +139,15 @@ def _eval_tl(op: Operation, vals: list, interpret_kernels: bool):
         fn = {"sum": jnp.sum, "max": jnp.max}[op.attrs["kind"]]
         return fn(vals[0], axis=tuple(op.attrs["axes"]),
                   keepdims=op.attrs.get("keepdims", True)).astype(odt)
+    if name == "tl.attention":
+        q, k, v = vals
+        s = jnp.einsum("bqd,bkd->bqk", acc32(q), acc32(k)) \
+            * op.attrs.get("scale", 1.0)
+        if op.attrs.get("causal"):
+            S, Skv = s.shape[1], s.shape[2]
+            s = jnp.where(jnp.tril(jnp.ones((S, Skv), bool))[None], s, -1e30)
+        p_ = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bqk,bkd->bqd", p_, acc32(v)).astype(odt)
     if name == "tl.softmax":
         return jax.nn.softmax(acc32(vals[0]),
                               axis=op.attrs.get("axis", -1)).astype(odt)
@@ -283,6 +292,13 @@ def _dispatch_key(d: Operation, invoke: Operation):
                         has_bias=bool(a.get("has_bias", True)),
                         unary_kind=_kind(a.get("unary_kind")),
                         last_unary=_kind(a.get("last_unary")))
+    if name == "xsmm.attention_dispatch":
+        from ..xsmm.flags import FlashMhaKey
+        return FlashMhaKey(batch=a["batch"], seq=a["seq"],
+                           seq_kv=a["seq_kv"], head_dim=a["head_dim"],
+                           dtype=a["dtype"], out_dtype=out_dtype,
+                           scale=float(a.get("scale", 1.0)),
+                           causal=bool(a.get("causal", False)))
     if name == "xsmm.batch_gemm_dispatch":
         from ..xsmm.flags import BatchMatmulKey
         return BatchMatmulKey(batch=a["batch"], m=a["m"], n=a["n"], k=a["k"],
@@ -328,6 +344,8 @@ def _eval_xsmm(op: Operation, vals: list, interpret_kernels: bool):
         _, a, b, c, bias = vals
         bias = _normalize_bias(key, bias) if key.binary_kind else None
         return fn(a, b, None if key.beta0 else c, bias)
+    if name == "xsmm.attention":
+        return fn(vals[1], vals[2], vals[3])
     if name == "xsmm.batch_gemm":
         _, a_, b_, c_ = vals
         return fn(a_, b_, None if key.beta0 else c_)

@@ -56,7 +56,8 @@ def run_module(module: Module, func_name: str = "entry", n: int = 0,
                init_type: str = "normal", seed: int = 0,
                pipeline: str = "default-tpp-passes",
                linalg_to_loops: bool = False, print_result: bool = False,
-               print_mlir: str = "", out_stream=None) -> dict:
+               print_mlir: str = "", task_grid: str = "",
+               out_stream=None) -> dict:
     out_stream = out_stream or sys.stdout
     stages = {"early": None, "late": None}
     if print_mlir == "early":
@@ -69,6 +70,22 @@ def run_module(module: Module, func_name: str = "entry", n: int = 0,
     args = init_args(module, func_name, init_type, seed)
     fn = tpp_compile(module, func_name,
                      interpret_kernels=interpret_default() or None)
+    if task_grid:
+        # the reference's --def-parallel / --parallel-task-grid across
+        # devices: shard the leading (batch) dim of arg 0 over a mesh
+        # (SURVEY.md 2.12); e.g. --task-grid 2x4 -> dp=2, tp=4 mesh with
+        # batch sharded over dp
+        from ..parallel import data_parallel_run, make_mesh
+
+        dims = [int(x) for x in task_grid.replace("x", ",").split(",")]
+        shape = {"dp": dims[0]}
+        if len(dims) > 1 and dims[1] > 1:
+            shape["tp"] = dims[1]
+        mesh = make_mesh(shape)
+        inner = tpp_compile(module, func_name, jit=False,
+                            interpret_kernels=interpret_default() or None)
+        fn = data_parallel_run(inner, mesh, batch_arg_indices=[0],
+                               num_args=len(args))
     result = {"module": module}
     if n > 0:
         res = bench(fn, args, iters=n, flops=model_flops(module))
@@ -102,6 +119,10 @@ def main(argv=None) -> int:
     p.add_argument("--pipeline", default="default-tpp-passes")
     p.add_argument("-print-mlir", "--print-mlir",
                    choices=["", "early", "mid", "late"], default="")
+    p.add_argument("--task-grid", "-parallel-task-grid", default="",
+                   help="shard the batch over a device mesh, e.g. '2x4' "
+                        "(the reference's --parallel-task-grid analogue, "
+                        "SURVEY.md 2.12)")
     p.add_argument("--profile", default="",
                    help="write a jax profiler trace to this directory "
                         "(the reference's perf-dialect timing + IR staging "
@@ -126,7 +147,7 @@ def main(argv=None) -> int:
                    seed=args.seed, pipeline=args.pipeline,
                    linalg_to_loops=args.linalg_to_loops,
                    print_result=args.print_result,
-                   print_mlir=args.print_mlir)
+                   print_mlir=args.print_mlir, task_grid=args.task_grid)
 
     if args.profile:
         import jax

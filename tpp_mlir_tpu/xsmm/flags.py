@@ -132,6 +132,28 @@ class ConvBrgemmKey:
 
 
 @dataclass(frozen=True)
+class FlashMhaKey:
+    """Key for the fused attention kernel softmax(Q Kt * scale) V with
+    blocked online softmax (flash attention). The reference only ships the
+    three MHA pieces as separate benchmark kernels
+    (benchmarks/mlir/fp32-{query-times-key,out-softmax-times-value,
+    projection}.mlir) plus a tile-and-fuse MHA test; fusing the whole
+    attention core into one MXU kernel is the TPU-native extension
+    (SURVEY.md section 5 'TPU plan: flash-style blocked softmax.V')."""
+
+    batch: int                 # batch * heads
+    seq: int
+    seq_kv: int
+    head_dim: int
+    dtype: str = "f32"
+    out_dtype: str | None = None
+    scale: float = 1.0
+    causal: bool = False
+    bq: int = 0                # query block (0 = heuristic)
+    bk: int = 0                # key/value block
+
+
+@dataclass(frozen=True)
 class UnaryKey:
     kind: str                      # identity/zero/relu/transpose/vnni2/...
     shape: tuple[int, ...]

@@ -599,6 +599,92 @@ def _build_chain(key, interpret: bool):
     return fn
 
 
+def _build_flash_mha(key, interpret: bool):
+    """Fused attention: one kernel per (batch, q-block) computing
+    softmax(Q Kt * scale) V with the online-softmax recurrence; KV blocks are
+    the innermost 'arbitrary' grid dim, so their HBM->VMEM copies pipeline
+    against the two MXU contractions per step."""
+    from .flags import FlashMhaKey
+    assert isinstance(key, FlashMhaKey)
+    B, S, Skv, D = key.batch, key.seq, key.seq_kv, key.head_dim
+    dtype = _jdt(key.dtype)
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    sub, lane = current_target().min_tile(key.dtype)
+    bq = key.bq or _divisor_block(S, 512, sub)
+    bk = key.bk or _divisor_block(Skv, 512, lane if Skv % lane == 0 else sub)
+    nq = pl.cdiv(S, bq)
+    nk = pl.cdiv(Skv, bk)
+    grid = (B, nq, nk)
+
+    in_specs = [
+        pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref):
+        j = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            m_ref[:] = jnp.full_like(m_ref, -1e30)
+            l_ref[:] = jnp.zeros_like(l_ref)
+
+        q = q_ref[0].astype(jnp.float32) * key.scale
+        k = k_ref[0]
+        s_blk = jax.lax.dot_general(
+            q.astype(dtype), k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bq, bk)
+        if key.causal:
+            i = pl.program_id(1)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + i * bq
+            cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + j * bk
+            s_blk = jnp.where(rows >= cols, s_blk, -1e30)
+
+        m_prev = m_ref[:]
+        l_prev = l_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s_blk, axis=1, keepdims=True))
+        p = jnp.exp(s_blk - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = m_new
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            p.astype(dtype), v_ref[0], preferred_element_type=jnp.float32)
+
+        @pl.when(j == nk - 1)
+        def _finish():
+            o_ref[0] = (acc_ref[:] / l_ref[:]).astype(out_dtype)
+
+    dsize = jnp.dtype(dtype).itemsize
+    cost = pl.CostEstimate(
+        flops=4 * B * S * Skv * D,
+        bytes_accessed=B * (S * D * 2 + 2 * Skv * D) * dsize,
+        transcendentals=B * S * Skv)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, S, D), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32),
+                        pltpu.VMEM((bq, 1), jnp.float32),
+                        pltpu.VMEM((bq, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+
+    return lambda q, k, v: call(q, k, v)
+
+
 def _build_conv_brgemm(key: ConvBrgemmKey, interpret: bool):
     """Channel-blocked conv as BRGEMM. Stride-1 (any R,S): the (r,s) filter
     tap slides a (P,Q) window over the resident (H,W) input block, so the
@@ -754,11 +840,13 @@ def build_kernel(key, interpret: bool | None = None):
         return _build_blocked_matmul(key, interpret)
     if isinstance(key, ConvBrgemmKey):
         return _build_conv_brgemm(key, interpret)
-    from .flags import BatchMatmulKey, ChainKey
+    from .flags import BatchMatmulKey, ChainKey, FlashMhaKey
     if isinstance(key, ChainKey):
         return _build_chain(key, interpret)
     if isinstance(key, BatchMatmulKey):
         return _build_batch_matmul(key, interpret)
+    if isinstance(key, FlashMhaKey):
+        return _build_flash_mha(key, interpret)
     if isinstance(key, UnaryKey):
         return _build_unary(key, interpret)
     if isinstance(key, BinaryKey):

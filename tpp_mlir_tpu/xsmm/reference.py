@@ -128,6 +128,22 @@ def chain_reference(key):
     return fn
 
 
+def flash_mha_reference(key):
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+
+    def fn(q, k, v):
+        s = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32),
+                       k.astype(jnp.float32)) * key.scale
+        if key.causal:
+            S, Skv = s.shape[1], s.shape[2]
+            mask = jnp.tril(jnp.ones((S, Skv), bool))
+            s = jnp.where(mask[None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bqk,bkd->bqd", p,
+                          v.astype(jnp.float32)).astype(out_dtype)
+    return fn
+
+
 def reference_kernel(key):
     from .kernels import _build_binary, _build_unary
 
@@ -137,11 +153,13 @@ def reference_kernel(key):
         return blocked_matmul_reference(key)
     if isinstance(key, ConvBrgemmKey):
         return conv_brgemm_reference(key)
-    from .flags import BatchMatmulKey, ChainKey
+    from .flags import BatchMatmulKey, ChainKey, FlashMhaKey
     if isinstance(key, ChainKey):
         return chain_reference(key)
     if isinstance(key, BatchMatmulKey):
         return batch_matmul_reference(key)
+    if isinstance(key, FlashMhaKey):
+        return flash_mha_reference(key)
     if isinstance(key, (UnaryKey, BinaryKey)):
         # eltwise kernels are already jnp closures; reference == kernel
         return (_build_unary if isinstance(key, UnaryKey)
