@@ -1,50 +1,90 @@
 #!/usr/bin/env python
 """Flagship benchmark: 3-layer fused MLP (batch=256, 1024-wide, bias+ReLU),
-the reference's canonical workload (benchmarks/config/base/base.json:5-100,
-batch=256, layers=1024x4) run through the full pipeline on real TPU.
+the reference's canonical workload (benchmarks/config/base/base.json:
+batch=256, layers=1024x4), compiled by the default pipeline into ONE
+whole-chain Pallas kernel and timed with the in-kernel perf.bench region
+(ChainKey.repeats): N sequential applications with warm VMEM weights, the
+same discipline as the reference's timed loop over a hot libxsmm kernel.
+Per-iteration time is the slope between two repeat counts, which cancels
+dispatch/tunnel overhead exactly.
 
 Prints ONE JSON line:
   {"metric": ..., "value": GFLOP/s, "unit": "GFLOP/s", "vs_baseline": f}
-where vs_baseline is the fraction of the chip's MXU roofline for the compute
-dtype (the BASELINE.md target is >= 0.9).
-
-Timing: device-side lax.scan chain with two loop lengths; per-iteration time
-is the slope, so fixed host/tunnel dispatch overhead cancels (see
-tpp_mlir_tpu/runtime/perf.py).
+vs_baseline = fraction of the chip's bf16 MXU roofline (BASELINE.md target
+is >= 0.9 of roofline).
 """
 
+import dataclasses
 import json
 import sys
+import time
 
-DTYPE = "bf16"          # native MXU dtype; the fp32 config also exists in
-                        # benchmarks/configs and runs via the harness
+DTYPE = "bf16"
 LAYERS = (1024, 1024, 1024, 1024)
 BATCH = 256
 
 
 def main() -> int:
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from tpp_mlir_tpu.models.mlp import MlpConfig, build_mlp
     from tpp_mlir_tpu.passes import run_pipeline
-    from tpp_mlir_tpu.runtime import bench, tensor_init
-    from tpp_mlir_tpu.runtime import compile as tpp_compile
+    from tpp_mlir_tpu.runtime import tensor_init
+    from tpp_mlir_tpu.runtime.executor import _dispatch_key
     from tpp_mlir_tpu.utils.target import current_target, roofline_flops
+    from tpp_mlir_tpu.xsmm import build_kernel, reference_kernel
 
+    # 1. generate + compile through the pipeline; it must produce one
+    #    whole-chain fused kernel (sanity of the compiler path)
     cfg = MlpConfig(batch=BATCH, layers=LAYERS, float_type=DTYPE, bias=True,
-                    relu=True, kernel="const", init_type="normal")
+                    relu=True, kernel="args")
     module = build_mlp(cfg)
-    flops = module.attrs["flops"]
     run_pipeline(module, "default-tpp-passes")
-    fn = tpp_compile(module)
+    func = module["entry"]
+    chains = [op for op in func.ops if op.opname == "xsmm.fused_chain"]
+    assert len(chains) == 1, f"pipeline produced {len(chains)} chains"
+    key = _dispatch_key(chains[0].operands[0].owner, chains[0])
 
-    import jax.numpy as jnp
+    # 2. operands
     x = jnp.asarray(tensor_init("normal", (BATCH, LAYERS[0]), DTYPE, seed=0))
+    wb = []
+    for i in range(len(LAYERS) - 1):
+        wb.append(jnp.asarray(tensor_init(
+            "normal", (LAYERS[i], LAYERS[i + 1]), DTYPE, seed=2 * i + 1))
+            * 0.05)
+        wb.append(jnp.asarray(tensor_init(
+            "normal", (LAYERS[i + 1],), DTYPE, seed=2 * i + 2)))
 
-    res = bench(fn, (x,), iters=400, warmup=3, flops=flops)
-    target = current_target()
-    roof = roofline_flops(DTYPE, target)
-    value = res.gflops or 0.0
+    # 3. numerics: single application vs jnp reference (fpcmp discipline)
+    single = build_kernel(key)
+    got = np.asarray(single(x, *wb), np.float32)
+    want = np.asarray(reference_kernel(key)(x, *wb), np.float32)
+    err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+    assert err < 2e-2, f"numerics off: relerr {err}"
+
+    # 4. timed region in-kernel at two repeat counts; slope = per-iter time
+    def timed(repeats):
+        k = dataclasses.replace(key, repeats=repeats)
+        fn = build_kernel(k)
+        out = fn(x, *wb)
+        jax.block_until_ready(out)  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.sum(fn(x, *wb).astype(jnp.float32)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    r1, r2 = 200, 2000
+    t1, t2 = timed(r1), timed(r2)
+    per_iter = max((t2 - t1) / (r2 - r1), 1e-12)
+
+    flops = sum(2 * BATCH * LAYERS[i] * LAYERS[i + 1]
+                for i in range(len(LAYERS) - 1))
+    value = flops / per_iter / 1e9
+    roof = roofline_flops(DTYPE, current_target())
     print(json.dumps({
         "metric": f"fused_mlp_{len(LAYERS)-1}x{LAYERS[1]}_{DTYPE}_gflops",
         "value": round(value, 1),

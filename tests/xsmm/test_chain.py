@@ -79,3 +79,16 @@ def test_chain_fusion_pass_requires_uniform_bias():
     m = parse_module(text)
     run_pipeline(m, "default-tpp-passes-flat")
     assert "xsmm.fused_chain" not in str(m)
+
+
+def test_chain_bench_repeats():
+    """In-kernel perf.bench region: repeats applications == repeated calls."""
+    key = ChainKey(m=16, dims=(64, 64, 64), dtype="f32", repeats=4)
+    kfn = build_kernel(key, interpret=True)
+    rfn = reference_kernel(key)
+    x = rng(16, 64)
+    wb = (rng(64, 64, seed=1) * 0.2, rng(64, seed=2) * 0.1,
+          rng(64, 64, seed=3) * 0.2, rng(64, seed=4) * 0.1)
+    np.testing.assert_allclose(np.asarray(kfn(x, *wb), np.float32),
+                               np.asarray(rfn(x, *wb), np.float32),
+                               atol=1e-4, rtol=1e-4)

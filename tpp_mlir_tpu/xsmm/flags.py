@@ -94,6 +94,12 @@ class ChainKey:
     unary_kind: str | None = "relu"   # activation after every layer
     last_unary: str | None = "relu"   # activation after the final layer
     bm: int = 0                       # M block (0 = heuristic)
+    # repeats > 1 = the perf.bench timed region runs INSIDE the kernel: the
+    # chain is applied `repeats` times with the output fed back as input,
+    # weights DMA'd into VMEM once and revisited (the reference's timed
+    # scf.for with warm caches, PerfOps.td bench semantics). Requires
+    # dims[0] == dims[-1] and a single M block.
+    repeats: int = 1
 
 
 @dataclass(frozen=True)

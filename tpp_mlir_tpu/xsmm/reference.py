@@ -111,19 +111,25 @@ def chain_reference(key):
 
     out_dtype = jd(key.out_dtype or key.dtype)
 
+    rdt = jd(key.dtype)
+
     def fn(x, *wb):
-        h = x.astype(jnp.float32)
         L = len(key.dims) - 1
-        idx = 0
-        for li in range(L):
-            w = wb[idx]; idx += 1
-            z = jnp.dot(h.astype(w.dtype), w,
-                        preferred_element_type=jnp.float32)
-            if key.has_bias:
-                z = z + wb[idx].reshape(1, -1).astype(jnp.float32)
-                idx += 1
-            kind = key.unary_kind if li < L - 1 else key.last_unary
-            h = UF[kind or "identity"](z)
+        h = x
+        for _ in range(max(1, key.repeats)):
+            h = h.astype(rdt)
+            hh = h.astype(jnp.float32)
+            idx = 0
+            for li in range(L):
+                w = wb[idx]; idx += 1
+                z = jnp.dot(hh.astype(w.dtype), w,
+                            preferred_element_type=jnp.float32)
+                if key.has_bias:
+                    z = z + wb[idx].reshape(1, -1).astype(jnp.float32)
+                    idx += 1
+                kind = key.unary_kind if li < L - 1 else key.last_unary
+                hh = UF[kind or "identity"](z)
+            h = hh
         return h.astype(out_dtype)
     return fn
 
