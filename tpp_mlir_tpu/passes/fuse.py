@@ -111,7 +111,17 @@ class TileAndFusePass(Pass):
             return
         a, b, c = (v.type for v in anchor.operands)
         m, n, k = get(a, b, c)
-        bm, bn, bk = pick_blocks(m, n, k, a.dtype)
+        # explicit register-blocking override (the reference's
+        # --registerBlocking flag, tpp-run.cpp:66-148) via pass option or
+        # module attr, else the MXU/VMEM heuristic
+        rb = self.options.get("blocks")
+        if not rb and anchor.parent is not None \
+                and anchor.parent.module is not None:
+            rb = anchor.parent.module.attrs.get("register_blocking")
+        if rb:
+            bm, bn, bk = rb
+        else:
+            bm, bn, bk = pick_blocks(m, n, k, a.dtype)
         anchor.attrs.setdefault("tile_m", bm)
         anchor.attrs.setdefault("tile_n", bn)
         anchor.attrs.setdefault("tile_k", bk)

@@ -63,19 +63,27 @@ def run_benchmark(entry, iters, verbose=False):
 
     module = build_module(entry)
     flops = model_flops(module)
+    if not flops:
+        from tpp_mlir_tpu.utils.flops import count_flops
+        flops = count_flops(module)
     func = module["entry"]
     args = tuple(
         jnp.asarray(tensor_init(entry.get("init", "normal"), a.type.shape,
                                 a.type.dtype, seed=i))
         for i, a in enumerate(func.args))
 
+    # Timing uses the two-length slope; start long enough that the adaptive
+    # escalation (one remote compile per length) rarely triggers — each
+    # remote compile through the tunnel costs minutes.
+    bench_iters = max(iters, 4000)
+
     # XLA baseline: the same program, un-lowered (straight jnp under jit)
     baseline_fn = tpp_compile(module, jit=True)
-    base = bench(baseline_fn, args, iters=iters, flops=flops)
+    base = bench(baseline_fn, args, iters=bench_iters, flops=flops)
 
     run_pipeline(module, entry.get("pipeline", "default-tpp-passes"))
     fn = tpp_compile(module, jit=True)
-    res = bench(fn, args, iters=iters, flops=flops)
+    res = bench(fn, args, iters=bench_iters, flops=flops)
     return res, base
 
 

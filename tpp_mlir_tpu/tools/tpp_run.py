@@ -119,6 +119,9 @@ def main(argv=None) -> int:
     p.add_argument("--pipeline", default="default-tpp-passes")
     p.add_argument("-print-mlir", "--print-mlir",
                    choices=["", "early", "mid", "late"], default="")
+    p.add_argument("--register-blocking", "-registerBlocking", default="",
+                   help="force m,n,k kernel block sizes (reference "
+                        "--registerBlocking)")
     p.add_argument("--task-grid", "-parallel-task-grid", default="",
                    help="shard the batch over a device mesh, e.g. '2x4' "
                         "(the reference's --parallel-task-grid analogue, "
@@ -141,6 +144,9 @@ def main(argv=None) -> int:
     text = sys.stdin.read() if args.input == "-" else open(args.input).read()
     module = parse_module(text)
     module.verify()
+    if args.register_blocking:
+        module.attrs["register_blocking"] = tuple(
+            int(x) for x in args.register_blocking.split(","))
 
     def go():
         run_module(module, args.entry, n=args.n, init_type=args.init_type,
