@@ -422,6 +422,86 @@ def compile(module: Module, func_name: str = "entry",
     return jax.jit(fn) if jit else fn
 
 
+def extract_bench_kernel(module: Module, func_name: str = "entry"):
+    """If the lowered function is a single chain/fc kernel application, return
+    (ChainKey, get_operands) so the harness can time it with the in-kernel
+    perf.bench region (ChainKey.repeats — warm VMEM weights, SURVEY's
+    perf.bench semantics). Returns None when the program shape doesn't
+    qualify (then the scan-based bench applies).
+
+    get_operands(args) eagerly evaluates the kernel's (x, w/b...) operands
+    (constants, reshapes, packs — the one-time setup the reference also
+    excludes from its timed loop)."""
+    from ..xsmm.flags import ChainKey
+
+    func = module[func_name]
+    invokes = [op for op in func.ops
+               if op.opname.startswith("xsmm.")
+               and not op.opname.endswith("_dispatch")]
+    if len(invokes) != 1 or len(func.returns) != 1:
+        return None
+    inv = invokes[0]
+    if func.returns[0] is not inv.result:
+        return None
+    d = inv.operands[0].owner
+
+    if inv.opname == "xsmm.fused_chain":
+        key = _dispatch_key(d, inv)
+        wb_ops = inv.operands[1:]
+    elif inv.opname in ("xsmm.fused_brgemm", "xsmm.gemm"):
+        a = d.attrs
+        if a.get("layout", "flat") != "flat" or a.get("batch", 1) != 1:
+            return None
+        if "beta_0" not in a.get("flags", ()):
+            return None
+        if a.get("vnni") or "transpose_b" in a.get("flags", ()):
+            return None
+        has_bias = (inv.opname == "xsmm.fused_brgemm"
+                    and a.get("binary_kind") == "add"
+                    and a.get("binary_bcast", "bcast_col") == "bcast_col")
+        if inv.opname == "xsmm.fused_brgemm" \
+                and a.get("binary_kind") not in ("add", "none", None):
+            return None
+        un = a.get("unary_kind")
+        key = ChainKey(
+            m=a["m"], dims=(a["k"], a["n"]), dtype=a["dtype"],
+            out_dtype=inv.result.type.dtype, has_bias=has_bias,
+            unary_kind=None if un in (None, "none", "identity") else un,
+            last_unary=None if un in (None, "none", "identity") else un)
+        operands = [inv.operands[1], inv.operands[2]]
+        if inv.opname == "xsmm.fused_brgemm" and has_bias:
+            operands.append(inv.operands[4])
+        wb_ops = operands
+    else:
+        return None
+
+    if key.dims[0] != key.dims[-1]:
+        return None  # output cannot feed back as input
+
+    def get_operands(args):
+        import jax.numpy as jnp
+
+        env: dict[int, Any] = {}
+        for farg, v in zip(func.args, args):
+            env[id(farg)] = v
+        for op in func.ops:
+            if op is inv:
+                break
+            vals = [env.get(id(v)) for v in op.operands]
+            if op.opname.endswith("_dispatch"):
+                env[id(op.results[0])] = None
+                continue
+            res = _eval_tl(op, vals, False)
+            if op.results and res is not None:
+                env[id(op.results[0])] = res
+        out = [env[id(v)] for v in wb_ops]
+        # chain kernels take 2-D x/w; flat invokes carry rank-3 reshapes
+        return [v.reshape(v.shape[-2], v.shape[-1]) if v.ndim == 3 and
+                v.shape[0] == 1 else v for v in out]
+
+    return key, get_operands
+
+
 def _default_check_cb(op: Operation, vals):
     arrs = [np.asarray(v, np.float32) for v in vals]
     if op.opname == "check.expect_sane":

@@ -101,6 +101,33 @@ def bench(step: Callable, args: Sequence, iters: int = 100,
                        iters=n_long, flops=flops)
 
 
+def bench_warm(key, operands, r1: int = 200, r2: int = 2000,
+               reps: int = 3) -> float:
+    """Per-iteration seconds of a ChainKey kernel using the in-kernel
+    perf.bench region: two repeat counts, slope method. Weights stay warm in
+    VMEM across iterations — the reference's hot-kernel timed loop."""
+    import dataclasses
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..xsmm.kernels import build_kernel
+
+    def timed(repeats):
+        fn = build_kernel(dataclasses.replace(key, repeats=repeats))
+        jax.block_until_ready(fn(*operands))  # compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            float(jnp.sum(fn(*operands).astype(jnp.float32)))
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    t1, t2 = timed(r1), timed(r2)
+    return max((t2 - t1) / (r2 - r1), 1e-12)
+
+
 def model_flops(module) -> int | None:
     """BENCH_TOTAL_FLOPS equivalent: read the generator-recorded flop count
     (reference tools/mlir-gen/MLIRGen.cpp:300-334)."""

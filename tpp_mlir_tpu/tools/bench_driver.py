@@ -82,6 +82,24 @@ def run_benchmark(entry, iters, verbose=False):
     base = bench(baseline_fn, args, iters=bench_iters, flops=flops)
 
     run_pipeline(module, entry.get("pipeline", "default-tpp-passes"))
+
+    # warm mode: single chain/fc kernel programs time via the in-kernel
+    # perf.bench region (weights resident in VMEM across iterations, like
+    # the reference's hot libxsmm kernel — and like XLA pinning weights
+    # across the baseline scan)
+    if entry.get("bench_mode", "auto") != "scan":
+        from tpp_mlir_tpu.runtime.executor import extract_bench_kernel
+        from tpp_mlir_tpu.runtime.perf import BenchResult, bench_warm
+
+        hit = extract_bench_kernel(module)
+        if hit is not None:
+            key, get_operands = hit
+            per_iter = bench_warm(key, get_operands(args))
+            per_layer_flops = flops  # whole-model flops per application
+            res = BenchResult(mean_seconds=per_iter, total_seconds=per_iter,
+                              iters=2000, flops=per_layer_flops)
+            return res, base
+
     fn = tpp_compile(module, jit=True)
     res = bench(fn, args, iters=bench_iters, flops=flops)
     return res, base
