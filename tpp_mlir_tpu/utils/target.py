@@ -37,14 +37,24 @@ class TargetInfo:
         return {"bf16": 2, "f16": 2, "i8": 4}.get(dtype, 1)
 
 
+# Peak FLOP/s by INPUT dtype at XLA default precision: f32 matmul inputs run
+# through the MXU at the bf16-class rate (with f32 accumulate; measured in
+# PERF.md), so the f32 roofline equals the bf16 one. "f32_highest" is the
+# bf16x3 3-pass rate for precision=highest comparisons.
 _KNOWN = {
     # name: (generation, vmem, hbm GB/s, {dtype: peak FLOP/s})
-    "v4": (4, 16 * 2 ** 20, 1228.0, {"bf16": 275e12, "f32": 68.75e12}),
-    "v5 lite": (5, 16 * 2 ** 20, 819.0, {"bf16": 197e12, "f32": 49.25e12}),
-    "v5e": (5, 16 * 2 ** 20, 819.0, {"bf16": 197e12, "f32": 49.25e12}),
-    "v5p": (5, 16 * 2 ** 20, 2765.0, {"bf16": 459e12, "f32": 114.75e12}),
-    "v6 lite": (6, 32 * 2 ** 20, 1640.0, {"bf16": 918e12, "f32": 229.5e12}),
-    "v6e": (6, 32 * 2 ** 20, 1640.0, {"bf16": 918e12, "f32": 229.5e12}),
+    "v4": (4, 16 * 2 ** 20, 1228.0,
+           {"bf16": 275e12, "f32": 275e12, "f32_highest": 91.7e12}),
+    "v5 lite": (5, 16 * 2 ** 20, 819.0,
+                {"bf16": 197e12, "f32": 197e12, "f32_highest": 65.7e12}),
+    "v5e": (5, 16 * 2 ** 20, 819.0,
+            {"bf16": 197e12, "f32": 197e12, "f32_highest": 65.7e12}),
+    "v5p": (5, 16 * 2 ** 20, 2765.0,
+            {"bf16": 459e12, "f32": 459e12, "f32_highest": 153e12}),
+    "v6 lite": (6, 32 * 2 ** 20, 1640.0,
+                {"bf16": 918e12, "f32": 918e12, "f32_highest": 306e12}),
+    "v6e": (6, 32 * 2 ** 20, 1640.0,
+            {"bf16": 918e12, "f32": 918e12, "f32_highest": 306e12}),
 }
 
 
