@@ -95,3 +95,20 @@ def test_train_step_pallas_interpret():
     p2, l0 = step(params, x, y)
     _, l1 = step(p2, x, y)
     assert float(l1) < float(l0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import numpy as np
+
+    from tpp_mlir_tpu.parallel.checkpoint import (latest_step,
+                                                  restore_checkpoint,
+                                                  save_checkpoint)
+
+    params = mlp_init((32, 64, 32), seed=7)
+    save_checkpoint(str(tmp_path / "ckpt"), params, step=3)
+    assert latest_step(str(tmp_path / "ckpt")) == 3
+    like = jax.tree.map(jnp.zeros_like, params)
+    restored, step = restore_checkpoint(str(tmp_path / "ckpt"), like, step=3)
+    assert step == 3
+    for (w1, b1), (w2, b2) in zip(params, restored):
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
