@@ -478,6 +478,18 @@ def extract_bench_kernel(module: Module, func_name: str = "entry"):
     if key.dims[0] != key.dims[-1]:
         return None  # output cannot feed back as input
 
+    # warm mode keeps ALL weights resident: gate on the full VMEM footprint
+    # (weights + biases + x/h/out buffers + compiler headroom)
+    from ..utils.target import current_target
+
+    dsize = 2 if key.dtype in ("bf16", "f16") else 4
+    L = len(key.dims) - 1
+    weights = sum(key.dims[i] * key.dims[i + 1] for i in range(L)) * dsize
+    biases = sum(key.dims[1:]) * dsize if key.has_bias else 0
+    bufs = 2 * key.m * max(key.dims) * dsize + key.m * max(key.dims) * 4
+    if weights + biases + bufs > int(current_target().vmem_bytes * 0.82):
+        return None
+
     def get_operands(args):
         import jax.numpy as jnp
 

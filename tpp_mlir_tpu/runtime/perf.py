@@ -42,18 +42,26 @@ def _chain(step: Callable, n: int):
             out = step(*carry)
             outs = out if isinstance(out, tuple) else (out,)
             # feed outputs back into the matching leading args (same
-            # shape/dtype) so iterations are sequentially dependent ...
+            # shape/dtype) so iterations are sequentially dependent
             new_args = list(carry)
+            fed_back = False
             for o in outs:
                 for i, a in enumerate(new_args):
                     if a.shape == o.shape and a.dtype == o.dtype:
                         new_args[i] = o
+                        fed_back = True
                         break
-            # ... and tie everything through an optimization barrier so XLA
-            # cannot hoist the (otherwise loop-invariant) kernel out of the
-            # scan when no output shape matches an input
-            tied = jax.lax.optimization_barrier(tuple(new_args) + outs)
-            return tied[:len(new_args)], None
+            if not fed_back:
+                # no output matches an input: poison one element of arg 0
+                # with a zero derived from the output, creating a true data
+                # dependency (optimization_barrier alone maps operands to
+                # results independently and does NOT stop XLA hoisting the
+                # loop-invariant kernel)
+                eps = (jnp.sum(outs[0].ravel()[:1]).astype(jnp.float32)
+                       * 0.0).astype(new_args[0].dtype)
+                idx = (0,) * new_args[0].ndim
+                new_args[0] = new_args[0].at[idx].add(eps)
+            return tuple(new_args), None
         final, _ = jax.lax.scan(body, tuple(args), None, length=n)
         return jax.tree.map(lambda x: jnp.sum(x.astype(jnp.float32)), final)
 
