@@ -94,11 +94,14 @@ def run_benchmark(entry, iters, verbose=False):
         hit = extract_bench_kernel(module)
         if hit is not None:
             key, get_operands = hit
-            per_iter = bench_warm(key, get_operands(args))
-            per_layer_flops = flops  # whole-model flops per application
-            res = BenchResult(mean_seconds=per_iter, total_seconds=per_iter,
-                              iters=2000, flops=per_layer_flops)
-            return res, base
+            try:
+                per_iter = bench_warm(key, get_operands(args))
+                res = BenchResult(mean_seconds=per_iter,
+                                  total_seconds=per_iter,
+                                  iters=2000, flops=flops)
+                return res, base
+            except Exception:
+                pass  # e.g. VMEM overflow on this target: scan fallback
 
     fn = tpp_compile(module, jit=True)
     res = bench(fn, args, iters=bench_iters, flops=flops)
