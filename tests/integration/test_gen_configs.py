@@ -1,0 +1,36 @@
+"""Generator configs executed end-to-end (the reference's mlir-gen.mlir test
+runs 8 generator configurations through tpp-run; same idea here)."""
+
+import numpy as np
+import pytest
+
+from tpp_mlir_tpu.ir import parse_module
+from tpp_mlir_tpu.tools.mlir_gen import (build_parser, config_from_args,
+                                         generate_text)
+from tpp_mlir_tpu.tools.tpp_run import run_module
+
+CONFIGS = [
+    "--batch=8 --layers=32,32",
+    "--batch=8 --layers=32,64,32 --bias",
+    "--batch=8 --layers=32,32 --bias --relu",
+    "--batch=8 --layers=32,32,32 --bias --relu --kernel=args",
+    "--batch=8 --layers=32,32 --softmax",
+    "--batch=16 --layers=64,64 --bias --relu --float-type=bf16",
+    "--batch=16 --layers=64,64 --bias --relu --float-type=bf16 --vnni=2",
+    "--batch=8 --layers=32,32 --tiles=8,32,32 --bias --relu",
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS)
+def test_gen_config_executes_and_matches_loops(cfg):
+    """Lowered execution vs --linalg-to-loops (reference differential)."""
+    text = generate_text(config_from_args(build_parser().parse_args(
+        cfg.split())))
+    m1 = parse_module(text)
+    r1 = run_module(m1, init_type="rand", seed=11)
+    m2 = parse_module(text)
+    r2 = run_module(m2, init_type="rand", seed=11, linalg_to_loops=True)
+    a = np.asarray(r1["outputs"][0], np.float32)
+    b = np.asarray(r2["outputs"][0], np.float32)
+    tol = 0.08 if "bf16" in cfg else 1e-4
+    np.testing.assert_allclose(a, b, atol=tol, rtol=tol)
