@@ -87,3 +87,26 @@ def test_gen_tiles_attr_reaches_pack():
     s = str(m)
     # blocked shapes reflect the 128^3 tile request, not target defaults
     assert "Mb = 2" in s and "Nb = 4" in s
+
+
+def test_lower_packs_decomposition():
+    """lower-packs: pack/unpack decompose to reshape+transpose
+    (reference LowerPacksAndUnpacks.cpp) with identical semantics."""
+    text = """func @entry(%a: tensor<64x96xf32>) {
+  %0 = tl.pack %a {inner_dims = [0, 1], inner_tiles = [16, 32], outer_perm = [1, 0]} : tensor<3x4x16x32xf32>
+  %1 = tl.unpack %0 {inner_dims = [0, 1], inner_tiles = [16, 32], outer_perm = [1, 0]} : tensor<64x96xf32>
+  return %1 : tensor<64x96xf32>
+}
+"""
+    m_ref = parse_module(text)
+    x = rng(64, 96)
+    want = tpp_compile(m_ref, jit=False)(x)
+
+    m = parse_module(text)
+    PassManager([make_pass("lower-packs")]).run(m)
+    s = print_module(m)
+    assert "tl.pack" not in s and "tl.unpack" not in s
+    assert "tl.transpose" in s and "tl.reshape" in s
+    got = tpp_compile(m, jit=False)(x)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))

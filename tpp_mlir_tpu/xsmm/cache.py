@@ -40,7 +40,13 @@ class KernelCache:
                 self.stats.hits += 1
                 return fn
             self.stats.misses += 1
-        fn = build_kernel(key, interpret)
+        try:
+            fn = build_kernel(key, interpret)
+        except Exception as e:
+            # dispatch-failure reporting with the full key, the role of the
+            # reference runtime's shape-dump on dispatch failure
+            # (XsmmRunnerUtils.cpp:132-137) — minus the exit(-1)
+            raise type(e)(f"kernel dispatch failed for {key!r}: {e}") from e
         with self._lock:
             return self._kernels.setdefault(cache_key, fn)
 
