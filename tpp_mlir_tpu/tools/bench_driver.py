@@ -53,7 +53,7 @@ def build_module(entry):
     raise ValueError(f"benchmark entry needs 'gen' or 'model': {entry}")
 
 
-def run_benchmark(entry, iters, verbose=False):
+def run_benchmark(entry, iters, verbose=False, no_baseline=False):
     import jax.numpy as jnp
 
     from tpp_mlir_tpu.passes import run_pipeline
@@ -78,8 +78,13 @@ def run_benchmark(entry, iters, verbose=False):
     bench_iters = max(iters, 4000)
 
     # XLA baseline: the same program, un-lowered (straight jnp under jit)
-    baseline_fn = tpp_compile(module, jit=True)
-    base = bench(baseline_fn, args, iters=bench_iters, flops=flops)
+    if no_baseline:
+        from tpp_mlir_tpu.runtime.perf import BenchResult as _BR
+        base = _BR(mean_seconds=float("nan"), total_seconds=0.0, iters=0,
+                   flops=flops)
+    else:
+        baseline_fn = tpp_compile(module, jit=True)
+        base = bench(baseline_fn, args, iters=bench_iters, flops=flops)
 
     run_pipeline(module, entry.get("pipeline", "default-tpp-passes"))
 
@@ -126,6 +131,9 @@ def main(argv=None) -> int:
                    help="override per-benchmark iterations")
     p.add_argument("--json", help="write results JSON here")
     p.add_argument("--filter", default="*", help="glob on benchmark names")
+    p.add_argument("--no-baseline", action="store_true",
+                   help="skip the XLA-comparison run (halves remote "
+                        "compiles; roofline%% is still reported)")
     p.add_argument("--platform", default="",
                    help="force a JAX platform (e.g. cpu for smoke tests; "
                         "the env var alone cannot override the axon plugin)")
@@ -156,7 +164,8 @@ def main(argv=None) -> int:
             log.debug(f"running {name} (iters={iters})")
             t0 = time.time()
             try:
-                res, base = run_benchmark(entry, iters, args.verbose)
+                res, base = run_benchmark(entry, iters, args.verbose,
+                                           no_baseline=args.no_baseline)
             except Exception as e:
                 print(f"{name}: FAIL ({type(e).__name__}: {e})")
                 results.append({"name": name, "error": str(e)})
@@ -170,11 +179,13 @@ def main(argv=None) -> int:
             if gflops is not None:
                 pct = gflops * 1e9 / roof * 100
                 speedup = base.mean_seconds / res.mean_seconds
+                vs = "" if speedup != speedup else f", {speedup:4.2f}x vs XLA"
                 print(f"{name}: {gflops:10.3f} gflops "
-                      f"({pct:5.1f}% roofline, {speedup:4.2f}x vs XLA) "
+                      f"({pct:5.1f}% roofline{vs}) "
                       f"[{time.time()-t0:.0f}s]")
-                row.update(gflops=gflops, roofline_pct=pct,
-                           vs_xla=speedup)
+                row.update(gflops=gflops, roofline_pct=pct)
+                if speedup == speedup:
+                    row["vs_xla"] = speedup
             else:
                 print(f"{name}: {res.mean_seconds*1e3:.3f} ms")
             results.append(row)
