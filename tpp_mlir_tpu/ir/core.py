@@ -11,7 +11,7 @@ passes look like the reference's pattern rewrites
 from __future__ import annotations
 
 import itertools
-from typing import Any, Callable, Iterable, Optional
+from typing import Any, Optional
 
 from .types import TensorType
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
-from .core import Builder, Function, Operation, Value
+from .core import Builder, Operation, Value
 from .types import TensorType
 
 # ---------------------------------------------------------------------------

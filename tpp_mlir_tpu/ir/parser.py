@@ -11,7 +11,7 @@ from __future__ import annotations
 import re
 
 from .core import Function, Module, Operation, Value
-from .types import TensorType, parse_type
+from .types import parse_type
 
 
 class ParseError(ValueError):

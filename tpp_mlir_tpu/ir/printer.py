@@ -13,7 +13,7 @@ tests (reference test/Passes/*.mlir):
 
 from __future__ import annotations
 
-from .core import Function, Module, Operation, Value
+from .core import Function, Module, Operation
 
 
 def _attr_value(v) -> str:

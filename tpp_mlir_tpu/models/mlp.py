@@ -8,7 +8,7 @@ softmax, constant-vs-argument weights, fp32/bf16, and FLOP accounting
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..ir import Function, Module, TensorType, TppBuilder
 

@@ -17,7 +17,6 @@ collectives ride ICI via the mesh.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any
 
 import numpy as np

@@ -6,7 +6,7 @@ The reference runs canonicalize+CSE between every bundle
 
 from __future__ import annotations
 
-from ..ir import Function, Module, Operation
+from ..ir import Function, Module
 from .pass_manager import Pass, register
 
 # Ops with side effects that DCE must keep even when unused.

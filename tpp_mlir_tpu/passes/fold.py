@@ -13,7 +13,7 @@
 
 from __future__ import annotations
 
-from ..ir import Function, Module, Operation, TppBuilder
+from ..ir import Function, Module, TppBuilder
 from ..ir.matcher import is_contraction, is_zero_op
 from .pass_manager import Pass, register
 

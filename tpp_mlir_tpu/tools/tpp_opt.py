@@ -12,8 +12,8 @@ import argparse
 import sys
 
 from ..ir import parse_module, print_module
-from ..passes import (PassManager, available_passes, available_pipelines,
-                      make_pass)
+from ..passes import (PassManager, available_passes,
+                      available_pipelines)
 
 
 def main(argv=None) -> int:

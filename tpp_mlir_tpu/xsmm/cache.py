@@ -14,7 +14,7 @@ lib/TPP/Dialect/Xsmm/XsmmVerify.cpp).
 from __future__ import annotations
 
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .flags import BinaryKey, BlockedMatmulKey, BrgemmKey, UnaryKey
 from .kernels import build_kernel

@@ -13,7 +13,7 @@ enforced structurally by construction of these keys.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

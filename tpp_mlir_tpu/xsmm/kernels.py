@@ -26,9 +26,6 @@ registers.
 
 from __future__ import annotations
 
-import functools
-import math
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
