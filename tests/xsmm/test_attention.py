@@ -66,3 +66,21 @@ def test_attention_fusion_from_mha_model():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_softmax_v_fusion():
+    """softmax(s) @ V fuses into one batched kernel (the reference's
+    out-softmax-times-value benchmark kernel)."""
+    m = mha.build_softmax_v(batch=2, heads=2, seq=32, head_dim=32)
+    ref = tpp_compile(m, jit=False)
+    s = rng(4, 32, 32, seed=0)
+    v = rng(4, 32, 32, seed=1)
+    want = ref(s, v)[0]
+    run_pipeline(m, "default-tpp-passes")
+    low = str(m)
+    assert "softmax_lhs = true" in low
+    assert "tl.softmax" not in low and "tl.exp" not in low
+    got = tpp_compile(m, jit=False)(s, v)[0]
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=1e-5, rtol=1e-5)

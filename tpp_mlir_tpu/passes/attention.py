@@ -57,6 +57,14 @@ class AttentionFusionPass(Pass):
                 else:
                     continue
             if s_op is None or s_op.opname != "tl.batch_matmul":
+                # softmax(s) @ V with s from elsewhere: fuse the softmax into
+                # the batched matmul (the out-softmax-times-value kernel)
+                if len(sm.result.uses) == 1:
+                    op.set_operand(0, s_val)
+                    op.attrs["softmax_lhs"] = True
+                    if not sm.result.uses:
+                        func.erase(sm)
+                    changed = True
                 continue
             Q, KT, C1 = s_op.operands
             if not is_zero_op(C1.owner):

@@ -133,6 +133,8 @@ class ConvertTlToXsmmPass(Pass):
                 n = C.type.shape[2]
                 attrs = {"batch": Bt, "m": m, "n": n, "k": k,
                          "dtype": A.type.dtype, "flags": ()}
+                if op.attrs.get("softmax_lhs"):
+                    attrs["softmax_lhs"] = True
 
                 def emit():
                     d = b.create("xsmm.batch_gemm_dispatch", [], [I64], attrs)

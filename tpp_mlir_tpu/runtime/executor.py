@@ -80,7 +80,10 @@ def _eval_tl(op: Operation, vals: list, interpret_kernels: bool):
                 + acc32(c)).astype(odt)
     if name == "tl.batch_matmul":
         a, b, c = vals
-        return (jnp.einsum("bmk,bkn->bmn", acc32(a), acc32(b))
+        af = acc32(a)
+        if op.attrs.get("softmax_lhs"):
+            af = jax.nn.softmax(af, axis=-1)
+        return (jnp.einsum("bmk,bkn->bmn", af, acc32(b))
                 + acc32(c)).astype(odt)
     if name == "tl.brgemm":
         a, b, c = vals
@@ -303,7 +306,8 @@ def _dispatch_key(d: Operation, invoke: Operation):
         from ..xsmm.flags import BatchMatmulKey
         return BatchMatmulKey(batch=a["batch"], m=a["m"], n=a["n"], k=a["k"],
                               dtype=a["dtype"], out_dtype=out_dtype,
-                              beta0=beta0)
+                              beta0=beta0,
+                              softmax_lhs=bool(a.get("softmax_lhs", False)))
     if name == "xsmm.unary_dispatch":
         return UnaryKey(kind=a["kind"], shape=tuple(a.get("shape", ())),
                         dtype=a["dtype"], out_dtype=out_dtype,

@@ -73,6 +73,11 @@ class BatchMatmulKey:
     dtype: str = "f32"
     out_dtype: str | None = None
     beta0: bool = False
+    # fuse softmax over the contraction dim into the A operand read — the
+    # softmax(scores) @ V benchmark kernel
+    # (reference benchmarks/mlir/fp32-out-softmax-times-value.mlir) without
+    # materializing the probabilities to HBM
+    softmax_lhs: bool = False
     bm: int = 0
     bn: int = 0
     bk: int = 0

@@ -387,6 +387,8 @@ def _build_batch_matmul(key, interpret: bool):
     B, m, n, k = key.batch, key.m, key.n, key.k
     out_dtype = _jdt(key.out_dtype or key.dtype)
     bm, bn, bk = pick_blocks(m, n, k, key.dtype, key.bm, key.bn, key.bk)
+    if key.softmax_lhs:
+        bk = k  # softmax over the contraction dim needs the whole row
     kb_steps = max(1, k // bk) if k % bk == 0 else 1
     if k % bk != 0:
         bk = k
@@ -420,7 +422,10 @@ def _build_batch_matmul(key, interpret: bool):
             else:
                 acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        acc_ref[:] += jnp.dot(a_ref[0], b_ref[0],
+        a = a_ref[0]
+        if key.softmax_lhs:
+            a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(a.dtype)
+        acc_ref[:] += jnp.dot(a, b_ref[0],
                               preferred_element_type=jnp.float32)
 
         @pl.when(r == kb_steps - 1)

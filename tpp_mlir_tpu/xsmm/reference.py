@@ -97,8 +97,10 @@ def batch_matmul_reference(key):
     out_dtype = _jdt(key.out_dtype or key.dtype)
 
     def fn(a, b, c=None):
-        acc = jnp.einsum("bmk,bkn->bmn", a.astype(jnp.float32),
-                         b.astype(jnp.float32))
+        a = a.astype(jnp.float32)
+        if key.softmax_lhs:
+            a = jax.nn.softmax(a, axis=-1)
+        acc = jnp.einsum("bmk,bkn->bmn", a, b.astype(jnp.float32))
         if not key.beta0:
             acc = acc + c.astype(jnp.float32)
         return acc.astype(out_dtype)
