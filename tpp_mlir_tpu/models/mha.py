@@ -71,9 +71,14 @@ def build_projection(batch: int = 64, seq: int = 32, model_dim: int = 1024,
 
 
 def build_mha(batch: int = 16, heads: int = 16, seq: int = 256,
-              head_dim: int = 64, dtype: str = "f32") -> Module:
-    """Full attention core: softmax(Q Kt) V as one IR function (the
-    tile-and-fuse MHA test case shape)."""
+              head_dim: int = 64, dtype: str = "f32",
+              causal: bool = False, scale: float | None = None,
+              fused: bool = False) -> Module:
+    """Full attention core: softmax(Q Kt * scale) V as one IR function (the
+    tile-and-fuse MHA test case shape). With fused=True (or causal, which
+    has no unfused IR spelling) the builder emits tl.attention directly,
+    the way a frontend would; otherwise the Q.Kt/softmax/V chain is left for
+    attention-fusion to recognize."""
     B = batch * heads
     m = Module()
     f = m.add(Function("entry", [
@@ -82,12 +87,23 @@ def build_mha(batch: int = 16, heads: int = 16, seq: int = 256,
         TensorType((B, seq, head_dim), dtype),
     ], ["q", "k", "v"]))
     b = TppBuilder(f)
-    kt = b.transpose(f.args[1], (0, 2, 1))
-    acc = b.constant(TensorType((B, seq, seq), dtype), init="zero")
-    scores = b.batch_matmul(f.args[0], kt, acc)
-    p = b.softmax(scores, axis=2)
-    acc2 = b.constant(TensorType((B, seq, head_dim), dtype), init="zero")
-    out = b.batch_matmul(p, f.args[2], acc2)
+    if fused or causal:
+        attrs = {"scale": scale if scale is not None else 1.0}
+        if causal:
+            attrs["causal"] = True
+        out = b.create("tl.attention", list(f.args),
+                       [TensorType((B, seq, head_dim), dtype)], attrs).result
+    else:
+        kt = b.transpose(f.args[1], (0, 2, 1))
+        acc = b.constant(TensorType((B, seq, seq), dtype), init="zero")
+        scores = b.batch_matmul(f.args[0], kt, acc)
+        if scale is not None:
+            sc = b.constant(TensorType((1,), dtype), init="const",
+                            value=scale)
+            scores = b.mul(scores, sc)
+        p = b.softmax(scores, axis=2)
+        acc2 = b.constant(TensorType((B, seq, head_dim), dtype), init="zero")
+        out = b.batch_matmul(p, f.args[2], acc2)
     b.ret(out)
     m.attrs["flops"] = (2 * B * seq * seq * head_dim) * 2 + 4 * B * seq * seq
     m.verify()
