@@ -84,6 +84,18 @@ def _apply_epilogue(acc, d_blk, binary_kind, unary_kind):
     return acc
 
 
+def _mxu_input_dtype(dtype_name: str, interpret: bool):
+    """Compute dtype fed to the MXU under XLA default-precision semantics:
+    f32 matmul inputs are truncated to bf16 passes with f32 accumulation
+    (what jnp.dot does on TPU at default precision — the platform baseline).
+    Interpret mode (CPU tests) keeps full f32 so differential tests against
+    jnp-on-CPU stay exact. A future precision="highest" key knob would keep
+    f32 operands on TPU too (at the ~1/3 bf16x3 rate)."""
+    if dtype_name == "f32" and not interpret:
+        return jnp.bfloat16
+    return _jdt(dtype_name)
+
+
 def _unvnni(b):
     """[..., kv, n, v] -> [..., kv*v, n]: normalize a VNNI operand to the
     flat bf16 layout the MXU consumes. Runs OUTSIDE the kernel: for constant
@@ -258,8 +270,10 @@ def _build_brgemm(key: BrgemmKey, interpret: bool):
         interpret=interpret,
     )
 
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret)
+
     def fn(a, b, c=None, d=None):
-        args = [a, b]
+        args = [a.astype(mxu_dt), b.astype(mxu_dt)]
         if has_c:
             assert c is not None, "kernel dispatched without beta_0 needs C"
             args.append(c)
@@ -368,8 +382,10 @@ def _build_blocked_matmul(key: BlockedMatmulKey, interpret: bool):
         interpret=interpret,
     )
 
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret)
+
     def fn(a, b, c=None, d=None):
-        args = [a, b]
+        args = [a.astype(mxu_dt), b.astype(mxu_dt)]
         if has_c:
             args.append(c)
         if has_d:
@@ -452,8 +468,11 @@ def _build_batch_matmul(key, interpret: bool):
         interpret=interpret,
     )
 
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret)
+
     def fn(a, b, c=None):
-        args = [a, b]
+        args = [a if key.softmax_lhs else a.astype(mxu_dt),
+                b.astype(mxu_dt)]
         if has_c:
             args.append(c)
         return call(*args)
@@ -490,6 +509,7 @@ def _build_chain(key, interpret: bool):
     m, dims = key.m, key.dims
     L = len(dims) - 1
     dtype = _jdt(key.dtype)
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret)
     out_dtype = _jdt(key.out_dtype or key.dtype)
     sub, _ = current_target().min_tile(key.dtype)
     bm = key.bm or min(m, 512)
@@ -551,7 +571,7 @@ def _build_chain(key, interpret: bool):
         qi = 0
         for li in range(L):
             kd, nc = dims[li], nc_of[li]
-            hd = h.astype(dtype)
+            hd = h.astype(mxu_dt)
             a = act if li < L - 1 else last_act
             for ci in range(CHUNKS):
                 slot = qi % NBUF
@@ -585,7 +605,7 @@ def _build_chain(key, interpret: bool):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((m, dims[-1]), out_dtype),
-        scratch_shapes=[pltpu.VMEM((NBUF, kmax, ncmax), dtype),
+        scratch_shapes=[pltpu.VMEM((NBUF, kmax, ncmax), mxu_dt),
                         pltpu.SemaphoreType.DMA((NBUF,)),
                         pltpu.VMEM((bm, nmax), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -597,7 +617,12 @@ def _build_chain(key, interpret: bool):
     def fn(x, *wb):
         args = [x]
         for v in wb:
-            args.append(v.reshape(1, -1) if v.ndim == 1 else v)
+            # rank-2 weights feed the MXU: cast at call time (folded by XLA
+            # for constants); biases keep their dtype
+            if v.ndim == 1:
+                args.append(v.reshape(1, -1))
+            else:
+                args.append(v.astype(mxu_dt))
         return call(*args)
 
     return fn
@@ -686,7 +711,9 @@ def _build_flash_mha(key, interpret: bool):
         interpret=interpret,
     )
 
-    return lambda q, k, v: call(q, k, v)
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret)
+    return lambda q, k, v: call(q.astype(mxu_dt), k.astype(mxu_dt),
+                                v.astype(mxu_dt))
 
 
 def _build_chain_bench(key, interpret: bool):
@@ -700,6 +727,7 @@ def _build_chain_bench(key, interpret: bool):
     L = len(dims) - 1
     assert dims[0] == dims[-1], "bench chain must be shape-preserving"
     dtype = _jdt(key.dtype)
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret)
     out_dtype = _jdt(key.out_dtype or key.dtype)
     grid = (key.repeats,)
 
@@ -738,7 +766,7 @@ def _build_chain_bench(key, interpret: bool):
 
         h = o_ref[:].astype(jnp.float32)
         for li in range(L):
-            z = jnp.dot(h.astype(dtype), w_refs[li][:],
+            z = jnp.dot(h.astype(mxu_dt), w_refs[li][:],
                         preferred_element_type=jnp.float32)
             if key.has_bias:
                 z = z + b_refs[li][:].astype(jnp.float32)
@@ -763,7 +791,10 @@ def _build_chain_bench(key, interpret: bool):
     def fn(x, *wb):
         args = [x]
         for v in wb:
-            args.append(v.reshape(1, -1) if v.ndim == 1 else v)
+            if v.ndim == 1:
+                args.append(v.reshape(1, -1))
+            else:
+                args.append(v.astype(mxu_dt))
         return call(*args)
 
     return fn
@@ -865,8 +896,10 @@ def _build_conv_brgemm(key: ConvBrgemmKey, interpret: bool):
         interpret=interpret,
     )
 
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret)
+
     def fn(i, w, cacc=None, d=None):
-        args = [i, w]
+        args = [i.astype(mxu_dt), w.astype(mxu_dt)]
         if has_c:
             args.append(cacc)
         if has_d:
