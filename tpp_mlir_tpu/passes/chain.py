@@ -129,7 +129,9 @@ class ChainFusionPass(Pass):
             attrs = {"m": first["m"], "dims": dims, "dtype": first["dtype"],
                      "has_bias": has_bias,
                      "unary_kind": first["unary"],
-                     "last_unary": chain[-1]["unary"]}
+                     "last_unary": chain[-1]["unary"],
+                     "precision": first["dispatch"].attrs.get(
+                         "precision", "default")}
             operands = [first["x"]]
             for c in chain:
                 operands.append(c["w"])

@@ -69,6 +69,7 @@ class ConvertTlToXsmmPass(Pass):
 
     def run_on_function(self, func: Function, module: Module) -> bool:
         skip = set(self.options.get("skip", ()))
+        precision = module.attrs.get("precision", "default")
         changed = False
         b = TppBuilder(func)
 
@@ -95,7 +96,8 @@ class ConvertTlToXsmmPass(Pass):
                     f for f in (("transpose_b",) if op.attrs.get("transpose_b")
                                 else ()))
                 attrs = {"m": m, "n": n, "k": k, "dtype": A.type.dtype,
-                         "flags": flags, **_tile_attrs(op)}
+                         "flags": flags, "precision": precision,
+                         **_tile_attrs(op)}
 
                 def emit():
                     d = b.create("xsmm.gemm_dispatch", [], [I64], attrs)
@@ -114,7 +116,8 @@ class ConvertTlToXsmmPass(Pass):
                 attrs = {"batch": Bt, "seq": S, "seq_kv": Skv,
                          "head_dim": D, "scale": op.attrs.get("scale", 1.0),
                          "causal": bool(op.attrs.get("causal", False)),
-                         "dtype": Q.type.dtype, "flags": ()}
+                         "dtype": Q.type.dtype, "flags": (),
+                         "precision": precision}
 
                 def emit():
                     d = b.create("xsmm.attention_dispatch", [], [I64], attrs)
@@ -132,7 +135,8 @@ class ConvertTlToXsmmPass(Pass):
                 Bt, m, k = A.type.shape
                 n = C.type.shape[2]
                 attrs = {"batch": Bt, "m": m, "n": n, "k": k,
-                         "dtype": A.type.dtype, "flags": ()}
+                         "dtype": A.type.dtype, "flags": (),
+                         "precision": precision}
                 if op.attrs.get("softmax_lhs"):
                     attrs["softmax_lhs"] = True
 
@@ -152,7 +156,8 @@ class ConvertTlToXsmmPass(Pass):
                 Bt, m, k = A.type.shape
                 n = C.type.shape[1]
                 attrs = {"m": m, "n": n, "k": k, "batch": Bt,
-                         "dtype": A.type.dtype, "flags": (), **_tile_attrs(op)}
+                         "dtype": A.type.dtype, "flags": (),
+                         "precision": precision, **_tile_attrs(op)}
                 if name == "tl.vnni_brgemm":
                     attrs["vnni"] = op.attrs.get("vnni", 2)
 
@@ -173,7 +178,8 @@ class ConvertTlToXsmmPass(Pass):
                 nb = C.type.shape[3]
                 attrs = {"m": mb, "n": nb, "k": kb, "batch": Kb,
                          "Mb": Mb, "Nb": Nb, "layout": "blocked",
-                         "dtype": A.type.dtype, "flags": ()}
+                         "dtype": A.type.dtype, "flags": (),
+                         "precision": precision}
                 if op.attrs.get("vnni"):
                     attrs["vnni"] = op.attrs["vnni"]
 

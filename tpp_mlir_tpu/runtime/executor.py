@@ -243,11 +243,13 @@ def _dispatch_key(d: Operation, invoke: Operation):
     a = d.attrs
     out_dtype = invoke.results[0].type.dtype
     beta0 = "beta_0" in a.get("flags", ())
+    prec = a.get("precision", "default")
     name = d.opname
     if name == "xsmm.gemm_dispatch":
         return BrgemmKey(batch=1, m=a["m"], n=a["n"], k=a["k"],
                          dtype=a["dtype"], out_dtype=out_dtype, beta0=beta0,
                          transpose_b="transpose_b" in a.get("flags", ()),
+                         precision=prec,
                          bm=a.get("tile_m", 0), bn=a.get("tile_n", 0),
                          bk=a.get("tile_k", 0))
     if name in ("xsmm.brgemm_dispatch", "xsmm.fused_brgemm_dispatch"):
@@ -266,7 +268,7 @@ def _dispatch_key(d: Operation, invoke: Operation):
                 out_dtype=out_dtype, beta0=beta0, vnni=a.get("vnni", 0),
                 binary_kind=bk_kind, binary_bcast=a.get("binary_bcast",
                                                         "bcast_col"),
-                unary_kind=un_kind)
+                unary_kind=un_kind, precision=prec)
         if layout == "conv":
             return ConvBrgemmKey(
                 N=a["N"], H=a["H"], W=a["W"], Cb=a["Cb"], c=a["c"],
@@ -276,13 +278,13 @@ def _dispatch_key(d: Operation, invoke: Operation):
                 dtype=a["dtype"], out_dtype=out_dtype, beta0=beta0,
                 binary_kind=bk_kind,
                 binary_bcast=a.get("binary_bcast", "bcast_col"),
-                unary_kind=un_kind)
+                unary_kind=un_kind, precision=prec)
         return BrgemmKey(batch=a["batch"], m=a["m"], n=a["n"], k=a["k"],
                          dtype=a["dtype"], out_dtype=out_dtype, beta0=beta0,
                          vnni=a.get("vnni", 0),
                          binary_kind=bk_kind,
                          binary_bcast=a.get("binary_bcast", "bcast_col"),
-                         unary_kind=un_kind,
+                         unary_kind=un_kind, precision=prec,
                          bm=a.get("tile_m", 0), bn=a.get("tile_n", 0),
                          bk=a.get("tile_k", 0))
     if name == "xsmm.fused_chain_dispatch":
@@ -294,20 +296,23 @@ def _dispatch_key(d: Operation, invoke: Operation):
                         out_dtype=out_dtype,
                         has_bias=bool(a.get("has_bias", True)),
                         unary_kind=_kind(a.get("unary_kind")),
-                        last_unary=_kind(a.get("last_unary")))
+                        last_unary=_kind(a.get("last_unary")),
+                        precision=prec)
     if name == "xsmm.attention_dispatch":
         from ..xsmm.flags import FlashMhaKey
         return FlashMhaKey(batch=a["batch"], seq=a["seq"],
                            seq_kv=a["seq_kv"], head_dim=a["head_dim"],
                            dtype=a["dtype"], out_dtype=out_dtype,
                            scale=float(a.get("scale", 1.0)),
-                           causal=bool(a.get("causal", False)))
+                           causal=bool(a.get("causal", False)),
+                           precision=prec)
     if name == "xsmm.batch_gemm_dispatch":
         from ..xsmm.flags import BatchMatmulKey
         return BatchMatmulKey(batch=a["batch"], m=a["m"], n=a["n"], k=a["k"],
                               dtype=a["dtype"], out_dtype=out_dtype,
                               beta0=beta0,
-                              softmax_lhs=bool(a.get("softmax_lhs", False)))
+                              softmax_lhs=bool(a.get("softmax_lhs", False)),
+                              precision=prec)
     if name == "xsmm.unary_dispatch":
         return UnaryKey(kind=a["kind"], shape=tuple(a.get("shape", ())),
                         dtype=a["dtype"], out_dtype=out_dtype,
@@ -471,7 +476,8 @@ def extract_bench_kernel(module: Module, func_name: str = "entry"):
             m=a["m"], dims=(a["k"], a["n"]), dtype=a["dtype"],
             out_dtype=inv.result.type.dtype, has_bias=has_bias,
             unary_kind=None if un in (None, "none", "identity") else un,
-            last_unary=None if un in (None, "none", "identity") else un)
+            last_unary=None if un in (None, "none", "identity") else un,
+            precision=a.get("precision", "default"))
         operands = [inv.operands[1], inv.operands[2]]
         if inv.opname == "xsmm.fused_brgemm" and has_bias:
             operands.append(inv.operands[4])

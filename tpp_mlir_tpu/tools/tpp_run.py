@@ -119,6 +119,10 @@ def main(argv=None) -> int:
     p.add_argument("--pipeline", default="default-tpp-passes")
     p.add_argument("-print-mlir", "--print-mlir",
                    choices=["", "early", "mid", "late"], default="")
+    p.add_argument("--precision", choices=["default", "highest"],
+                   default="default",
+                   help="'highest' keeps true-f32 MXU passes (bf16x3-class "
+                        "rate); 'default' matches XLA default precision")
     p.add_argument("--register-blocking", "-registerBlocking", default="",
                    help="force m,n,k kernel block sizes (reference "
                         "--registerBlocking)")
@@ -147,6 +151,8 @@ def main(argv=None) -> int:
     if args.register_blocking:
         module.attrs["register_blocking"] = tuple(
             int(x) for x in args.register_blocking.split(","))
+    if args.precision != "default":
+        module.attrs["precision"] = args.precision
 
     def go():
         run_module(module, args.entry, n=args.n, init_type=args.init_type,

@@ -32,6 +32,9 @@ class BrgemmKey:
     binary_kind: str | None = None  # fused epilogue binary (bias add, ...)
     binary_bcast: str = "bcast_col"  # broadcast of the D operand
     unary_kind: str | None = None   # fused epilogue unary (relu, ...)
+    # "default" = XLA default precision (f32 operands take bf16 MXU passes,
+    # f32 accumulate); "highest" keeps f32 operands (bf16x3-class rate)
+    precision: str = "default"
     # block-size overrides (0 = heuristic); the reference's analogous knobs
     # are --registerBlocking / BrgemmLinalgTiling (SURVEY.md 2.3)
     bm: int = 0
@@ -57,6 +60,7 @@ class BlockedMatmulKey:
     binary_kind: str | None = None
     binary_bcast: str = "bcast_col"
     unary_kind: str | None = None
+    precision: str = "default"
 
 
 @dataclass(frozen=True)
@@ -78,6 +82,7 @@ class BatchMatmulKey:
     # (reference benchmarks/mlir/fp32-out-softmax-times-value.mlir) without
     # materializing the probabilities to HBM
     softmax_lhs: bool = False
+    precision: str = "default"
     bm: int = 0
     bn: int = 0
     bk: int = 0
@@ -98,6 +103,7 @@ class ChainKey:
     has_bias: bool = True
     unary_kind: str | None = "relu"   # activation after every layer
     last_unary: str | None = "relu"   # activation after the final layer
+    precision: str = "default"
     bm: int = 0                       # M block (0 = heuristic)
     # repeats > 1 = the perf.bench timed region runs INSIDE the kernel: the
     # chain is applied `repeats` times with the output fed back as input,
@@ -132,6 +138,7 @@ class ConvBrgemmKey:
     binary_kind: str | None = None
     binary_bcast: str = "bcast_col"
     unary_kind: str | None = None
+    precision: str = "default"
 
     @property
     def P(self) -> int:
@@ -160,6 +167,7 @@ class FlashMhaKey:
     out_dtype: str | None = None
     scale: float = 1.0
     causal: bool = False
+    precision: str = "default"
     bq: int = 0                # query block (0 = heuristic)
     bk: int = 0                # key/value block
 

@@ -84,14 +84,15 @@ def _apply_epilogue(acc, d_blk, binary_kind, unary_kind):
     return acc
 
 
-def _mxu_input_dtype(dtype_name: str, interpret: bool):
+def _mxu_input_dtype(dtype_name: str, interpret: bool,
+                     precision: str = "default"):
     """Compute dtype fed to the MXU under XLA default-precision semantics:
     f32 matmul inputs are truncated to bf16 passes with f32 accumulation
     (what jnp.dot does on TPU at default precision — the platform baseline).
-    Interpret mode (CPU tests) keeps full f32 so differential tests against
-    jnp-on-CPU stay exact. A future precision="highest" key knob would keep
-    f32 operands on TPU too (at the ~1/3 bf16x3 rate)."""
-    if dtype_name == "f32" and not interpret:
+    precision="highest" keeps f32 operands (bf16x3-class rate). Interpret
+    mode (CPU tests) keeps full f32 so differential tests against jnp-on-CPU
+    stay exact."""
+    if dtype_name == "f32" and not interpret and precision == "default":
         return jnp.bfloat16
     return _jdt(dtype_name)
 
@@ -270,7 +271,7 @@ def _build_brgemm(key: BrgemmKey, interpret: bool):
         interpret=interpret,
     )
 
-    mxu_dt = _mxu_input_dtype(key.dtype, interpret)
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
 
     def fn(a, b, c=None, d=None):
         args = [a.astype(mxu_dt), b.astype(mxu_dt)]
@@ -382,7 +383,7 @@ def _build_blocked_matmul(key: BlockedMatmulKey, interpret: bool):
         interpret=interpret,
     )
 
-    mxu_dt = _mxu_input_dtype(key.dtype, interpret)
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
 
     def fn(a, b, c=None, d=None):
         args = [a.astype(mxu_dt), b.astype(mxu_dt)]
@@ -468,7 +469,7 @@ def _build_batch_matmul(key, interpret: bool):
         interpret=interpret,
     )
 
-    mxu_dt = _mxu_input_dtype(key.dtype, interpret)
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
 
     def fn(a, b, c=None):
         args = [a if key.softmax_lhs else a.astype(mxu_dt),
@@ -509,7 +510,7 @@ def _build_chain(key, interpret: bool):
     m, dims = key.m, key.dims
     L = len(dims) - 1
     dtype = _jdt(key.dtype)
-    mxu_dt = _mxu_input_dtype(key.dtype, interpret)
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
     out_dtype = _jdt(key.out_dtype or key.dtype)
     sub, _ = current_target().min_tile(key.dtype)
     bm = key.bm or min(m, 512)
@@ -711,7 +712,7 @@ def _build_flash_mha(key, interpret: bool):
         interpret=interpret,
     )
 
-    mxu_dt = _mxu_input_dtype(key.dtype, interpret)
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
     return lambda q, k, v: call(q.astype(mxu_dt), k.astype(mxu_dt),
                                 v.astype(mxu_dt))
 
@@ -727,7 +728,7 @@ def _build_chain_bench(key, interpret: bool):
     L = len(dims) - 1
     assert dims[0] == dims[-1], "bench chain must be shape-preserving"
     dtype = _jdt(key.dtype)
-    mxu_dt = _mxu_input_dtype(key.dtype, interpret)
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
     out_dtype = _jdt(key.out_dtype or key.dtype)
     grid = (key.repeats,)
 
@@ -896,7 +897,7 @@ def _build_conv_brgemm(key: ConvBrgemmKey, interpret: bool):
         interpret=interpret,
     )
 
-    mxu_dt = _mxu_input_dtype(key.dtype, interpret)
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
 
     def fn(i, w, cacc=None, d=None):
         args = [i.astype(mxu_dt), w.astype(mxu_dt)]
