@@ -817,17 +817,19 @@ def _build_conv_brgemm(key: ConvBrgemmKey, interpret: bool):
     out_dtype = _jdt(key.out_dtype or key.dtype)
     has_c = not key.beta0
     has_d = key.binary_kind is not None
-    taps = R * S
-    red_steps = Cb * taps
+    red_steps = Cb
 
+    # The (R,S) tap loop is unrolled INSIDE the kernel with static window
+    # slices: Mosaic requires dynamic sublane offsets to be 8-aligned, and
+    # conv taps shift by 1 — static slices lower as cheap relayouts. The
+    # grid reduction covers channel blocks only.
     grid = (N, Kb, red_steps)
     in_specs = [
         pl.BlockSpec((1, 1, H, W, c),
-                     lambda n_, kb, r: (n_, r // taps, 0, 0, 0),
+                     lambda n_, kb, r: (n_, r, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, 1, c, k),
-                     lambda n_, kb, r: (kb, r // taps,
-                                        (r % taps) // S, (r % taps) % S, 0, 0),
+        pl.BlockSpec((1, 1, R, S, c, k),
+                     lambda n_, kb, r: (kb, r, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     if has_c:
@@ -863,13 +865,15 @@ def _build_conv_brgemm(key: ConvBrgemmKey, interpret: bool):
             else:
                 acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        rs = r % taps
-        rr, ss = rs // S, rs % S
-        img = i_ref[0, 0]                      # (H, W, c)
-        win = jax.lax.dynamic_slice(img, (rr, ss, 0), (P, Q, c))
-        a = win.reshape(P * Q, c)
-        w = w_ref[0, 0, 0, 0]                  # (c, k)
-        acc_ref[:] += jnp.dot(a, w, preferred_element_type=jnp.float32)
+        update = jnp.zeros((P * Q, k), jnp.float32)
+        for rr in range(R):
+            for ss in range(S):
+                win = i_ref[0, 0, rr:rr + P, ss:ss + Q, :]   # (P, Q, c)
+                a = win.reshape(P * Q, c)
+                w = w_ref[0, 0, rr, ss]                      # (c, k)
+                update = update + jnp.dot(
+                    a, w, preferred_element_type=jnp.float32)
+        acc_ref[:] += update
 
         @pl.when(r == red_steps - 1)
         def _finish():
