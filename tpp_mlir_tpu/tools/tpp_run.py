@@ -119,6 +119,11 @@ def main(argv=None) -> int:
     p.add_argument("--pipeline", default="default-tpp-passes")
     p.add_argument("-print-mlir", "--print-mlir",
                    choices=["", "early", "mid", "late"], default="")
+    p.add_argument("-splat-to-random", "--splat-to-random",
+                   action="store_true",
+                   help="replace splat ('const'/'zero'-init, non-accumulator) "
+                        "constants with random init (reference tpp-run "
+                        "-splat-to-random, MLIRBench.cpp:111-164)")
     p.add_argument("--precision", choices=["default", "highest"],
                    default="default",
                    help="'highest' keeps true-f32 MXU passes (bf16x3-class "
@@ -153,6 +158,17 @@ def main(argv=None) -> int:
             int(x) for x in args.register_blocking.split(","))
     if args.precision != "default":
         module.attrs["precision"] = args.precision
+    if args.splat_to_random:
+        from ..ir.matcher import is_zero_op
+        for f in module.funcs.values():
+            for op in f.ops:
+                if op.opname != "tl.constant" or \
+                        op.attrs.get("init") not in ("const",):
+                    continue
+                # accumulator zeros keep their semantics; weight splats
+                # become random so benchmarks don't measure splat shortcuts
+                op.attrs["init"] = "rand"
+                op.attrs.setdefault("seed", args.seed)
 
     def go():
         run_module(module, args.entry, n=args.n, init_type=args.init_type,
