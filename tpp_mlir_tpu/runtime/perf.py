@@ -109,11 +109,13 @@ def bench(step: Callable, args: Sequence, iters: int = 100,
                        iters=n_long, flops=flops)
 
 
-def bench_warm(key, operands, r1: int = 200, r2: int = 2000,
-               reps: int = 3) -> float:
+def bench_warm(key, operands, r1: int = 200, r2: int = 4000,
+               reps: int = 3, min_delta: float = 0.05,
+               max_repeats: int = 500_000) -> float:
     """Per-iteration seconds of a ChainKey kernel using the in-kernel
     perf.bench region: two repeat counts, slope method. Weights stay warm in
-    VMEM across iterations — the reference's hot-kernel timed loop."""
+    VMEM across iterations — the reference's hot-kernel timed loop. The long
+    count escalates until the slope signal clears host/tunnel jitter."""
     import dataclasses
     import time as _time
 
@@ -132,7 +134,12 @@ def bench_warm(key, operands, r1: int = 200, r2: int = 2000,
             best = min(best, _time.perf_counter() - t0)
         return best
 
-    t1, t2 = timed(r1), timed(r2)
+    t1 = timed(r1)
+    while True:
+        t2 = timed(r2)
+        if t2 - t1 >= min_delta or r2 >= max_repeats:
+            break
+        r2 = min(r2 * 8, max_repeats)
     return max((t2 - t1) / (r2 - r1), 1e-12)
 
 
