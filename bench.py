@@ -14,10 +14,8 @@ vs_baseline = fraction of the chip's bf16 MXU roofline (BASELINE.md target
 is >= 0.9 of roofline).
 """
 
-import dataclasses
 import json
 import sys
-import time
 
 DTYPE = "bf16"
 LAYERS = (1024, 1024, 1024, 1024)
@@ -25,7 +23,6 @@ BATCH = 256
 
 
 def main() -> int:
-    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -64,22 +61,11 @@ def main() -> int:
     err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
     assert err < 2e-2, f"numerics off: relerr {err}"
 
-    # 4. timed region in-kernel at two repeat counts; slope = per-iter time
-    def timed(repeats):
-        k = dataclasses.replace(key, repeats=repeats)
-        fn = build_kernel(k)
-        out = fn(x, *wb)
-        jax.block_until_ready(out)  # compile
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(jnp.sum(fn(x, *wb).astype(jnp.float32)))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    # 4. timed region in-kernel; slope over two repeat counts, escalated
+    #    until the signal clears host/tunnel jitter
+    from tpp_mlir_tpu.runtime.perf import bench_warm
 
-    r1, r2 = 200, 2000
-    t1, t2 = timed(r1), timed(r2)
-    per_iter = max((t2 - t1) / (r2 - r1), 1e-12)
+    per_iter = bench_warm(key, (x, *wb))
 
     flops = sum(2 * BATCH * LAYERS[i] * LAYERS[i + 1]
                 for i in range(len(LAYERS) - 1))
