@@ -3,6 +3,7 @@
 SURVEY.md section 4)."""
 
 import io
+import os
 import sys
 
 import numpy as np
@@ -104,3 +105,30 @@ def test_run_task_grid_mesh():
     a = np.asarray(r1["outputs"][0], np.float32)
     b = np.asarray(r2["outputs"][0], np.float32)
     np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_cli_pipe_end_to_end(tmp_path):
+    """tpp-gen | tpp-opt --default-tpp-passes | tpp-run - --print over real
+    subprocess pipes (the reference's RUN-line usage)."""
+    import subprocess
+
+    env = dict(os.environ)
+    gen = subprocess.run(
+        [sys.executable, "-m", "tpp_mlir_tpu.tools.mlir_gen",
+         "--batch=8", "--layers=16,16", "--bias", "--relu", "--seed=5"],
+        capture_output=True, text=True, timeout=120)
+    assert gen.returncode == 0
+    opt = subprocess.run(
+        [sys.executable, "-m", "tpp_mlir_tpu.tools.tpp_opt", "-",
+         "--default-tpp-passes"],
+        input=gen.stdout, capture_output=True, text=True, timeout=120)
+    assert opt.returncode == 0 and "xsmm." in opt.stdout
+    run = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from tpp_mlir_tpu.tools.tpp_run import main; import sys;"
+         "sys.exit(main(['-', '--print', '--pipeline', 'cleanup']))"],
+        input=opt.stdout, capture_output=True, text=True, timeout=300)
+    assert run.returncode == 0, run.stderr[-1500:]
+    floats = extract_floats(run.stdout)
+    assert len(floats) == 8 * 16
