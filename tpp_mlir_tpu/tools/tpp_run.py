@@ -119,6 +119,8 @@ def main(argv=None) -> int:
     p.add_argument("--pipeline", default="default-tpp-passes")
     p.add_argument("-print-mlir", "--print-mlir",
                    choices=["", "early", "mid", "late"], default="")
+    p.add_argument("-v", "--verbose", action="count", default=0,
+                   help="-v prints kernel-cache stats after the run")
     p.add_argument("-splat-to-random", "--splat-to-random",
                    action="store_true",
                    help="replace splat ('const'/'zero'-init, non-accumulator) "
@@ -183,6 +185,11 @@ def main(argv=None) -> int:
             go()
     else:
         go()
+    if args.verbose:
+        from ..xsmm import global_cache
+        st = global_cache().stats
+        print(f"kernel cache: {len(global_cache())} kernels, "
+              f"{st.hits} hits, {st.misses} misses", file=sys.stderr)
     return 0
 
 
