@@ -488,17 +488,20 @@ def extract_bench_kernel(module: Module, func_name: str = "entry"):
     if key.dims[0] != key.dims[-1]:
         return None  # output cannot feed back as input
 
-    # warm mode keeps ALL weights resident: gate on the full VMEM footprint
-    # (weights + biases + x/h/out buffers + compiler headroom)
+    # warm mode keeps ALL weights resident: gate on the full VMEM footprint.
+    # Under default precision f32 weights enter the kernel as bf16 (see
+    # _mxu_input_dtype), so the resident weight bytes use the MXU dtype.
     from ..utils.target import current_target
 
-    dsize = 2 if key.dtype in ("bf16", "f16") else 4
+    io_dsize = 2 if key.dtype in ("bf16", "f16") else 4
+    mxu_dsize = 2 if (key.dtype in ("bf16", "f16")
+                      or key.precision == "default") else 4
     L = len(key.dims) - 1
-    weights = sum(key.dims[i] * key.dims[i + 1] for i in range(L)) * dsize
-    biases = sum(key.dims[1:]) * dsize if key.has_bias else 0
-    # x block + out-as-feedback block + one f32 activation temp
-    bufs = 2 * key.m * max(key.dims) * dsize + key.m * max(key.dims) * 4
-    if weights + biases + bufs > int(current_target().vmem_bytes * 0.92):
+    weights = sum(key.dims[i] * key.dims[i + 1] for i in range(L)) * mxu_dsize
+    biases = sum(key.dims[1:]) * io_dsize if key.has_bias else 0
+    # x block + out block (io dtype) + hbuf feedback (mxu dtype) + f32 temp
+    bufs = key.m * max(key.dims) * (2 * io_dsize + mxu_dsize + 4)
+    if weights + biases + bufs > int(current_target().vmem_bytes * 0.9):
         return None
 
     def get_operands(args):
