@@ -207,3 +207,12 @@ def test_pick_blocks_divides_k():
     # ragged shape still yields valid blocks
     bm, bn, bk = pick_blocks(256, 352, 352, "f32")
     assert 352 % bk == 0
+
+
+def test_dispatch_failure_reports_key():
+    """Failure reporting includes the full kernel key (the reference dumps
+    shapes on dispatch failure, XsmmRunnerUtils.cpp:132-137)."""
+    cache = global_cache()
+    bad = UnaryKey(kind="no_such_kind", shape=(8, 128), dtype="f32")
+    with pytest.raises(Exception, match="no_such_kind"):
+        cache.dispatch(bad, True)
