@@ -640,8 +640,13 @@ def _build_flash_mha(key, interpret: bool):
     dtype = _jdt(key.dtype)
     out_dtype = _jdt(key.out_dtype or key.dtype)
     sub, lane = current_target().min_tile(key.dtype)
-    bq = key.bq or _divisor_block(S, 512, sub)
-    bk = key.bk or _divisor_block(Skv, 512, lane if Skv % lane == 0 else sub)
+    # bigger q/kv blocks amortize the online-softmax rescaling: measured on
+    # v5e, 1024x1024 blocks run ~2x faster than 512x512 (PERF.md); cap so
+    # the f32 score block (4*bq*bk) stays within ~1/3 of VMEM
+    bq = key.bq or _divisor_block(S, 1024, sub)
+    bk = key.bk or _divisor_block(Skv, 1024, lane if Skv % lane == 0 else sub)
+    while 4 * bq * bk > current_target().vmem_bytes // 3 and bk > 256:
+        bk //= 2
     nq = pl.cdiv(S, bq)
     nk = pl.cdiv(Skv, bk)
     grid = (B, nq, nk)
