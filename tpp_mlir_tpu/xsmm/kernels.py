@@ -867,12 +867,11 @@ def _build_conv_brgemm(key: ConvBrgemmKey, interpret: bool):
         acc_ref = refs[idx + 1]
 
         r = pl.program_id(2)
-        kb_idx = pl.program_id(1)
 
         @pl.when(r == 0)
         def _init():
             if has_c:
-                acc_ref[:] = c_ref[0, 0].reshape(P * Q, k).astype(jnp.float32)
+                acc_ref[:] = c_ref[0, 0].astype(jnp.float32)
             else:
                 acc_ref[:] = jnp.zeros_like(acc_ref)
 
@@ -884,14 +883,14 @@ def _build_conv_brgemm(key: ConvBrgemmKey, interpret: bool):
                 w = w_ref[0, 0, rr, ss]                      # (c, k)
                 update = update + jnp.dot(
                     a, w, preferred_element_type=jnp.float32)
-        acc_ref[:] += update
+        acc_ref[:] += update.reshape(P, Q, k)
 
         @pl.when(r == red_steps - 1)
         def _finish():
             res = acc_ref[:]
             d_blk = d_ref[:] if has_d else None
             res = _apply_epilogue(res, d_blk, key.binary_kind, key.unary_kind)
-            o_ref[0, 0] = res.reshape(P, Q, k).astype(out_dtype)
+            o_ref[0, 0] = res.astype(out_dtype)
 
     cost = pl.CostEstimate(
         flops=2 * N * Kb * Cb * R * S * P * Q * c * k,
@@ -905,7 +904,7 @@ def _build_conv_brgemm(key: ConvBrgemmKey, interpret: bool):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((N, Kb, P, Q, k), out_dtype),
-        scratch_shapes=[pltpu.VMEM((P * Q, k), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((P, Q, k), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=cost,
