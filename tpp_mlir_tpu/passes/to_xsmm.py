@@ -309,6 +309,37 @@ def _single_user(op: Operation):
     return op.result.uses[0][0]
 
 
+def _bias_broadcast_init(C):
+    """Recognize a conv accumulator that is a broadcast channel bias —
+    the pattern conv-init-simplify emits:
+        C = tl.pack( tl.broadcast( tl.reshape(bias[K] -> (K,1,1)) ) )
+    Returns the 1-D bias value, or None. Recovering it lets the kernel run
+    BETA_0 with the bias as a fused epilogue instead of reading a
+    materialized broadcast accumulator from HBM every tile."""
+    op = C.owner
+    if op is not None and op.opname == "tl.pack":
+        if tuple(op.attrs.get("inner_dims", ())) != (1,):
+            return None
+        op = op.operands[0].owner
+    if op is None or op.opname != "tl.broadcast":
+        return None
+    src = op.operands[0]
+    if src.owner is not None and src.owner.opname == "tl.reshape":
+        base = src.owner.operands[0]
+        if src.type.shape != (base.type.num_elements, 1, 1):
+            return None
+    else:
+        base = src
+    if base.type.rank != 1:
+        return None
+    # the bias length must equal the channel count (Kb*k packed / K flat)
+    cshape = C.type.shape
+    channels = cshape[1] * cshape[4] if len(cshape) == 5 else cshape[1]
+    if base.type.num_elements != channels:
+        return None
+    return base
+
+
 @register
 class CombineXsmmPass(Pass):
     """{gemm|brgemm} -> binary(add) -> unary chains => one fused_brgemm.
@@ -350,7 +381,14 @@ class CombineXsmmPass(Pass):
                                         "square", "identity"):
                     unary_op = user
                     cur = user
-            if binary_op is None and unary_op is None:
+            # conv accumulators that are broadcast channel biases become a
+            # BETA_0 + fused bias-add (no HBM read of the broadcast)
+            init_bias = None
+            if binary_op is None and op.opname == "xsmm.brgemm" \
+                    and disp.attrs.get("layout") == "conv" \
+                    and "beta_0" not in disp.attrs.get("flags", ()):
+                init_bias = _bias_broadcast_init(op.operands[3])
+            if binary_op is None and unary_op is None and init_bias is None:
                 continue
 
             attrs = dict(disp.attrs)
@@ -367,6 +405,11 @@ class CombineXsmmPass(Pass):
                 attrs["binary_kind"] = bd.attrs["kind"]
                 out_shape = binary_op.result.type.shape
                 attrs["binary_bcast"] = infer_bcast(out_shape, bias.type.shape)
+            elif init_bias is not None:
+                bias = init_bias
+                attrs["binary_kind"] = "add"
+                attrs["binary_bcast"] = "bcast_col"
+                attrs["flags"] = tuple(attrs.get("flags", ())) + ("beta_0",)
             else:
                 attrs["binary_kind"] = "none"
                 attrs["binary_bcast"] = "none"
