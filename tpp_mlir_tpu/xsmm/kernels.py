@@ -398,7 +398,11 @@ def _build_blocked_matmul(key: BlockedMatmulKey, interpret: bool):
 
 def _build_batch_matmul(key, interpret: bool):
     """Parallel-batch matmul: batch is a parallel grid dim; per-batch tiles
-    follow the BRGEMM blocking. Feeds the MHA Q@Kt / P@V benchmarks."""
+    follow the BRGEMM blocking. Feeds the MHA Q@Kt / P@V benchmarks.
+
+    Tiny per-head problems (the reference's 32x64-head MHA microkernels)
+    group G heads per program: one grid step computes G small matmuls, so
+    per-program overhead amortizes instead of dominating."""
     from .flags import BatchMatmulKey
     assert isinstance(key, BatchMatmulKey)
     B, m, n, k = key.batch, key.m, key.n, key.k
@@ -409,6 +413,8 @@ def _build_batch_matmul(key, interpret: bool):
     kb_steps = max(1, k // bk) if k % bk == 0 else 1
     if k % bk != 0:
         bk = k
+    if kb_steps == 1 and bm >= m and bn >= n and m * k <= 128 * 128:
+        return _build_batch_matmul_grouped(key, interpret)
     grid = (B, pl.cdiv(m, bm), pl.cdiv(n, bn), kb_steps)
     has_c = not key.beta0
 
@@ -469,6 +475,73 @@ def _build_batch_matmul(key, interpret: bool):
         interpret=interpret,
     )
 
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
+
+    def fn(a, b, c=None):
+        args = [a if key.softmax_lhs else a.astype(mxu_dt),
+                b.astype(mxu_dt)]
+        if has_c:
+            args.append(c)
+        return call(*args)
+
+    return fn
+
+
+def _build_batch_matmul_grouped(key, interpret: bool):
+    """Head-grouped small batched matmul: G whole (m,k)x(k,n) problems per
+    grid step."""
+    B, m, n, k = key.batch, key.m, key.n, key.k
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    dsize = 2 if key.dtype in ("bf16", "f16") else 4
+    budget = 4 * 2 ** 20
+    G = 1
+    for cand in (16, 8, 4, 2):
+        if B % cand == 0 and cand * (m * k + k * n + m * n) * dsize <= budget:
+            G = cand
+            break
+    has_c = not key.beta0
+    grid = (B // G,)
+    in_specs = [
+        pl.BlockSpec((G, m, k), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, k, n), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_c:
+        in_specs.append(pl.BlockSpec((G, m, n), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((G, m, n), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        a_ref, b_ref = refs[0], refs[1]
+        c_ref = refs[2] if has_c else None
+        o_ref = refs[2 + has_c]
+        for g in range(G):
+            a = a_ref[g]
+            if key.softmax_lhs:
+                a = jax.nn.softmax(a.astype(jnp.float32),
+                                   axis=-1).astype(a.dtype)
+            acc = jnp.dot(a, b_ref[g], preferred_element_type=jnp.float32)
+            if has_c:
+                acc = acc + c_ref[g].astype(jnp.float32)
+            o_ref[g] = acc.astype(out_dtype)
+
+    cost = pl.CostEstimate(
+        flops=2 * B * m * n * k,
+        bytes_accessed=B * (m * k + k * n + m * n) * dsize,
+        transcendentals=B * m * k if key.softmax_lhs else 0)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
     mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
 
     def fn(a, b, c=None):
