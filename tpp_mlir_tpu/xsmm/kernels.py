@@ -722,6 +722,10 @@ def _build_flash_mha(key, interpret: bool):
         bk //= 2
     nq = pl.cdiv(S, bq)
     nk = pl.cdiv(Skv, bk)
+    if nq == 1 and nk == 1 and not key.bq and not key.bk:
+        # whole sequence per head: group heads per program so per-program
+        # overhead amortizes (the seq<=512 MHA benchmark regime)
+        return _build_flash_mha_grouped(key, interpret)
     grid = (B, nq, nk)
 
     in_specs = [
@@ -883,6 +887,61 @@ def _build_chain_bench(key, interpret: bool):
         return call(*args)
 
     return fn
+
+
+def _build_flash_mha_grouped(key, interpret: bool):
+    """Whole-sequence attention, G heads per grid step (no online softmax
+    needed: the full score row is resident)."""
+    B, S, Skv, D = key.batch, key.seq, key.seq_kv, key.head_dim
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    dsize = 2 if key.dtype in ("bf16", "f16") else 4
+    budget = current_target().vmem_bytes // 3
+    G = 1
+    for cand in (8, 4, 2):
+        if B % cand == 0 and cand * (3 * S * D * dsize + 4 * S * Skv) \
+                <= budget:
+            G = cand
+            break
+    grid = (B // G,)
+    in_specs = [pl.BlockSpec((G, S, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)] * 3
+    out_spec = pl.BlockSpec((G, S, D), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        for g in range(G):
+            q = q_ref[g].astype(jnp.float32) * key.scale
+            sc = jax.lax.dot_general(
+                q.astype(q_ref.dtype), k_ref[g],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if key.causal:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (S, Skv), 0)
+                cols = jax.lax.broadcasted_iota(jnp.int32, (S, Skv), 1)
+                sc = jnp.where(rows >= cols, sc, -1e30)
+            p = jax.nn.softmax(sc, axis=-1)
+            o_ref[g] = jnp.dot(p.astype(v_ref.dtype), v_ref[g],
+                               preferred_element_type=jnp.float32
+                               ).astype(out_dtype)
+
+    cost = pl.CostEstimate(
+        flops=4 * B * S * Skv * D,
+        bytes_accessed=B * (S * D * 2 + 2 * Skv * D) * dsize,
+        transcendentals=B * S * Skv)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, S, D), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
+    return lambda q, k, v: call(q.astype(mxu_dt), k.astype(mxu_dt),
+                                v.astype(mxu_dt))
 
 
 def _build_conv_brgemm(key: ConvBrgemmKey, interpret: bool):
