@@ -174,3 +174,24 @@ def test_jit_compile_path():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_conv2d_nhwc_relayout_free():
+    """NHWC conv lowers to the conv-BRGEMM kernel with Cb=Kb=1: the blocked
+    layout is a free reshape of NHWC (zero activation relayout), and the
+    broadcast-bias accumulator is recovered as a BETA_0 + fused epilogue."""
+    text = """func @entry(%i: tensor<2x10x10x128xf32>, %w: tensor<3x3x128x128xf32>, %bias: tensor<128xf32>) {
+  %0 = tl.constant {init = "zero"} : tensor<2x8x8x128xf32>
+  %1 = tl.conv2d_nhwc_hwcf %i, %w, %0 {strides = [1, 1]} : tensor<2x8x8x128xf32>
+  %2 = tl.add %1, %bias : tensor<2x8x8x128xf32>
+  %3 = tl.relu %2 : tensor<2x8x8x128xf32>
+  return %3 : tensor<2x8x8x128xf32>
+}
+"""
+    args = (rng(2, 10, 10, 128), rng(3, 3, 128, 128, seed=1) * 0.05,
+            rng(128, seed=2))
+    m = diff_run(text, args, atol=1e-3, rtol=1e-3)
+    s = str(m)
+    assert 'layout = "conv"' in s
+    assert '"beta_0"' in s and 'binary_kind = "add"' in s
+    assert "tl.pack" not in s and "tl.transpose" not in s

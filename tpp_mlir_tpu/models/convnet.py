@@ -22,6 +22,7 @@ class ConvConfig:
     bias: bool = True
     relu: bool = True
     const_weights: bool = True
+    layout: str = "nchw"         # "nhwc": zero activation relayout on TPU
     seed: int = 0
 
 
@@ -42,15 +43,18 @@ def conv_flops(cfg: ConvConfig) -> int:
 
 def build_convnet(cfg: ConvConfig) -> Module:
     dt = cfg.float_type
+    nhwc = cfg.layout == "nhwc"
     m = Module()
-    arg_types = [TensorType((cfg.batch, cfg.channels, cfg.height, cfg.width),
-                            dt)]
+    in_shape = ((cfg.batch, cfg.height, cfg.width, cfg.channels) if nhwc
+                else (cfg.batch, cfg.channels, cfg.height, cfg.width))
+    arg_types = [TensorType(in_shape, dt)]
     arg_names = ["x"]
     if not cfg.const_weights:
         C = cfg.channels
         for i in range(cfg.layers):
-            arg_types.append(TensorType(
-                (cfg.filters, C, cfg.kernel, cfg.kernel), dt))
+            wshape = ((cfg.kernel, cfg.kernel, C, cfg.filters) if nhwc
+                      else (cfg.filters, C, cfg.kernel, cfg.kernel))
+            arg_types.append(TensorType(wshape, dt))
             arg_names.append(f"w{i}")
             if cfg.bias:
                 arg_types.append(TensorType((cfg.filters,), dt))
@@ -64,9 +68,10 @@ def build_convnet(cfg: ConvConfig) -> Module:
     C, H, W = cfg.channels, cfg.height, cfg.width
     for i in range(cfg.layers):
         P, Q = H - cfg.kernel + 1, W - cfg.kernel + 1
+        wshape = ((cfg.kernel, cfg.kernel, C, cfg.filters) if nhwc
+                  else (cfg.filters, C, cfg.kernel, cfg.kernel))
         if cfg.const_weights:
-            w = b.constant(TensorType((cfg.filters, C, cfg.kernel,
-                                       cfg.kernel), dt),
+            w = b.constant(TensorType(wshape, dt),
                            init="normal", seed=cfg.seed + 2 * i + 1)
             bias = b.constant(TensorType((cfg.filters,), dt), init="normal",
                               seed=cfg.seed + 2 * i + 2) if cfg.bias else None
@@ -77,12 +82,18 @@ def build_convnet(cfg: ConvConfig) -> Module:
             if cfg.bias:
                 bias = f.args[argi]
                 argi += 1
-        acc = b.constant(TensorType((cfg.batch, cfg.filters, P, Q), dt),
-                         init="zero")
-        x = b.conv2d_nchw_fchw(x, w, acc, strides=(1, 1))
-        if cfg.bias:
-            bias3 = b.reshape(bias, (cfg.filters, 1, 1))
-            x = b.add(x, bias3)
+        oshape = ((cfg.batch, P, Q, cfg.filters) if nhwc
+                  else (cfg.batch, cfg.filters, P, Q))
+        acc = b.constant(TensorType(oshape, dt), init="zero")
+        if nhwc:
+            x = b.conv2d_nhwc_hwcf(x, w, acc, strides=(1, 1))
+            if cfg.bias:
+                x = b.add(x, bias)
+        else:
+            x = b.conv2d_nchw_fchw(x, w, acc, strides=(1, 1))
+            if cfg.bias:
+                bias3 = b.reshape(bias, (cfg.filters, 1, 1))
+                x = b.add(x, bias3)
         if cfg.relu:
             x = b.relu(x)
         C, H, W = cfg.filters, P, Q

@@ -116,7 +116,35 @@ class PackConv2DPass(Pass):
         b = TppBuilder(func)
         block = self.options.get("block")
         for op in list(func.ops):
-            if op.parent is None or op.opname != "tl.conv2d_nchw_fchw":
+            if op.parent is None:
+                continue
+            if op.opname == "tl.conv2d_nhwc_hwcf":
+                # NHWC with whole-channel blocks (Cb = Kb = 1): the blocked
+                # layout [N,1,H,W,C] is a FREE reshape of NHWC — zero
+                # activation relayout per call (the NCHW path pays a
+                # transpose; reference packs NHWC too,
+                # PackConv2DNhwcHwcf ToBlockLayoutAndBack.cpp:569-640)
+                I, W, O = op.operands
+                N, H, Wd, C = I.type.shape
+                R, S, _, K = W.type.shape
+                if C > 512 or K > 512:
+                    continue  # needs real channel blocking; NCHW path covers
+                strides = tuple(op.attrs.get("strides", (1, 1)))
+
+                def emit(bb):
+                    pi = bb.reshape(I, (N, 1, H, Wd, C))
+                    pw = bb.reshape(W, (1, 1, R, S, C, K))
+                    po = bb.reshape(O, (O.type.shape[0], 1) +
+                                    O.type.shape[1:3] + (K,))
+                    blocked = bb.blocked_conv2d(pi, pw, po, strides)
+                    return bb.reshape(blocked, O.type.shape)
+
+                res = _insert_before(func, op, b, emit)
+                func.replace_all_uses(op.result, res)
+                func.erase(op)
+                changed = True
+                continue
+            if op.opname != "tl.conv2d_nchw_fchw":
                 continue
             I, W, O = op.operands
             N, C, H, Wd = I.type.shape

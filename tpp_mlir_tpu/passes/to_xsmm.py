@@ -321,6 +321,9 @@ def _bias_broadcast_init(C):
         if tuple(op.attrs.get("inner_dims", ())) != (1,):
             return None
         op = op.operands[0].owner
+    elif op is not None and op.opname == "tl.reshape":
+        # NHWC path: C = reshape(broadcast(bias[K]) : [N,P,Q,K] -> blocked)
+        op = op.operands[0].owner
     if op is None or op.opname != "tl.broadcast":
         return None
     src = op.operands[0]
