@@ -122,3 +122,29 @@ def test_matcher_dsl():
     mm = Matcher("tl.matmul").operand(0, has_rank(2)).dtype_in("f32")
     assert mm(ops[1])
     assert not mm(ops[2])
+
+
+def test_multi_function_module():
+    """Passes iterate all functions in a module."""
+    from tpp_mlir_tpu.passes import run_pipeline
+
+    text = """module {
+  func @f1(%x: tensor<8x128xf32>) -> tensor<8x128xf32> {
+    %0 = tl.relu %x : tensor<8x128xf32>
+    %1 = tl.relu %x : tensor<8x128xf32>
+    %2 = tl.add %0, %1 : tensor<8x128xf32>
+    return %2 : tensor<8x128xf32>
+  }
+  func @f2(%y: tensor<4x128xf32>) -> tensor<4x128xf32> {
+    %0 = tl.exp %y : tensor<4x128xf32>
+    return %0 : tensor<4x128xf32>
+  }
+}
+"""
+    m = parse_module(text)
+    m.verify()
+    assert len(m.funcs) == 2
+    run_pipeline(m, "cleanup")
+    s = print_module(m)
+    assert s.count("func @") == 2
+    assert s.count("tl.relu") == 1  # CSE within f1
