@@ -71,3 +71,34 @@ def test_mha_builders_execute():
         np.testing.assert_allclose(np.asarray(g, np.float32),
                                    np.asarray(w, np.float32),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_extract_bench_kernel_paths():
+    """Warm-bench extraction: chain and single-fc programs qualify; batch/
+    non-square programs do not."""
+    import jax.numpy as jnp
+
+    from tpp_mlir_tpu.ir import parse_module
+    from tpp_mlir_tpu.passes import run_pipeline
+    from tpp_mlir_tpu.runtime import tensor_init
+    from tpp_mlir_tpu.runtime.executor import extract_bench_kernel
+    from tpp_mlir_tpu.tools.mlir_gen import (build_parser, config_from_args,
+                                             generate_text)
+    from tpp_mlir_tpu.xsmm import build_kernel
+
+    def lower(genargs):
+        m = parse_module(generate_text(config_from_args(
+            build_parser().parse_args(genargs.split()))))
+        run_pipeline(m, "default-tpp-passes")
+        return m
+
+    m = lower("--batch=16 --layers=64,64,64 --bias --relu")
+    key, getops = extract_bench_kernel(m)
+    assert key.dims == (64, 64, 64) and key.has_bias
+    args = tuple(jnp.asarray(tensor_init("rand", a.type.shape, a.type.dtype,
+                                         seed=i))
+                 for i, a in enumerate(m["entry"].args))
+    out = build_kernel(key, interpret=True)(*getops(args))
+    assert out.shape == (16, 64)
+
+    assert extract_bench_kernel(lower("--batch=16 --layers=64,32")) is None
