@@ -52,15 +52,18 @@ def _chain(step: Callable, n: int):
                         fed_back = True
                         break
             if not fed_back:
-                # no output matches an input: poison one element of arg 0
-                # with a zero derived from the output, creating a true data
-                # dependency (optimization_barrier alone maps operands to
-                # results independently and does NOT stop XLA hoisting the
-                # loop-invariant kernel)
+                # no output matches an input: poison one element of the
+                # SMALLEST arg with a zero derived from the output, creating
+                # a true data dependency (optimization_barrier alone maps
+                # operands to results independently and does NOT stop XLA
+                # hoisting the loop-invariant kernel). Poisoning the smallest
+                # operand keeps the forced per-iteration copy negligible.
+                pi = min(range(len(new_args)),
+                         key=lambda i: new_args[i].size)
                 eps = (jnp.sum(outs[0].ravel()[:1]).astype(jnp.float32)
-                       * 0.0).astype(new_args[0].dtype)
-                idx = (0,) * new_args[0].ndim
-                new_args[0] = new_args[0].at[idx].add(eps)
+                       * 0.0).astype(new_args[pi].dtype)
+                idx = (0,) * new_args[pi].ndim
+                new_args[pi] = new_args[pi].at[idx].add(eps)
             return tuple(new_args), None
         final, _ = jax.lax.scan(body, tuple(args), None, length=n)
         return jax.tree.map(lambda x: jnp.sum(x.astype(jnp.float32)), final)
