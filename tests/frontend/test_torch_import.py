@@ -66,3 +66,20 @@ def test_torch_mlp_softmax_flatten():
     got = tpp_compile(m, jit=False)(jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(got, np.float32), want,
                                atol=1e-4, rtol=1e-3)
+
+
+def test_torch_conv_with_padding():
+    torch.manual_seed(3)
+    model = torch.nn.Sequential(
+        torch.nn.Conv2d(128, 128, 3, stride=1, padding=1),
+        torch.nn.ReLU(),
+    )
+    x = torch.randn(2, 128, 8, 8)
+    with torch.no_grad():
+        want = model(x).numpy()
+    m = import_torch(model, (2, 128, 8, 8))
+    run_pipeline(m, "default-tpp-passes")
+    assert 'layout = "conv"' in str(m)
+    got = tpp_compile(m, jit=False)(jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=1e-3, rtol=1e-3)

@@ -7,7 +7,8 @@ converts a torch.nn module directly into the tensor IR; weights become
 literal constants (pre-packable by constant-fold-pack like any weight).
 
 Supported module classes: Sequential / Linear / ReLU / GELU / Tanh /
-Softmax / Flatten / Conv2d (padding=0) / Identity / Dropout (eval = no-op).
+Softmax / Flatten / Conv2d (incl. zero padding) / Identity / Dropout
+(eval = no-op).
 Everything runs through the same default pipeline as tpp-gen models.
 """
 
@@ -80,11 +81,12 @@ def import_torch(model, example_shape, dtype: str = "f32",
                 n *= d
             return b.reshape(x, (x.type.shape[0], n))
         if isinstance(layer, nn.Conv2d):
-            if any(p != 0 for p in layer.padding):
-                raise NotImplementedError(
-                    "Conv2d padding != 0 not supported by the importer yet")
             K = layer.out_channels
             w = const_of(layer.weight, tuple(layer.weight.shape))
+            ph, pw = (layer.padding if isinstance(layer.padding, tuple)
+                      else (layer.padding, layer.padding))
+            if ph or pw:
+                x = b.pad(x, (0, 0, ph, pw), (0, 0, ph, pw))
             N, C, H, W = x.type.shape
             R, S = layer.kernel_size
             sh, sw = layer.stride

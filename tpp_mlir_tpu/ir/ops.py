@@ -219,6 +219,22 @@ def _v_zero(op):
         _fail(op, "result type must match dest")
 
 
+@_op("tl.pad")
+def _v_pad(op):
+    # zero padding: lo/hi per dim (torch Conv2d padding support; padded
+    # convs then lower through the VALID-padding conv path)
+    if len(op.operands) != 1:
+        _fail(op, "expects one operand")
+    lo = tuple(op.attrs.get("lo", ()))
+    hi = tuple(op.attrs.get("hi", ()))
+    src = op.operands[0].type
+    if len(lo) != src.rank or len(hi) != src.rank:
+        _fail(op, "lo/hi must have one entry per dim")
+    want = tuple(d + l + h for d, l, h in zip(src.shape, lo, hi))
+    if op.result.type.shape != want:
+        _fail(op, f"result shape {op.result.type.shape} != {want}")
+
+
 @_op("tl.broadcast")
 def _v_broadcast(op):
     if len(op.operands) != 1:
@@ -763,6 +779,12 @@ class TppBuilder(Builder):
 
     def identity(self, x: Value) -> Value:
         return self.unary("tl.identity", x)
+
+    def pad(self, x: Value, lo, hi) -> Value:
+        lo, hi = tuple(lo), tuple(hi)
+        shape = tuple(d + l + h for d, l, h in zip(x.type.shape, lo, hi))
+        return self.create("tl.pad", [x], [x.type.with_shape(shape)],
+                           {"lo": lo, "hi": hi}).result
 
     def broadcast(self, x: Value, shape) -> Value:
         return self.create("tl.broadcast", [x],

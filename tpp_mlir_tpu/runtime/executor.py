@@ -122,6 +122,10 @@ def _eval_tl(op: Operation, vals: list, interpret_kernels: bool):
         return jax.nn.gelu(acc32(vals[0])).astype(odt)
     if name == "tl.cast":
         return vals[0].astype(odt)
+    if name == "tl.pad":
+        lo = op.attrs["lo"]
+        hi = op.attrs["hi"]
+        return jnp.pad(vals[0], tuple(zip(lo, hi)))
     if name == "tl.broadcast":
         return jnp.broadcast_to(vals[0], rt.shape)
     if name == "tl.transpose":
