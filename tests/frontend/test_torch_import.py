@@ -83,3 +83,29 @@ def test_torch_conv_with_padding():
     got = tpp_compile(m, jit=False)(jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(got, np.float32), want,
                                atol=1e-3, rtol=1e-3)
+
+
+def test_torch_conv_bn_pool_stack():
+    torch.manual_seed(4)
+    model = torch.nn.Sequential(
+        torch.nn.Conv2d(128, 128, 3, padding=1),
+        torch.nn.BatchNorm2d(128),
+        torch.nn.ReLU(),
+        torch.nn.MaxPool2d(2),
+        torch.nn.AvgPool2d(2),
+        torch.nn.Flatten(),
+        torch.nn.Linear(128 * 2 * 2, 10),
+    )
+    model.eval()
+    # give batchnorm non-trivial stats
+    with torch.no_grad():
+        model[1].running_mean.uniform_(-0.5, 0.5)
+        model[1].running_var.uniform_(0.5, 1.5)
+    x = torch.randn(2, 128, 8, 8)
+    with torch.no_grad():
+        want = model(x).numpy()
+    m = import_torch(model, (2, 128, 8, 8))
+    run_pipeline(m, "default-tpp-passes")
+    got = tpp_compile(m, jit=False)(jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=2e-3, rtol=2e-3)

@@ -7,8 +7,8 @@ converts a torch.nn module directly into the tensor IR; weights become
 literal constants (pre-packable by constant-fold-pack like any weight).
 
 Supported module classes: Sequential / Linear / ReLU / GELU / Tanh /
-Softmax / Flatten / Conv2d (incl. zero padding) / Identity / Dropout
-(eval = no-op).
+Softmax / Flatten / Conv2d (incl. zero padding) / BatchNorm2d (eval
+fold to scale+shift) / MaxPool2d / AvgPool2d / Identity / Dropout.
 Everything runs through the same default pipeline as tpp-gen models.
 """
 
@@ -99,6 +99,26 @@ def import_torch(model, example_shape, dtype: str = "f32",
                 bias3 = b.reshape(bias, (K, 1, 1))
                 x = b.add(x, bias3)
             return x
+        if isinstance(layer, nn.BatchNorm2d):
+            # eval-mode fold: y = x * a + b, a = gamma/sqrt(var+eps),
+            # b = beta - mean*a (per channel)
+            import torch as _t
+
+            with _t.no_grad():
+                a = (layer.weight / _t.sqrt(layer.running_var + layer.eps))
+                bb = layer.bias - layer.running_mean * a
+            C = a.numel()
+            av = const_of(a.reshape(C, 1, 1), (C, 1, 1))
+            bv = const_of(bb.reshape(C, 1, 1), (C, 1, 1))
+            return b.add(b.mul(x, av), bv)
+        if isinstance(layer, (nn.MaxPool2d, nn.AvgPool2d)):
+            ks = layer.kernel_size
+            ks = ks if isinstance(ks, tuple) else (ks, ks)
+            st = layer.stride or ks
+            st = st if isinstance(st, tuple) else (st, st)
+            opn = ("tl.max_pool2d" if isinstance(layer, nn.MaxPool2d)
+                   else "tl.avg_pool2d")
+            return b.pool2d(opn, x, ks, st)
         if isinstance(layer, (nn.Identity, nn.Dropout)):
             return x
         raise NotImplementedError(

@@ -400,6 +400,28 @@ def _v_unpack(op):
         _fail(op, f"operand shape {op.operands[0].type.shape} != {want}")
 
 
+def _pool_verifier(name):
+    @_op(name)
+    def _v(op):
+        if len(op.operands) != 1:
+            _fail(op, "expects one operand")
+        src = op.operands[0].type
+        if src.rank != 4:
+            _fail(op, "expects NCHW rank-4 input")
+        kh, kw = op.attrs.get("window", (2, 2))
+        sh, sw = op.attrs.get("strides", (kh, kw))
+        N, C, H, W = src.shape
+        P = (H - kh) // sh + 1
+        Q = (W - kw) // sw + 1
+        if op.result.type.shape != (N, C, P, Q):
+            _fail(op, f"result {op.result.type.shape} != {(N, C, P, Q)}")
+    return _v
+
+
+for _n in ("tl.max_pool2d", "tl.avg_pool2d"):
+    _pool_verifier(_n)
+
+
 @_op("tl.conv2d_nchw_fchw")
 def _v_conv_nchw(op):
     if len(op.operands) != 3:
@@ -858,6 +880,15 @@ class TppBuilder(Builder):
             attrs["outer_perm"] = tuple(outer_perm)
         return self.create("tl.unpack", [x], [x.type.with_shape(out_shape)],
                            attrs).result
+
+    def pool2d(self, opname: str, x: Value, window=(2, 2),
+               strides=None) -> Value:
+        kh, kw = window
+        sh, sw = strides or window
+        N, C, H, W = x.type.shape
+        P, Q = (H - kh) // sh + 1, (W - kw) // sw + 1
+        return self.create(opname, [x], [x.type.with_shape((N, C, P, Q))],
+                           {"window": (kh, kw), "strides": (sh, sw)}).result
 
     def conv2d_nchw_fchw(self, i: Value, w: Value, o: Value,
                          strides=(1, 1)) -> Value:

@@ -164,6 +164,20 @@ def _eval_tl(op: Operation, vals: list, interpret_kernels: bool):
         return _pack_val(vals[0], op.attrs)
     if name == "tl.unpack":
         return _unpack_val(vals[0], op.attrs, rt.shape)
+    if name in ("tl.max_pool2d", "tl.avg_pool2d"):
+        kh, kw = op.attrs.get("window", (2, 2))
+        sh, sw = op.attrs.get("strides", (kh, kw))
+        x = vals[0]
+        if name == "tl.max_pool2d":
+            out = jax.lax.reduce_window(
+                x, -jnp.inf if x.dtype != jnp.int32 else jnp.iinfo(
+                    jnp.int32).min,
+                jax.lax.max, (1, 1, kh, kw), (1, 1, sh, sw), "VALID")
+        else:
+            out = jax.lax.reduce_window(
+                acc32(x), 0.0, jax.lax.add, (1, 1, kh, kw), (1, 1, sh, sw),
+                "VALID") / (kh * kw)
+        return out.astype(odt)
     if name == "tl.conv2d_nchw_fchw":
         i, w, o = vals
         out = jax.lax.conv_general_dilated(
