@@ -109,3 +109,37 @@ def test_torch_conv_bn_pool_stack():
     got = tpp_compile(m, jit=False)(jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(got, np.float32), want,
                                atol=2e-3, rtol=2e-3)
+
+
+def test_torch_fx_residual_block():
+    """Graph-level import (torch.fx): a ResNet-style residual block."""
+    from tpp_mlir_tpu.frontend import import_torch_fx
+
+    class Block(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = torch.nn.Conv2d(128, 128, 3, padding=1)
+            self.bn1 = torch.nn.BatchNorm2d(128)
+            self.c2 = torch.nn.Conv2d(128, 128, 3, padding=1)
+            self.bn2 = torch.nn.BatchNorm2d(128)
+
+        def forward(self, x):
+            y = torch.relu(self.bn1(self.c1(x)))
+            y = self.bn2(self.c2(y))
+            return torch.relu(y + x)
+
+    torch.manual_seed(5)
+    model = Block().eval()
+    with torch.no_grad():
+        model.bn1.running_mean.uniform_(-0.2, 0.2)
+        model.bn2.running_var.uniform_(0.8, 1.2)
+    x = torch.randn(2, 128, 8, 8)
+    with torch.no_grad():
+        want = model(x).numpy()
+    m = import_torch_fx(model, (2, 128, 8, 8))
+    assert m.attrs["flops"] > 0
+    run_pipeline(m, "default-tpp-passes")
+    assert 'layout = "conv"' in str(m)
+    got = tpp_compile(m, jit=False)(jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=2e-3, rtol=2e-3)

@@ -142,3 +142,135 @@ def import_torch(model, example_shape, dtype: str = "f32",
             flops += op.results[0].type.num_elements
     m.attrs["flops"] = flops
     return m
+
+
+def import_torch_fx(model, example_shape, dtype: str = "f32",
+                    name: str = "entry") -> Module:
+    """Graph-level importer via torch.fx symbolic tracing: handles residual
+    connections and functional calls (the closest analogue of the
+    reference's torch-dynamo linalg export). Falls back on the module-level
+    importer's layer lowering for call_module nodes."""
+    import operator
+
+    import torch
+    import torch.fx as fx
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    model = model.eval()
+    graph_module = fx.symbolic_trace(model)
+    modules = dict(graph_module.named_modules())
+
+    m = Module()
+    f = m.add(Function(name, [TensorType(tuple(example_shape), dtype)],
+                       ["x"]))
+    b = TppBuilder(f)
+    counter = [0]
+
+    def literal(tensor, suffix):
+        key = f"fx{counter[0]}_{suffix}"
+        counter[0] += 1
+        m.literals[key] = tensor.detach().cpu().float().numpy()
+        return key
+
+    def const_of(tensor, shape):
+        key = literal(tensor, "w")
+        return b.create("tl.constant", [], [TensorType(tuple(shape), dtype)],
+                        {"init": "literal", "literal": key}).result
+
+    # reuse the module-level lowering by constructing a mini-importer bound
+    # to this builder
+    def lower_module(layer, x):
+        from . import torch_import as _self
+
+        # inline: reimplement via the same logic as import_torch's emit by
+        # temporarily binding b/const_of. Keep in sync with import_torch.
+        if isinstance(layer, nn.Linear):
+            K, N = layer.in_features, layer.out_features
+            w = const_of(layer.weight.T.contiguous(), (K, N))
+            acc = b.constant(TensorType((x.type.shape[0], N), dtype),
+                             init="zero")
+            x = b.matmul(x, w, acc)
+            if layer.bias is not None:
+                x = b.add(x, const_of(layer.bias, (N,)))
+            return x
+        if isinstance(layer, nn.Conv2d):
+            K = layer.out_channels
+            w = const_of(layer.weight, tuple(layer.weight.shape))
+            ph, pw = (layer.padding if isinstance(layer.padding, tuple)
+                      else (layer.padding, layer.padding))
+            if ph or pw:
+                x = b.pad(x, (0, 0, ph, pw), (0, 0, ph, pw))
+            N_, C, H, W = x.type.shape
+            R, S = layer.kernel_size
+            sh, sw = layer.stride
+            P = (H - R) // sh + 1
+            Q = (W - S) // sw + 1
+            acc = b.constant(TensorType((N_, K, P, Q), dtype), init="zero")
+            x = b.conv2d_nchw_fchw(x, w, acc, strides=(sh, sw))
+            if layer.bias is not None:
+                x = b.add(x, b.reshape(const_of(layer.bias, (K,)),
+                                       (K, 1, 1)))
+            return x
+        if isinstance(layer, nn.BatchNorm2d):
+            with torch.no_grad():
+                a = layer.weight / torch.sqrt(layer.running_var + layer.eps)
+                bb = layer.bias - layer.running_mean * a
+            C = a.numel()
+            return b.add(b.mul(x, const_of(a.reshape(C, 1, 1), (C, 1, 1))),
+                         const_of(bb.reshape(C, 1, 1), (C, 1, 1)))
+        if isinstance(layer, nn.ReLU):
+            return b.relu(x)
+        if isinstance(layer, nn.GELU):
+            return b.unary("tl.gelu", x)
+        if isinstance(layer, (nn.MaxPool2d, nn.AvgPool2d)):
+            ks = layer.kernel_size
+            ks = ks if isinstance(ks, tuple) else (ks, ks)
+            st = layer.stride or ks
+            st = st if isinstance(st, tuple) else (st, st)
+            opn = ("tl.max_pool2d" if isinstance(layer, nn.MaxPool2d)
+                   else "tl.avg_pool2d")
+            return b.pool2d(opn, x, ks, st)
+        if isinstance(layer, nn.Flatten):
+            n = 1
+            for d in x.type.shape[1:]:
+                n *= d
+            return b.reshape(x, (x.type.shape[0], n))
+        if isinstance(layer, (nn.Identity, nn.Dropout)):
+            return x
+        raise NotImplementedError(
+            f"fx import: unsupported module {type(layer).__name__}")
+
+    env = {}
+    for node in graph_module.graph.nodes:
+        if node.op == "placeholder":
+            env[node.name] = f.args[0]
+        elif node.op == "call_module":
+            env[node.name] = lower_module(modules[node.target],
+                                          env[node.args[0].name])
+        elif node.op == "call_function":
+            if node.target in (operator.add, torch.add):
+                env[node.name] = b.add(env[node.args[0].name],
+                                       env[node.args[1].name])
+            elif node.target in (torch.relu, F.relu):
+                env[node.name] = b.relu(env[node.args[0].name])
+            elif node.target is torch.flatten:
+                x = env[node.args[0].name]
+                n = 1
+                for d in x.type.shape[1:]:
+                    n *= d
+                env[node.name] = b.reshape(x, (x.type.shape[0], n))
+            else:
+                raise NotImplementedError(
+                    f"fx import: unsupported function {node.target}")
+        elif node.op == "call_method":
+            raise NotImplementedError(
+                f"fx import: unsupported method {node.target}")
+        elif node.op == "output":
+            arg = node.args[0]
+            b.ret(env[arg.name] if hasattr(arg, "name") else env[arg[0].name])
+    m.verify()
+    from ..utils.flops import count_flops
+
+    m.attrs["flops"] = count_flops(m, name)
+    return m
