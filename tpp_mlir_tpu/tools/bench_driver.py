@@ -47,6 +47,9 @@ def build_module(entry):
             "mha_full": mha.build_mha,
             "convnet": lambda **kw: convnet.build_convnet(
                 convnet.ConvConfig(**kw)),
+            "resnet_block": __import__(
+                "tpp_mlir_tpu.models.resnet_block",
+                fromlist=["build_resnet_block"]).build_resnet_block,
         }[name]
         return builder(**kwargs)
     raise ValueError(f"benchmark entry needs 'gen' or 'model': {entry}")
