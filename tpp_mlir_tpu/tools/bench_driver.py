@@ -64,6 +64,8 @@ def run_benchmark(entry, iters, verbose=False, no_baseline=False):
     from tpp_mlir_tpu.runtime.perf import model_flops
 
     module = build_module(entry)
+    if entry.get("precision"):
+        module.attrs["precision"] = entry["precision"]
     flops = model_flops(module)
     if not flops:
         from tpp_mlir_tpu.utils.flops import count_flops
