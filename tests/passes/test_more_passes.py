@@ -110,3 +110,15 @@ def test_lower_packs_decomposition():
     got = tpp_compile(m, jit=False)(x)
     np.testing.assert_array_equal(np.asarray(got, np.float32),
                                   np.asarray(want, np.float32))
+
+
+def test_pipeline_idempotent():
+    """Running the default pipeline twice is safe and stable (fixpoint)."""
+    from tpp_mlir_tpu.models.mlp import MlpConfig, build_mlp
+
+    m = build_mlp(MlpConfig(batch=16, layers=(64, 64, 64), bias=True,
+                            relu=True, kernel="args"))
+    run_pipeline(m, "default-tpp-passes")
+    first = print_module(m)
+    run_pipeline(m, "default-tpp-passes")
+    assert print_module(m) == first
