@@ -49,6 +49,14 @@ class FoldAddIntoDestPass(Pass):
                 dest = c_op.operands[dest_idx]
                 if not is_zero_op(dest.owner) or len(dest.uses) != 1:
                     continue
+                # `other` must dominate the contraction it becomes the
+                # accumulator of; hoist its producer slice above the
+                # contraction when legal (same as conv-init-simplify), else
+                # skip — rewiring without this creates use-before-def.
+                if other.owner is not None:
+                    from .conv import _hoist_before
+                    if not _hoist_before(func, c_op, other):
+                        continue
                 # Rewire: contraction accumulates into `other` directly.
                 c_op.set_operand(dest_idx, other)
                 func.replace_all_uses(op.result, contraction_val)

@@ -369,7 +369,16 @@ class CombineXsmmPass(Pass):
             bias = None
             if user is not None and user.opname == "xsmm.binary":
                 ud = user.operands[0].owner
-                if ud.attrs["kind"] in ("add", "mul", "sub", "div", "max"):
+                kind = ud.attrs["kind"]
+                # The fused kernel epilogue always computes acc OP bias: for
+                # non-commutative kinds the contraction result must be the
+                # binary's FIRST value operand, or bias OP acc would silently
+                # flip sign/reciprocal (the reference only matches bias-add,
+                # CombineXsmmPass.cpp:30-150; our kind-generic match must
+                # check operand order).
+                order_ok = (kind in ("add", "mul", "max")
+                            or user.operands[1] is cur.result)
+                if kind in ("add", "mul", "sub", "div", "max") and order_ok:
                     # bias operand is whichever isn't the contraction result
                     others = [v for v in user.operands[1:]
                               if v is not cur.result]

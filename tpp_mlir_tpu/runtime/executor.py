@@ -354,13 +354,16 @@ def _normalize_bias(key, bias):
     return bias  # BrgemmKey wrapper handles 1-D/scalar forms
 
 
-def _eval_xsmm(op: Operation, vals: list, interpret_kernels: bool):
+def _eval_xsmm(op: Operation, vals: list,
+               interpret_kernels: bool | None):
     name = op.opname
     if name.endswith("_dispatch"):
         return None  # resolved by the invoke
     d = op.operands[0].owner
     key = _dispatch_key(d, op)
-    fn = global_cache().dispatch(key, interpret_kernels or None)
+    # tri-state passes through unchanged: None = interpret_default()
+    # heuristic, False = force compiled (Mosaic), True = force interpret
+    fn = global_cache().dispatch(key, interpret_kernels)
     if name == "xsmm.gemm":
         _, a, b, c = vals
         return fn(a[None], b[None], None if key.beta0 else c)
@@ -389,7 +392,7 @@ def _eval_xsmm(op: Operation, vals: list, interpret_kernels: bool):
 # Public entry points
 # ---------------------------------------------------------------------------
 
-def _run_func(func: Function, args, interpret_kernels: bool,
+def _run_func(func: Function, args, interpret_kernels: bool | None,
               with_checks: bool, check_cb=None):
     env: dict[int, Any] = {}
     for a, v in zip(func.args, args):
@@ -440,10 +443,9 @@ def compile(module: Module, func_name: str = "entry",
     import jax
 
     func = module[func_name]
-    ik = bool(interpret_kernels) if interpret_kernels is not None else None
 
     def fn(*args):
-        outs = _run_func(func, args, bool(ik), with_checks=False)
+        outs = _run_func(func, args, interpret_kernels, with_checks=False)
         return outs[0] if len(outs) == 1 else outs
 
     return jax.jit(fn) if jit else fn

@@ -596,7 +596,7 @@ def _build_chain(key, interpret: bool):
                              memory_space=pltpu.VMEM)]
     for li in range(L):
         # weights stream from HBM via manual DMA (see kernel body)
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         if key.has_bias:
             in_specs.append(pl.BlockSpec((1, dims[li + 1]), lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
