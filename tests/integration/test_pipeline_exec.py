@@ -177,9 +177,9 @@ def test_jit_compile_path():
 
 
 def test_conv2d_nhwc_relayout_free():
-    """NHWC conv lowers to the conv-BRGEMM kernel with Cb=Kb=1: the blocked
-    layout is a free reshape of NHWC (zero activation relayout), and the
-    broadcast-bias accumulator is recovered as a BETA_0 + fused epilogue."""
+    """NHWC conv lowers to the NHWC-native conv-BRGEMM kernel: the channel
+    blocking lives only in BlockSpec index space (zero relayout, not even a
+    reshape), with the bias+relu fused as a BETA_0 epilogue."""
     text = """func @entry(%i: tensor<2x10x10x128xf32>, %w: tensor<3x3x128x128xf32>, %bias: tensor<128xf32>) {
   %0 = tl.constant {init = "zero"} : tensor<2x8x8x128xf32>
   %1 = tl.conv2d_nhwc_hwcf %i, %w, %0 {strides = [1, 1]} : tensor<2x8x8x128xf32>
@@ -192,6 +192,7 @@ def test_conv2d_nhwc_relayout_free():
             rng(128, seed=2))
     m = diff_run(text, args, atol=1e-3, rtol=1e-3)
     s = str(m)
-    assert 'layout = "conv"' in s
+    assert 'layout = "conv_nhwc"' in s
     assert '"beta_0"' in s and 'binary_kind = "add"' in s
     assert "tl.pack" not in s and "tl.transpose" not in s
+    assert "tl.reshape" not in s  # truly relayout-free: not even reshapes

@@ -112,7 +112,8 @@ def is_eltwise(op: Operation | None) -> bool:
 
 
 def is_zero_op(op: Operation | None) -> bool:
-    """Zero-producing op: tl.zero, tl.fill {value=0}, tl.constant zero."""
+    """Zero-producing op: tl.zero, tl.fill {value=0}, tl.constant zero, or a
+    reshape/broadcast of one (reshaping zeros yields zeros)."""
     if op is None:
         return False
     if op.opname == "tl.zero":
@@ -121,6 +122,21 @@ def is_zero_op(op: Operation | None) -> bool:
         return op.attrs.get("value") in (0, 0.0)
     if op.opname == "tl.constant":
         return op.attrs.get("init") == "zero"
+    if op.opname in ("tl.reshape", "tl.broadcast"):
+        return is_zero_op(op.operands[0].owner)
+    return False
+
+
+def is_pure_zero(op: Operation | None) -> bool:
+    """Zero value with no destination operand to rewire (constant zero or a
+    reshape/broadcast chain over one) — safe to leave in place when a
+    BETA_0 fold makes it unread."""
+    if op is None:
+        return False
+    if op.opname == "tl.constant":
+        return op.attrs.get("init") == "zero"
+    if op.opname in ("tl.reshape", "tl.broadcast"):
+        return is_pure_zero(op.operands[0].owner)
     return False
 
 

@@ -131,6 +131,16 @@ def _v_batch_matmul(op):
     if len(op.operands) != 3:
         _fail(op, "expects (A, B, C)")
     a, b, c = (_t(x) for x in op.operands)
+    if op.attrs.get("lhs_shared"):
+        # rank-2 A shared across the batch: C[b] = A @ B[b] (the
+        # 1x1-NCHW-conv-as-GEMM form, reference RewriteConvToMatmulImpl.cpp)
+        if a.rank != 2 or b.rank != 3 or c.rank != 3:
+            _fail(op, "lhs_shared expects A rank-2, B/C rank-3")
+        m, k = a.shape
+        B2, k2, n = b.shape
+        if k != k2 or c.shape != (B2, m, n):
+            _fail(op, f"shape mismatch {a.shape} x {b.shape} -> {c.shape}")
+        return
     if not (a.rank == b.rank == c.rank == 3):
         _fail(op, "operands must be rank-3")
     B, m, k = a.shape
@@ -554,6 +564,17 @@ def _brgemm_shapes(d):
         c, kblk = d.attrs["c"], d.attrs["kblk"]
         return ((N, Cb, H, W, c), (Kb, Cb, R, S, c, kblk),
                 (N, Kb, P, Q, kblk))
+    if d.attrs.get("layout", "flat") == "conv_nhwc":
+        # NHWC-native conv-as-BRGEMM: A = input [N,H,W,C], B = filter
+        # [R,S,C,K], C = output [N,P,Q,K]; channel blocking is BlockSpec
+        # index math only (no packed layout exists in the IR).
+        N, H, W = d.attrs["N"], d.attrs["H"], d.attrs["W"]
+        C, K = d.attrs["C"], d.attrs["K"]
+        R, S = d.attrs["R"], d.attrs["S"]
+        sh, sw = d.attrs.get("strides", (1, 1))
+        P = (H - R) // sh + 1
+        Q = (W - S) // sw + 1
+        return ((N, H, W, C), (R, S, C, K), (N, P, Q, K))
     if d.attrs.get("layout", "flat") == "blocked":
         Mb, Nb = d.attrs["Mb"], d.attrs["Nb"]
         a = (Mb, B, m, k)
@@ -613,7 +634,8 @@ def _v_xsmm_batch_gemm(op):
         _fail(op, "first operand must be a batch_gemm_dispatch result")
     a, b, c = (_t(x) for x in op.operands[1:])
     m, n, k, B = (d.attrs[x] for x in ("m", "n", "k", "batch"))
-    if a.shape != (B, m, k) or b.shape != (B, k, n) or c.shape != (B, m, n):
+    ea = (m, k) if d.attrs.get("lhs_shared") else (B, m, k)
+    if a.shape != ea or b.shape != (B, k, n) or c.shape != (B, m, n):
         _fail(op, f"dispatch({B},{m},{n},{k}) inconsistent with operands "
                   f"{a.shape},{b.shape},{c.shape}")
 
@@ -777,8 +799,9 @@ class TppBuilder(Builder):
     def matmul(self, a: Value, b: Value, c: Value, **attrs) -> Value:
         return self.create("tl.matmul", [a, b, c], [c.type], attrs).result
 
-    def batch_matmul(self, a: Value, b: Value, c: Value) -> Value:
-        return self.create("tl.batch_matmul", [a, b, c], [c.type]).result
+    def batch_matmul(self, a: Value, b: Value, c: Value, **attrs) -> Value:
+        return self.create("tl.batch_matmul", [a, b, c], [c.type],
+                           attrs).result
 
     def brgemm(self, a: Value, b: Value, c: Value) -> Value:
         return self.create("tl.brgemm", [a, b, c], [c.type]).result

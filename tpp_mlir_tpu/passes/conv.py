@@ -108,7 +108,71 @@ class ConvInitSimplifyPass(Pass):
 
 
 @register
+class Conv1x1ToMatmulPass(Pass):
+    """1x1 stride-1 convs ARE GEMMs — rewrite them to matmul form so they
+    ride the full matmul path (tile-and-fuse, fused epilogues, chains).
+    Reference: RewriteConvToMatmulImpl.cpp (312 LoC) + the 1x1 case of
+    RewriteConvsToMatmulOrBrgemm.cpp:578.
+
+      NHWC: O[N*H*W, K] = I[N*H*W, C] @ W[C, K]      (pure reshapes)
+      NCHW: O[n][K, H*W] = W[K, C] @ I[n][C, H*W]    (lhs-shared batch GEMM,
+            zero relayout — the weight is a constant-index BlockSpec)
+    """
+
+    name = "conv1x1-to-matmul"
+
+    def run_on_function(self, func: Function, module: Module) -> bool:
+        changed = False
+        b = TppBuilder(func)
+        for op in list(func.ops):
+            if op.parent is None:
+                continue
+            if tuple(op.attrs.get("strides", (1, 1))) != (1, 1):
+                continue
+            if op.opname == "tl.conv2d_nhwc_hwcf":
+                I, W, O = op.operands
+                N, H, Wd, C = I.type.shape
+                R, S, _, K = W.type.shape
+                if (R, S) != (1, 1):
+                    continue
+
+                def emit(bb):
+                    xi = bb.reshape(I, (N * H * Wd, C))
+                    wi = bb.reshape(W, (C, K))
+                    oi = bb.reshape(O, (N * H * Wd, K))
+                    mm = bb.matmul(xi, wi, oi)
+                    return bb.reshape(mm, O.type.shape)
+            elif op.opname == "tl.conv2d_nchw_fchw":
+                I, W, O = op.operands
+                N, C, H, Wd = I.type.shape
+                K, _, R, S = W.type.shape
+                if (R, S) != (1, 1):
+                    continue
+
+                def emit(bb):
+                    wi = bb.reshape(W, (K, C))
+                    xi = bb.reshape(I, (N, C, H * Wd))
+                    oi = bb.reshape(O, (N, K, H * Wd))
+                    mm = bb.batch_matmul(wi, xi, oi, lhs_shared=True)
+                    return bb.reshape(mm, O.type.shape)
+            else:
+                continue
+            res = _insert_before(func, op, b, emit)
+            func.replace_all_uses(op.result, res)
+            func.erase(op)
+            changed = True
+        return changed
+
+
+@register
 class PackConv2DPass(Pass):
+    """NCHW channel-block packing. NHWC convs are intentionally NOT packed:
+    their channel axes are already trailing/lane-aligned, so conv-to-brgemm
+    lowers them directly to the NHWC-native kernel whose 'blocking' is pure
+    BlockSpec index math — the packed layout the reference materializes
+    (PackConv2DNhwcHwcf, ToBlockLayoutAndBack.cpp:569-640) exists only in
+    the grid's index space, with zero data movement at any channel count."""
+
     name = "pack-conv2d"
 
     def run_on_function(self, func: Function, module: Module) -> bool:
@@ -117,32 +181,6 @@ class PackConv2DPass(Pass):
         block = self.options.get("block")
         for op in list(func.ops):
             if op.parent is None:
-                continue
-            if op.opname == "tl.conv2d_nhwc_hwcf":
-                # NHWC with whole-channel blocks (Cb = Kb = 1): the blocked
-                # layout [N,1,H,W,C] is a FREE reshape of NHWC — zero
-                # activation relayout per call (the NCHW path pays a
-                # transpose; reference packs NHWC too,
-                # PackConv2DNhwcHwcf ToBlockLayoutAndBack.cpp:569-640)
-                I, W, O = op.operands
-                N, H, Wd, C = I.type.shape
-                R, S, _, K = W.type.shape
-                if C > 512 or K > 512:
-                    continue  # needs real channel blocking; NCHW path covers
-                strides = tuple(op.attrs.get("strides", (1, 1)))
-
-                def emit(bb):
-                    pi = bb.reshape(I, (N, 1, H, Wd, C))
-                    pw = bb.reshape(W, (1, 1, R, S, C, K))
-                    po = bb.reshape(O, (O.type.shape[0], 1) +
-                                    O.type.shape[1:3] + (K,))
-                    blocked = bb.blocked_conv2d(pi, pw, po, strides)
-                    return bb.reshape(blocked, O.type.shape)
-
-                res = _insert_before(func, op, b, emit)
-                func.replace_all_uses(op.result, res)
-                func.erase(op)
-                changed = True
                 continue
             if op.opname != "tl.conv2d_nchw_fchw":
                 continue
@@ -176,7 +214,10 @@ class PackConv2DPass(Pass):
 
 @register
 class ConvToBrgemmPass(Pass):
-    """tl.blocked_conv2d (stride 1) -> xsmm.brgemm with layout="conv"."""
+    """Stride-1 convs -> xsmm.brgemm conv kernels:
+    tl.blocked_conv2d -> layout="conv" (NCHW channel-blocked),
+    tl.conv2d_nhwc_hwcf -> layout="conv_nhwc" (NHWC-native, zero relayout).
+    """
 
     name = "conv-to-brgemm"
 
@@ -184,17 +225,30 @@ class ConvToBrgemmPass(Pass):
         changed = False
         b = TppBuilder(func)
         for op in list(func.ops):
-            if op.parent is None or op.opname != "tl.blocked_conv2d":
+            if op.parent is None:
                 continue
             if tuple(op.attrs.get("strides", (1, 1))) != (1, 1):
                 continue
-            I, W, O = op.operands
-            N, Cb, H, Wd, c = I.type.shape
-            Kb, _, R, S, _, k = W.type.shape
-            attrs = {"layout": "conv", "N": N, "H": H, "W": Wd, "Cb": Cb,
-                     "Kb": Kb, "R": R, "S": S, "c": c, "kblk": k,
-                     "m": 0, "n": k, "k": c, "batch": Cb * R * S,
-                     "strides": (1, 1), "dtype": I.type.dtype, "flags": ()}
+            if op.opname == "tl.blocked_conv2d":
+                I, W, O = op.operands
+                N, Cb, H, Wd, c = I.type.shape
+                Kb, _, R, S, _, k = W.type.shape
+                attrs = {"layout": "conv", "N": N, "H": H, "W": Wd, "Cb": Cb,
+                         "Kb": Kb, "R": R, "S": S, "c": c, "kblk": k,
+                         "m": 0, "n": k, "k": c, "batch": Cb * R * S,
+                         "strides": (1, 1), "dtype": I.type.dtype,
+                         "flags": ()}
+            elif op.opname == "tl.conv2d_nhwc_hwcf":
+                I, W, O = op.operands
+                N, H, Wd, C = I.type.shape
+                R, S, _, K = W.type.shape
+                attrs = {"layout": "conv_nhwc", "N": N, "H": H, "W": Wd,
+                         "C": C, "K": K, "R": R, "S": S,
+                         "m": 0, "n": K, "k": C, "batch": C * R * S,
+                         "strides": (1, 1), "dtype": I.type.dtype,
+                         "flags": ()}
+            else:
+                continue
 
             def emit(bb):
                 d = bb.create("xsmm.brgemm_dispatch", [], [I64], attrs)

@@ -66,6 +66,119 @@ class FoldAddIntoDestPass(Pass):
         return changed
 
 
+def _sinkable_operand_shape(pre, post, bshape):
+    """Shape for the small operand of eltwise(reshape(x: pre->post), b) when
+    the eltwise can move into the pre-reshape domain, else None. Safe cases:
+      - scalar b;
+      - trailing-dim bias (K,) when both shapes end in K (the reshape
+        preserves the minor axis);
+      - NCHW channel bias (K,1,1) against post (N,K,P,Q) / pre (N,K,P*Q)
+        -> (K,1)."""
+    n = 1
+    for d in bshape:
+        n *= d
+    if n == 1:
+        return (1,) * max(1, len(pre))
+    if bshape and bshape[-1] == n and len(pre) >= 1 and len(post) >= 1 \
+            and pre[-1] == post[-1] == bshape[-1]:
+        return (bshape[-1],)
+    if len(post) == 4 and len(pre) == 3 and tuple(bshape) == (post[1], 1, 1) \
+            and pre[:2] == post[:2] and pre[2] == post[2] * post[3]:
+        return (post[1], 1)
+    return None
+
+
+@register
+class SinkReshapePass(Pass):
+    """eltwise(reshape(x), b) -> reshape(eltwise(x, b')): moves eltwise
+    epilogues into the pre-reshape (GEMM) domain so xsmm-combine can fuse
+    them into the contraction kernel. Plays the role the reference's
+    PropagatePackUnPack plays for packs (ToBlockLayoutAndBack.cpp:682-856)
+    for the pure reshapes that conv1x1-to-matmul introduces. Runs to
+    fixpoint so whole add+relu chains sink."""
+
+    name = "sink-reshape"
+
+    def run_on_function(self, func: Function, module: Module) -> bool:
+        changed = False
+        while self._round(func):
+            changed = True
+        return changed
+
+    def _round(self, func: Function) -> bool:
+        from ..ir.matcher import ELTWISE_BINARY, ELTWISE_UNARY
+
+        b = TppBuilder(func)
+        for op in list(func.ops):
+            if op.parent is None:
+                continue
+            is_un = op.opname in ELTWISE_UNARY
+            is_bin = op.opname in ELTWISE_BINARY
+            if not (is_un or is_bin):
+                continue
+            # both operands reshaped from the same pre-shape (residual add
+            # of two rewritten convs): sink the binary below both reshapes
+            if is_bin:
+                o0, o1 = (v.owner for v in op.operands)
+                if (o0 is not None and o1 is not None
+                        and o0.opname == o1.opname == "tl.reshape"
+                        and len(op.operands[0].uses) == 1
+                        and len(op.operands[1].uses) == 1
+                        and o0.operands[0].type.shape
+                        == o1.operands[0].type.shape):
+                    idx = func.ops.index(op)
+                    start = len(func.ops)
+                    y = b.binary(op.opname, o0.operands[0], o1.operands[0])
+                    res = b.reshape(y, op.result.type.shape)
+                    new_ops = func.ops[start:]
+                    del func.ops[start:]
+                    func.ops[idx:idx] = new_ops
+                    func.replace_all_uses(op.result, res)
+                    func.erase(op)
+                    for ro in (o0, o1):
+                        if not ro.result.uses:
+                            func.erase(ro)
+                    return True
+            # find the reshape operand (single-use, so the swap is a move)
+            ridx = None
+            for i, v in enumerate(op.operands):
+                o = v.owner
+                if o is not None and o.opname == "tl.reshape" \
+                        and len(v.uses) == 1:
+                    ridx = i
+                    break
+            if ridx is None:
+                continue
+            rop = op.operands[ridx].owner
+            pre = rop.operands[0].type.shape
+            post = rop.result.type.shape
+            if is_bin:
+                other = op.operands[1 - ridx]
+                bshape = _sinkable_operand_shape(pre, post, other.type.shape)
+                if bshape is None:
+                    continue
+            idx = func.ops.index(op)
+            start = len(func.ops)
+            if is_un:
+                y = b.unary(op.opname, rop.operands[0])
+            else:
+                b2 = other if tuple(other.type.shape) == tuple(bshape) \
+                    else b.reshape(other, bshape)
+                args = [rop.operands[0], b2] if ridx == 0 \
+                    else [b2, rop.operands[0]]
+                y = b.binary(op.opname, *args)
+            res = b.reshape(y, post)
+            new_ops = func.ops[start:]
+            del func.ops[start:]
+            func.ops[idx:idx] = new_ops
+            func.replace_all_uses(op.result, res)
+            func.erase(op)
+            if not rop.result.uses:
+                func.erase(rop)
+            return True
+        return False
+
+
 @register
 class DecomposeSoftmaxPass(Pass):
     name = "decompose-softmax"

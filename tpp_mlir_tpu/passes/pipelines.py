@@ -38,6 +38,8 @@ def tpp_mapping(pack: bool = True, **opts):
         "simplify-pack",
     ] if pack else []
     return [
+        "conv1x1-to-matmul",
+        "sink-reshape",
         "conv-init-simplify",
         "pack-conv2d",
         *pack_stages,

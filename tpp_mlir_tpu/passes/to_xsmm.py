@@ -132,13 +132,19 @@ class ConvertTlToXsmmPass(Pass):
 
             elif name == "tl.batch_matmul" and "batch_matmul" not in skip:
                 A, B, C = op.operands
-                Bt, m, k = A.type.shape
+                if op.attrs.get("lhs_shared"):
+                    m, k = A.type.shape
+                    Bt = B.type.shape[0]
+                else:
+                    Bt, m, k = A.type.shape
                 n = C.type.shape[2]
                 attrs = {"batch": Bt, "m": m, "n": n, "k": k,
                          "dtype": A.type.dtype, "flags": (),
                          "precision": precision}
                 if op.attrs.get("softmax_lhs"):
                     attrs["softmax_lhs"] = True
+                if op.attrs.get("lhs_shared"):
+                    attrs["lhs_shared"] = True
 
                 def emit():
                     d = b.create("xsmm.batch_gemm_dispatch", [], [I64], attrs)
@@ -313,6 +319,7 @@ def _bias_broadcast_init(C):
     """Recognize a conv accumulator that is a broadcast channel bias —
     the pattern conv-init-simplify emits:
         C = tl.pack( tl.broadcast( tl.reshape(bias[K] -> (K,1,1)) ) )
+    (NCHW-blocked) or C = tl.broadcast(bias[K]) over [N,P,Q,K] (NHWC).
     Returns the 1-D bias value, or None. Recovering it lets the kernel run
     BETA_0 with the bias as a fused epilogue instead of reading a
     materialized broadcast accumulator from HBM every tile."""
@@ -322,7 +329,7 @@ def _bias_broadcast_init(C):
             return None
         op = op.operands[0].owner
     elif op is not None and op.opname == "tl.reshape":
-        # NHWC path: C = reshape(broadcast(bias[K]) : [N,P,Q,K] -> blocked)
+        # C = reshape(broadcast(bias[K]) : [N,P,Q,K] -> blocked)
         op = op.operands[0].owner
     if op is None or op.opname != "tl.broadcast":
         return None
@@ -335,9 +342,15 @@ def _bias_broadcast_init(C):
         base = src
     if base.type.rank != 1:
         return None
-    # the bias length must equal the channel count (Kb*k packed / K flat)
+    # the bias length must equal the channel count: Kb*k (blocked 5D),
+    # trailing K (NHWC 4D), else leading channel dim
     cshape = C.type.shape
-    channels = cshape[1] * cshape[4] if len(cshape) == 5 else cshape[1]
+    if len(cshape) == 5:
+        channels = cshape[1] * cshape[4]
+    elif len(cshape) == 4:
+        channels = cshape[-1]
+    else:
+        channels = cshape[1]
     if base.type.num_elements != channels:
         return None
     return base
@@ -397,7 +410,7 @@ class CombineXsmmPass(Pass):
             # BETA_0 + fused bias-add (no HBM read of the broadcast)
             init_bias = None
             if binary_op is None and op.opname == "xsmm.brgemm" \
-                    and disp.attrs.get("layout") == "conv" \
+                    and disp.attrs.get("layout") in ("conv", "conv_nhwc") \
                     and "beta_0" not in disp.attrs.get("flags", ()):
                 init_bias = _bias_broadcast_init(op.operands[3])
             if binary_op is None and unary_op is None and init_bias is None:
@@ -475,7 +488,7 @@ class FoldXsmmFlagsPass(Pass):
     name = "fold-xsmm-flags"
 
     def run_on_function(self, func: Function, module: Module) -> bool:
-        from ..ir.matcher import is_zero_op
+        from ..ir.matcher import is_pure_zero, is_zero_op
 
         changed = False
         b = TppBuilder(func)
@@ -496,12 +509,18 @@ class FoldXsmmFlagsPass(Pass):
                     and len(C.uses) == 1:
                 new_c = producer.operands[1]
             elif is_zero_op(producer):
-                if producer.opname == "tl.constant":
-                    # pure zero constant: safe to flag even when shared
-                    # across invokes (CSE merges identical zero inits)
-                    new_c = C  # keep the constant; kernel won't read it
-                elif len(C.uses) == 1:
+                if is_pure_zero(producer):
+                    # pure zero (constant, incl. reshaped): safe to flag even
+                    # when shared across invokes (CSE merges identical inits)
+                    new_c = C  # keep the value; kernel won't read it
+                elif producer.opname in ("tl.zero", "tl.fill") \
+                        and len(C.uses) == 1:
                     new_c = producer.operands[0]
+                elif len(C.uses) == 1:
+                    # reshape/broadcast over a zero-fill: can't rewire the
+                    # dest through the shape change; flag BETA_0 and leave
+                    # the (now unread) init in place for DCE
+                    new_c = C
             if new_c is None:
                 continue
             attrs = dict(disp.attrs)

@@ -83,6 +83,9 @@ def _eval_tl(op: Operation, vals: list, interpret_kernels: bool):
         af = acc32(a)
         if op.attrs.get("softmax_lhs"):
             af = jax.nn.softmax(af, axis=-1)
+        if op.attrs.get("lhs_shared"):
+            return (jnp.einsum("mk,bkn->bmn", af, acc32(b))
+                    + acc32(c)).astype(odt)
         return (jnp.einsum("bmk,bkn->bmn", af, acc32(b))
                 + acc32(c)).astype(odt)
     if name == "tl.brgemm":
@@ -297,6 +300,19 @@ def _dispatch_key(d: Operation, invoke: Operation):
                 binary_kind=bk_kind,
                 binary_bcast=a.get("binary_bcast", "bcast_col"),
                 unary_kind=un_kind, precision=prec)
+        if layout == "conv_nhwc":
+            from ..xsmm.flags import ConvNhwcKey
+            return ConvNhwcKey(
+                N=a["N"], H=a["H"], W=a["W"], C=a["C"], K=a["K"],
+                R=a["R"], S=a["S"],
+                stride_h=a.get("strides", (1, 1))[0],
+                stride_w=a.get("strides", (1, 1))[1],
+                dtype=a["dtype"], out_dtype=out_dtype, beta0=beta0,
+                binary_kind=bk_kind,
+                binary_bcast=a.get("binary_bcast", "bcast_col"),
+                unary_kind=un_kind, precision=prec,
+                G=a.get("G", 0), cblk=a.get("cblk", 0),
+                kblk=a.get("kblk_blk", 0))
         return BrgemmKey(batch=a["batch"], m=a["m"], n=a["n"], k=a["k"],
                          dtype=a["dtype"], out_dtype=out_dtype, beta0=beta0,
                          vnni=a.get("vnni", 0),
@@ -330,6 +346,7 @@ def _dispatch_key(d: Operation, invoke: Operation):
                               dtype=a["dtype"], out_dtype=out_dtype,
                               beta0=beta0,
                               softmax_lhs=bool(a.get("softmax_lhs", False)),
+                              lhs_shared=bool(a.get("lhs_shared", False)),
                               precision=prec)
     if name == "xsmm.unary_dispatch":
         return UnaryKey(kind=a["kind"], shape=tuple(a.get("shape", ())),
@@ -346,11 +363,15 @@ def _dispatch_key(d: Operation, invoke: Operation):
 
 def _normalize_bias(key, bias):
     """Reshape the fused-kernel D operand to what the kernel expects."""
+    from ..xsmm.flags import ConvNhwcKey
+
     jnp = _jnp()
     if isinstance(key, BlockedMatmulKey):
         return bias.reshape(key.Nb, key.nb)
     if isinstance(key, ConvBrgemmKey):
         return bias.reshape(key.Kb, key.k)
+    if isinstance(key, ConvNhwcKey) and key.binary_bcast != "none":
+        return bias.reshape(1, key.K)
     return bias  # BrgemmKey wrapper handles 1-D/scalar forms
 
 

@@ -82,6 +82,11 @@ class BatchMatmulKey:
     # (reference benchmarks/mlir/fp32-out-softmax-times-value.mlir) without
     # materializing the probabilities to HBM
     softmax_lhs: bool = False
+    # A is a single rank-2 (m,k) operand shared by every batch element —
+    # the 1x1-NCHW-conv-as-GEMM form O[b] = W @ I[b] (reference
+    # RewriteConvToMatmulImpl.cpp rewrites 1x1 convs to matmul; on TPU the
+    # shared weight is simply a constant-index BlockSpec, no broadcast)
+    lhs_shared: bool = False
     precision: str = "default"
     bm: int = 0
     bn: int = 0
@@ -139,6 +144,48 @@ class ConvBrgemmKey:
     binary_bcast: str = "bcast_col"
     unary_kind: str | None = None
     precision: str = "default"
+
+    @property
+    def P(self) -> int:
+        return (self.H - self.R) // self.stride_h + 1
+
+    @property
+    def Q(self) -> int:
+        return (self.W - self.S) // self.stride_w + 1
+
+
+@dataclass(frozen=True)
+class ConvNhwcKey:
+    """Key for the NHWC-native conv-BRGEMM kernel: zero relayout.
+
+    I[N,H,W,C] * W[R,S,C,K] -> O[N,P,Q,K], stride 1. C and K are blocked by
+    BlockSpec index maps over their (contiguous, lane-aligned) trailing axes
+    — the channel-blocked layout the reference materializes with tensor.pack
+    (PackConv2DNhwcHwcf, ToBlockLayoutAndBack.cpp:569-640) exists here only
+    in the grid's index space, so the activation is never relaid out.
+    `G` images are aggregated per program: their per-tap windows concatenate
+    into one (G*P*Q, c) MXU operand, amortizing the systolic-array fill that
+    dominates small-spatial convs."""
+
+    N: int
+    H: int
+    W: int
+    C: int
+    K: int
+    R: int = 1
+    S: int = 1
+    stride_h: int = 1
+    stride_w: int = 1
+    dtype: str = "f32"
+    out_dtype: str | None = None
+    beta0: bool = False
+    binary_kind: str | None = None
+    binary_bcast: str = "bcast_col"
+    unary_kind: str | None = None
+    precision: str = "default"
+    G: int = 0                 # images per program (0 = heuristic)
+    cblk: int = 0              # input-channel block (0 = heuristic)
+    kblk: int = 0              # output-channel block (0 = heuristic)
 
     @property
     def P(self) -> int:

@@ -418,9 +418,16 @@ def _build_batch_matmul(key, interpret: bool):
     grid = (B, pl.cdiv(m, bm), pl.cdiv(n, bn), kb_steps)
     has_c = not key.beta0
 
+    if key.lhs_shared:
+        # rank-2 A shared across the batch: constant batch index, so the
+        # weight block stays VMEM-resident across batch steps
+        a_spec = pl.BlockSpec((bm, bk), lambda b, i, j, r: (i, r),
+                              memory_space=pltpu.VMEM)
+    else:
+        a_spec = pl.BlockSpec((1, bm, bk), lambda b, i, j, r: (b, i, r),
+                              memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, bm, bk), lambda b, i, j, r: (b, i, r),
-                     memory_space=pltpu.VMEM),
+        a_spec,
         pl.BlockSpec((1, bk, bn), lambda b, i, j, r: (b, r, j),
                      memory_space=pltpu.VMEM),
     ]
@@ -445,7 +452,7 @@ def _build_batch_matmul(key, interpret: bool):
             else:
                 acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        a = a_ref[0]
+        a = a_ref[:] if key.lhs_shared else a_ref[0]
         if key.softmax_lhs:
             a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(a.dtype)
         acc_ref[:] += jnp.dot(a, b_ref[0],
@@ -495,15 +502,21 @@ def _build_batch_matmul_grouped(key, interpret: bool):
     dsize = 2 if key.dtype in ("bf16", "f16") else 4
     budget = 4 * 2 ** 20
     G = 1
+    a_bytes = 0 if key.lhs_shared else m * k
     for cand in (16, 8, 4, 2):
-        if B % cand == 0 and cand * (m * k + k * n + m * n) * dsize <= budget:
+        if B % cand == 0 and cand * (a_bytes + k * n + m * n) * dsize <= budget:
             G = cand
             break
     has_c = not key.beta0
     grid = (B // G,)
+    if key.lhs_shared:
+        a_spec = pl.BlockSpec((m, k), lambda b: (0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        a_spec = pl.BlockSpec((G, m, k), lambda b: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((G, m, k), lambda b: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
+        a_spec,
         pl.BlockSpec((G, k, n), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -518,7 +531,7 @@ def _build_batch_matmul_grouped(key, interpret: bool):
         c_ref = refs[2] if has_c else None
         o_ref = refs[2 + has_c]
         for g in range(G):
-            a = a_ref[g]
+            a = a_ref[:] if key.lhs_shared else a_ref[g]
             if key.softmax_lhs:
                 a = jax.nn.softmax(a.astype(jnp.float32),
                                    axis=-1).astype(a.dtype)
@@ -1060,6 +1073,153 @@ def _build_conv_brgemm(key: ConvBrgemmKey, interpret: bool):
 # Unary / binary (XLA-fused VPU path; see module docstring)
 # ---------------------------------------------------------------------------
 
+def _conv_nhwc_blocks(key) -> tuple[int, int, int]:
+    """(G, cblk, kblk) heuristic for the NHWC conv kernel: lane-aligned
+    channel blocks, then as many images per program as ~40% of VMEM allows
+    (bigger G = longer MXU operands = less systolic fill per useful row)."""
+    t = current_target()
+    lane = 128
+    dsize = 2 if key.dtype in ("bf16", "f16") else 4
+    cblk = key.cblk or (_divisor_block(key.C, 512, lane)
+                        if key.C % lane == 0 else key.C)
+    kblk = key.kblk or (_divisor_block(key.K, 256, lane)
+                        if key.K % lane == 0 else key.K)
+    budget = int(t.vmem_bytes * 0.4)
+    G = key.G
+    if not G:
+        G = 1
+        per_img = (key.H * key.W * cblk * dsize          # input block
+                   + key.P * key.Q * kblk * (4 + dsize))  # acc + out block
+        fixed = key.R * key.S * cblk * kblk * dsize
+        for cand in (8, 4, 2):
+            if key.N % cand == 0 and fixed + cand * per_img <= budget:
+                G = cand
+                break
+    return G, cblk, kblk
+
+
+def _build_conv_nhwc(key, interpret: bool):
+    """NHWC-native conv-BRGEMM: see ConvNhwcKey. Grid (N/G, Kb, Cb) with the
+    channel-block reduction innermost ('arbitrary') so input blocks pipeline
+    against compute; (R,S) taps unrolled with static window slices (Mosaic
+    requires 8-aligned dynamic sublane offsets); G images' windows are
+    concatenated into one (G*P*Q, cblk) operand so each tap runs ONE MXU
+    pass with G times the rows."""
+    from .flags import ConvNhwcKey
+    assert isinstance(key, ConvNhwcKey)
+    N, H, W, C, K = key.N, key.H, key.W, key.C, key.K
+    R, S = key.R, key.S
+    if (key.stride_h, key.stride_w) != (1, 1):
+        raise NotImplementedError(
+            "stride>1 conv stays on the XLA conv path (reference also "
+            "restricts conv-to-BRGEMM to stride 1, docs/ConvMapping.md)")
+    P, Q = key.P, key.Q
+    dtype = _jdt(key.dtype)
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    G, cblk, kblk = _conv_nhwc_blocks(key)
+    Cb, Kb = C // cblk, K // kblk
+    has_c = not key.beta0
+    has_d = key.binary_kind is not None
+    full_d = has_d and key.binary_bcast == "none"   # residual-add operand
+
+    grid = (N // G, Kb, Cb)
+    in_specs = [
+        pl.BlockSpec((G, H, W, cblk), lambda n_, kb, r: (n_, 0, 0, r),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, S, cblk, kblk), lambda n_, kb, r: (0, 0, r, kb),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_c:
+        in_specs.append(pl.BlockSpec((G, P, Q, kblk),
+                                     lambda n_, kb, r: (n_, 0, 0, kb),
+                                     memory_space=pltpu.VMEM))
+    if has_d:
+        if full_d:
+            in_specs.append(pl.BlockSpec((G, P, Q, kblk),
+                                         lambda n_, kb, r: (n_, 0, 0, kb),
+                                         memory_space=pltpu.VMEM))
+        else:  # channel bias, flat (1, K), column block per kb
+            in_specs.append(pl.BlockSpec((1, kblk),
+                                         lambda n_, kb, r: (0, kb),
+                                         memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((G, P, Q, kblk), lambda n_, kb, r: (n_, 0, 0, kb),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        idx = 0
+        i_ref = refs[idx]; idx += 1
+        w_ref = refs[idx]; idx += 1
+        c_ref = refs[idx] if has_c else None
+        idx += has_c
+        d_ref = refs[idx] if has_d else None
+        idx += has_d
+        o_ref = refs[idx]
+        acc_ref = refs[idx + 1]          # (G*P*Q, kblk) f32
+
+        r = pl.program_id(2)
+
+        @pl.when(r == 0)
+        def _init():
+            if has_c:
+                acc_ref[:] = c_ref[:].reshape(G * P * Q, kblk) \
+                    .astype(jnp.float32)
+            else:
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        update = jnp.zeros((G * P * Q, kblk), jnp.float32)
+        for rr in range(R):
+            for ss in range(S):
+                wins = [i_ref[g, rr:rr + P, ss:ss + Q, :]
+                        .reshape(P * Q, cblk) for g in range(G)]
+                a = wins[0] if G == 1 else jnp.concatenate(wins, axis=0)
+                update = update + jnp.dot(
+                    a, w_ref[rr, ss], preferred_element_type=jnp.float32)
+        acc_ref[:] += update
+
+        @pl.when(r == Cb - 1)
+        def _finish():
+            res = acc_ref[:]
+            if has_d:
+                d_blk = (d_ref[:].reshape(G * P * Q, kblk) if full_d
+                         else d_ref[:])
+                res = _apply_epilogue(res, d_blk, key.binary_kind, None)
+            if key.unary_kind:
+                res = _UNARY_FNS[key.unary_kind](res)
+            o_ref[:] = res.reshape(G, P, Q, kblk).astype(out_dtype)
+
+    dsize = jnp.dtype(dtype).itemsize
+    cost = pl.CostEstimate(
+        flops=2 * N * P * Q * C * K * R * S,
+        bytes_accessed=(N * H * W * C + R * S * C * K
+                        + N * P * Q * K) * dsize,
+        transcendentals=0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((N, P, Q, K), out_dtype),
+        scratch_shapes=[pltpu.VMEM((G * P * Q, kblk), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
+
+    def fn(i, w, cacc=None, d=None):
+        args = [i.astype(mxu_dt), w.astype(mxu_dt)]
+        if has_c:
+            args.append(cacc)
+        if has_d:
+            args.append(d if full_d else d.reshape(1, -1))
+        return call(*args)
+
+    return fn
+
+
 def _build_unary(key: UnaryKey, interpret: bool):
     out_dtype = _jdt(key.out_dtype or key.dtype)
     kind = key.kind
@@ -1104,7 +1264,9 @@ def build_kernel(key, interpret: bool | None = None):
         return _build_blocked_matmul(key, interpret)
     if isinstance(key, ConvBrgemmKey):
         return _build_conv_brgemm(key, interpret)
-    from .flags import BatchMatmulKey, ChainKey, FlashMhaKey
+    from .flags import BatchMatmulKey, ChainKey, ConvNhwcKey, FlashMhaKey
+    if isinstance(key, ConvNhwcKey):
+        return _build_conv_nhwc(key, interpret)
     if isinstance(key, ChainKey):
         return _build_chain(key, interpret)
     if isinstance(key, BatchMatmulKey):
