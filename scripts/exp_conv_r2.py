@@ -82,23 +82,23 @@ def xla_conv_nchw(tag, N, H, W, C, K, R):
 
 
 def nhwc_kernel(tag, N, H, W, C, K, R, G, want, cblk=0, kblk=0,
-                dtype="f32"):
+                dtype="f32", strategy="window"):
     jdt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
     i = rng(N, H, W, C, dtype=jdt)
     w = rng(R, R, C, K, seed=1, dtype=jdt)
     key = ConvNhwcKey(N=N, H=H, W=W, C=C, K=K, R=R, S=R, dtype=dtype,
-                      beta0=True, G=G, cblk=cblk, kblk=kblk)
+                      beta0=True, G=G, cblk=cblk, kblk=kblk,
+                      strategy=strategy)
+    name = f"nhwc_{strategy}_{tag}_G{G}_c{cblk}_k{kblk}_{dtype}"
     try:
         fn = build_kernel(key, False)
         out = fn(i, w)
         err = jnp.max(jnp.abs(out.astype(jnp.float32)
                               - want.astype(jnp.float32)))
         res = bench(fn, (i, w), flops=conv_flops(N, H, W, C, K, R))
-        report(f"nhwc_kernel_{tag}_G{G}_c{cblk}_k{kblk}_{dtype}", res,
-               err=err)
+        report(name, res, err=err)
     except Exception as e:
-        print(json.dumps({"name": f"nhwc_kernel_{tag}_G{G}_c{cblk}_k{kblk}",
-                          "error": str(e)[:300]}), flush=True)
+        print(json.dumps({"name": name, "error": str(e)[:300]}), flush=True)
 
 
 def conv1x1_flat_matmul(tag, N, H, W, C, K):
@@ -156,18 +156,21 @@ def main():
         truths[tag] = xla_conv_nhwc(tag, N, H, W, C, K, R)
     xla_conv_nchw("c128_30", 8, 30, 30, 128, 128, 3)
 
-    # NHWC kernel sweep: G is the lever for small spatial dims
+    # window vs fullrow strategies
     for tag, N, H, W, C, K, R in SHAPES[:2]:
-        for G in (1, 2, 4, 8):
-            nhwc_kernel(tag, N, H, W, C, K, R, G, truths[tag])
-    # channel-block variants on the 256ch case
-    nhwc_kernel("c256_16", 8, 16, 16, 256, 256, 3, 4, truths["c256_16"],
-                cblk=256)
-    nhwc_kernel("c256_16", 8, 16, 16, 256, 256, 3, 4, truths["c256_16"],
-                kblk=256)
+        nhwc_kernel(tag, N, H, W, C, K, R, 1, truths[tag],
+                    strategy="window")
+        for G in (1, 2, 4):
+            nhwc_kernel(tag, N, H, W, C, K, R, G, truths[tag],
+                        strategy="fullrow")
+    # channel-block variants on the 256ch case (fullrow)
+    nhwc_kernel("c256_16", 8, 16, 16, 256, 256, 3, 2, truths["c256_16"],
+                cblk=256, strategy="fullrow")
+    nhwc_kernel("c256_16", 8, 16, 16, 256, 256, 3, 2, truths["c256_16"],
+                kblk=256, strategy="fullrow")
     # bf16
-    nhwc_kernel("c128_30", 8, 30, 30, 128, 128, 3, 4, truths["c128_30"],
-                dtype="bf16")
+    nhwc_kernel("c128_30", 8, 30, 30, 128, 128, 3, 1, truths["c128_30"],
+                dtype="bf16", strategy="fullrow")
 
     # 1x1 paths
     conv1x1_flat_matmul("c256_14", 8, 14, 14, 256, 256)

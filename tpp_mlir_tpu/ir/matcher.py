@@ -69,6 +69,35 @@ class Matcher:
         return self._add(
             lambda op: i < len(op.operands) and sub(op.operands[i].owner))
 
+    # -- tl.generic structure predicates (the reference's region matchers,
+    # StructuredOpMatcher.h WithSingleOp / NumOfLoops / HasMap) -------------
+    def num_loops(self, n: int) -> "Matcher":
+        return self._add(
+            lambda op: len(op.attrs.get("iterator_types", ())) == n)
+
+    def dim(self, i: int, kind: str) -> "Matcher":
+        return self._add(
+            lambda op: i < len(op.attrs.get("iterator_types", ()))
+            and op.attrs["iterator_types"][i] == kind)
+
+    def indexing_map(self, i: int, pred: Callable) -> "Matcher":
+        return self._add(
+            lambda op: i < len(op.attrs.get("indexing_maps", ()))
+            and pred(tuple(op.attrs["indexing_maps"][i])))
+
+    def body_head(self, name: str) -> "Matcher":
+        """The body expression's outermost op is `name` — the analogue of
+        the reference's WithSingleOp<KindAdd> region matcher."""
+        def p(op):
+            body = op.attrs.get("body")
+            return isinstance(body, (tuple, list)) and body \
+                and body[0] == name
+        return self._add(p)
+
+    def body(self, pred: Callable) -> "Matcher":
+        return self._add(lambda op: "body" in op.attrs
+                         and pred(op.attrs["body"]))
+
     def single_use(self, i: int) -> "Matcher":
         return self._add(
             lambda op: i < len(op.operands) and len(op.operands[i].uses) == 1)

@@ -126,6 +126,47 @@ def _v_matmul(op):
         _fail(op, "result must match C")
 
 
+@_op("tl.generic")
+def _v_generic(op):
+    """Affine-map-lite structured op — the linalg.generic equivalent
+    (reference ConvertLinalgToXsmm.cpp:181-640 classifies these; our maps
+    are projected permutations, the only class the reference matches)."""
+    from .affine import is_projected_permutation, verify_body
+
+    for a in ("indexing_maps", "iterator_types", "body"):
+        if a not in op.attrs:
+            _fail(op, f"missing attr '{a}'")
+    maps = [tuple(m) for m in op.attrs["indexing_maps"]]
+    iters = tuple(op.attrs["iterator_types"])
+    if len(op.operands) < 1:
+        _fail(op, "needs at least the init operand")
+    if len(maps) != len(op.operands):
+        _fail(op, f"{len(maps)} maps for {len(op.operands)} operands")
+    for it in iters:
+        if it not in ("parallel", "reduction"):
+            _fail(op, f"bad iterator type {it!r}")
+    sizes: dict[int, int] = {}
+    for v, mp in zip(op.operands, maps):
+        if len(mp) != v.type.rank:
+            _fail(op, f"map {mp} rank != operand rank {v.type.rank}")
+        if not is_projected_permutation(mp):
+            _fail(op, f"map {mp} is not a projected permutation")
+        for d, s in zip(mp, v.type.shape):
+            if not (0 <= d < len(iters)):
+                _fail(op, f"map dim {d} out of range")
+            if sizes.setdefault(d, s) != s:
+                _fail(op, f"dim {d} sized both {sizes[d]} and {s}")
+    for d in maps[-1]:
+        if iters[d] != "parallel":
+            _fail(op, "output map must use only parallel dims")
+    if op.result.type != op.operands[-1].type:
+        _fail(op, "result type must match the init operand")
+    try:
+        verify_body(op.attrs["body"], len(op.operands))
+    except ValueError as e:
+        _fail(op, str(e))
+
+
 @_op("tl.batch_matmul")
 def _v_batch_matmul(op):
     if len(op.operands) != 3:
@@ -802,6 +843,14 @@ class TppBuilder(Builder):
     def batch_matmul(self, a: Value, b: Value, c: Value, **attrs) -> Value:
         return self.create("tl.batch_matmul", [a, b, c], [c.type],
                            attrs).result
+
+    def generic(self, inputs, init: Value, indexing_maps, iterator_types,
+                body) -> Value:
+        return self.create(
+            "tl.generic", list(inputs) + [init], [init.type],
+            {"indexing_maps": tuple(tuple(m) for m in indexing_maps),
+             "iterator_types": tuple(iterator_types),
+             "body": body}).result
 
     def brgemm(self, a: Value, b: Value, c: Value) -> Value:
         return self.create("tl.brgemm", [a, b, c], [c.type]).result

@@ -28,6 +28,10 @@ class MlpConfig:
     seed: int = 0
     init_type: str = "normal"        # for const weights
     name: str = "entry"
+    # "named" emits tl.matmul/tl.add/tl.relu; "generic" emits tl.generic
+    # forms with indexing maps (reference mlir-gen --output=generic,
+    # MLIRGen.cpp:148-230)
+    output: str = "named"
 
 
 def mlp_flops(cfg: MlpConfig) -> int:
@@ -80,11 +84,26 @@ def build_mlp(cfg: MlpConfig) -> Module:
                 bias = f.args[argi]
                 argi += 1
         acc = b.constant(TensorType((cfg.batch, N), dt), init="zero")
-        x = b.matmul(x, w, acc)
-        if cfg.bias:
-            x = b.add(x, bias)
-        if cfg.relu:
-            x = b.relu(x)
+        if cfg.output == "generic":
+            # generic-form layer (reference MLIRGen lowerMatmul/lowerBiasAdd/
+            # lowerRelu in generic mode): maps carry the broadcast semantics
+            mac = ("add", ("mul", ("arg", 0), ("arg", 1)), ("arg", 2))
+            x = b.generic([x, w], acc, [(0, 2), (2, 1), (0, 1)],
+                          ("parallel", "parallel", "reduction"), mac)
+            if cfg.bias:
+                x = b.generic([x, bias], x, [(0, 1), (1,), (0, 1)],
+                              ("parallel", "parallel"),
+                              ("add", ("arg", 0), ("arg", 1)))
+            if cfg.relu:
+                x = b.generic([x], x, [(0, 1), (0, 1)],
+                              ("parallel", "parallel"),
+                              ("maximumf", ("arg", 0), 0.0))
+        else:
+            x = b.matmul(x, w, acc)
+            if cfg.bias:
+                x = b.add(x, bias)
+            if cfg.relu:
+                x = b.relu(x)
     if cfg.softmax:
         x = b.softmax(x, axis=1)
     b.ret(x)

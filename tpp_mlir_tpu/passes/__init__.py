@@ -11,6 +11,7 @@ from . import cleanup as _cleanup          # noqa: F401
 from . import conv as _conv                # noqa: F401
 from . import fold as _fold                # noqa: F401
 from . import fuse as _fuse                # noqa: F401
+from . import generic_lower as _generic    # noqa: F401
 from . import pack as _pack                # noqa: F401
 from . import pipelines as _pipelines      # noqa: F401
 from . import split_reduction as _splitred  # noqa: F401

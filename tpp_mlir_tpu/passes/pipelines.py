@@ -66,6 +66,7 @@ def default_tpp_passes(pack: bool = False, **opts):
     from .pass_manager import expand_pipeline
 
     return [
+        "degeneralize",
         "fold-add-into-dest",
         "attention-fusion",
         "decompose-softmax",

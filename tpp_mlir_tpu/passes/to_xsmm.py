@@ -276,6 +276,121 @@ class ConvertTlToXsmmPass(Pass):
                 func.erase(op)
                 changed = True
 
+            elif name == "tl.generic" and "generic" not in skip:
+                # Direct generic matching — the reference's conversion core
+                # (ConvertLinalgToXsmm.cpp:181-640): classify from maps+body,
+                # infer broadcast flags from maps (checkAccess), emit the
+                # xsmm call. Covers programs lowered without degeneralize.
+                from ..ir.affine import classify_generic, infer_bcast_from_map
+                cls = classify_generic(op)
+                if cls is None:
+                    continue
+                maps = [tuple(x) for x in op.attrs["indexing_maps"]]
+                out_map = maps[-1]
+                init = op.operands[-1]
+                out_shape = op.result.type.shape
+
+                if cls[0] == "contraction":
+                    kind = cls[1]
+                    A, B = op.operands[:2]
+                    if cls[2]:
+                        A, B = B, A
+                    if kind in ("matmul", "matmul_tb"):
+                        m, k = A.type.shape
+                        n = out_shape[1]
+                        attrs = {"m": m, "n": n, "k": k,
+                                 "dtype": A.type.dtype,
+                                 "flags": (("transpose_b",)
+                                           if kind == "matmul_tb" else ()),
+                                 "precision": precision}
+
+                        def emit(A=A, B=B, attrs=attrs):
+                            dd = b.create("xsmm.gemm_dispatch", [], [I64],
+                                          attrs)
+                            inv = b.create("xsmm.gemm",
+                                           [dd.result, A, B, init],
+                                           [init.type])
+                            _carry(op, inv)
+                            return inv.result
+                    elif kind == "brgemm":
+                        Bt, m, k = A.type.shape
+                        n = out_shape[1]
+                        attrs = {"m": m, "n": n, "k": k, "batch": Bt,
+                                 "dtype": A.type.dtype, "flags": (),
+                                 "precision": precision}
+
+                        def emit(A=A, B=B, attrs=attrs):
+                            dd = b.create("xsmm.brgemm_dispatch", [], [I64],
+                                          attrs)
+                            inv = b.create("xsmm.brgemm",
+                                           [dd.result, A, B, init],
+                                           [init.type])
+                            _carry(op, inv)
+                            return inv.result
+                    else:  # batch_matmul
+                        Bt, m, k = A.type.shape
+                        n = out_shape[2]
+                        attrs = {"batch": Bt, "m": m, "n": n, "k": k,
+                                 "dtype": A.type.dtype, "flags": (),
+                                 "precision": precision}
+
+                        def emit(A=A, B=B, attrs=attrs):
+                            dd = b.create("xsmm.batch_gemm_dispatch", [],
+                                          [I64], attrs)
+                            inv = b.create("xsmm.batch_gemm",
+                                           [dd.result, A, B, init],
+                                           [init.type])
+                            _carry(op, inv)
+                            return inv.result
+                elif cls[0] == "unary":
+                    X = op.operands[0]
+                    flag = infer_bcast_from_map(out_map, maps[0])
+                    if flag != "none" and not (
+                            cls[1] == "identity"
+                            and flag in ("bcast_col", "bcast_scalar")):
+                        continue  # broadcast non-identity unary: stay generic
+                    attrs = {"kind": cls[1],
+                             "m": int(op.result.type.num_elements
+                                      // (out_shape[-1] if out_shape else 1)),
+                             "n": out_shape[-1] if out_shape else 1,
+                             "shape": tuple(X.type.shape),
+                             "dtype": X.type.dtype,
+                             "flags": (flag,) if flag != "none" else ()}
+
+                    def emit(attrs=attrs, X=X):
+                        dd = b.create("xsmm.unary_dispatch", [], [I64],
+                                      attrs)
+                        inv = b.create("xsmm.unary", [dd.result, X],
+                                       [op.result.type])
+                        _carry(op, inv)
+                        return inv.result
+                else:  # binary: flags from MAPS, not shapes — unambiguous
+                    X, Y = op.operands[:2]
+                    fx = infer_bcast_from_map(out_map, maps[0])
+                    fy = infer_bcast_from_map(out_map, maps[1])
+                    flags = tuple(f for f in (fx, fy) if f != "none")
+                    attrs = {"kind": cls[1],
+                             "m": int(op.result.type.num_elements
+                                      // (out_shape[-1] if out_shape else 1)),
+                             "n": out_shape[-1] if out_shape else 1,
+                             "shape_a": tuple(X.type.shape),
+                             "shape_b": tuple(Y.type.shape),
+                             "bcast_a": fx, "bcast_b": fy,
+                             "dtype": op.result.type.dtype,
+                             "flags": flags}
+
+                    def emit(attrs=attrs, X=X, Y=Y):
+                        dd = b.create("xsmm.binary_dispatch", [], [I64],
+                                      attrs)
+                        inv = b.create("xsmm.binary", [dd.result, X, Y],
+                                       [op.result.type])
+                        _carry(op, inv)
+                        return inv.result
+                res, _ = before(op, emit)
+                func.replace_all_uses(op.result, res)
+                func.erase(op)
+                changed = True
+
             elif name in _BINARY_MAP and "binary" not in skip:
                 X, Y = op.operands
                 out_shape = op.result.type.shape

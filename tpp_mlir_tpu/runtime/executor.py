@@ -158,6 +158,9 @@ def _eval_tl(op: Operation, vals: list, interpret_kernels: bool):
             s = jnp.where(jnp.tril(jnp.ones((S, Skv), bool))[None], s, -1e30)
         p_ = jax.nn.softmax(s, axis=-1)
         return jnp.einsum("bqk,bkd->bqd", p_, acc32(v)).astype(odt)
+    if name == "tl.generic":
+        from ..ir.affine import eval_generic
+        return eval_generic(op, vals)
     if name == "tl.softmax":
         return jax.nn.softmax(acc32(vals[0]),
                               axis=op.attrs.get("axis", -1)).astype(odt)
@@ -312,7 +315,8 @@ def _dispatch_key(d: Operation, invoke: Operation):
                 binary_bcast=a.get("binary_bcast", "bcast_col"),
                 unary_kind=un_kind, precision=prec,
                 G=a.get("G", 0), cblk=a.get("cblk", 0),
-                kblk=a.get("kblk_blk", 0))
+                kblk=a.get("kblk_blk", 0),
+                strategy=a.get("strategy", "auto"))
         return BrgemmKey(batch=a["batch"], m=a["m"], n=a["n"], k=a["k"],
                          dtype=a["dtype"], out_dtype=out_dtype, beta0=beta0,
                          vnni=a.get("vnni", 0),
@@ -357,7 +361,9 @@ def _dispatch_key(d: Operation, invoke: Operation):
     if name == "xsmm.binary_dispatch":
         return BinaryKey(kind=a["kind"], shape_a=tuple(a.get("shape_a", ())),
                          shape_b=tuple(a.get("shape_b", ())),
-                         dtype=a["dtype"], out_dtype=out_dtype)
+                         dtype=a["dtype"], out_dtype=out_dtype,
+                         bcast_a=a.get("bcast_a", "none"),
+                         bcast_b=a.get("bcast_b", "none"))
     raise NotImplementedError(name)
 
 

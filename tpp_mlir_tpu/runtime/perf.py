@@ -53,17 +53,21 @@ def _chain(step: Callable, n: int):
                         break
             if not fed_back:
                 # no output matches an input: poison one element of the
-                # SMALLEST arg with a zero derived from the output, creating
-                # a true data dependency (optimization_barrier alone maps
-                # operands to results independently and does NOT stop XLA
-                # hoisting the loop-invariant kernel). Poisoning the smallest
-                # operand keeps the forced per-iteration copy negligible.
+                # SMALLEST arg with a REAL output value, creating a true
+                # data dependency. An output-derived *zero* (sum(out)*0.0)
+                # is NOT enough: XLA algebraic simplification folds x*0 to 0
+                # and then hoists the loop-invariant op out of the scan —
+                # measured as an impossible 5x-over-roofline XLA conv.
+                # (optimization_barrier doesn't help either: it maps
+                # operands to results independently.) The poisoned element
+                # is tanh-bounded so iterated values stay finite; numerics
+                # drift is irrelevant to timing.
                 pi = min(range(len(new_args)),
                          key=lambda i: new_args[i].size)
-                eps = (jnp.sum(outs[0].ravel()[:1]).astype(jnp.float32)
-                       * 0.0).astype(new_args[pi].dtype)
+                eps = jnp.tanh(outs[0].ravel()[0].astype(jnp.float32)) \
+                    .astype(new_args[pi].dtype)
                 idx = (0,) * new_args[pi].ndim
-                new_args[pi] = new_args[pi].at[idx].add(eps)
+                new_args[pi] = new_args[pi].at[idx].set(eps)
             return tuple(new_args), None
         final, _ = jax.lax.scan(body, tuple(args), None, length=n)
         return jax.tree.map(lambda x: jnp.sum(x.astype(jnp.float32)), final)

@@ -34,8 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init-type", default="normal",
                    help="const-weight init kind")
     p.add_argument("--output", choices=["named", "generic"], default="named",
-                   help="generic accepted for reference-CLI parity; this IR "
-                        "has named ops only")
+                   help="generic emits tl.generic forms with indexing maps "
+                        "(reference MLIRGen.cpp:148-230)")
     return p
 
 
@@ -45,7 +45,8 @@ def config_from_args(args) -> MlpConfig:
     return MlpConfig(batch=args.batch, layers=layers, tiles=tiles,
                      float_type=args.float_type, bias=args.bias,
                      relu=args.relu, softmax=args.softmax, kernel=args.kernel,
-                     vnni=args.vnni, seed=args.seed, init_type=args.init_type)
+                     vnni=args.vnni, seed=args.seed, init_type=args.init_type,
+                     output=args.output)
 
 
 def generate_text(cfg: MlpConfig) -> str:

@@ -186,6 +186,14 @@ class ConvNhwcKey:
     G: int = 0                 # images per program (0 = heuristic)
     cblk: int = 0              # input-channel block (0 = heuristic)
     kblk: int = 0              # output-channel block (0 = heuristic)
+    # "window": per-tap (P,Q,c) window slice + reshape — pays a Mosaic
+    #   relayout per tap (the ss shift crosses sublane tiles).
+    # "fullrow": per-tap dot over full 8-aligned rows (input width padded
+    #   outside the kernel, a cheap HBM-side pad); the S column shifts are
+    #   DEFERRED into one final combine per program instead of per
+    #   (tap, channel-block) step — S*Cb times fewer relayouts.
+    # "auto": fullrow for S>1, window for 1x1.
+    strategy: str = "auto"
 
     @property
     def P(self) -> int:
@@ -238,3 +246,9 @@ class BinaryKey:
     shape_b: tuple[int, ...]
     dtype: str
     out_dtype: str | None = None
+    # map-derived broadcast of each operand (reference BinaryFlags,
+    # XsmmEnum.td): "none" = NumPy trailing broadcast; "bcast_row" = the
+    # operand indexes the MAJOR dim (a column vector) — shape alone cannot
+    # distinguish this from bcast_col when the output is square
+    bcast_a: str = "none"
+    bcast_b: str = "none"

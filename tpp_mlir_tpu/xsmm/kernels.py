@@ -1101,18 +1101,21 @@ def _conv_nhwc_blocks(key) -> tuple[int, int, int]:
 def _build_conv_nhwc(key, interpret: bool):
     """NHWC-native conv-BRGEMM: see ConvNhwcKey. Grid (N/G, Kb, Cb) with the
     channel-block reduction innermost ('arbitrary') so input blocks pipeline
-    against compute; (R,S) taps unrolled with static window slices (Mosaic
-    requires 8-aligned dynamic sublane offsets); G images' windows are
-    concatenated into one (G*P*Q, cblk) operand so each tap runs ONE MXU
-    pass with G times the rows."""
+    against compute; (R,S) taps unrolled with static slices (Mosaic requires
+    8-aligned dynamic sublane offsets)."""
     from .flags import ConvNhwcKey
     assert isinstance(key, ConvNhwcKey)
-    N, H, W, C, K = key.N, key.H, key.W, key.C, key.K
-    R, S = key.R, key.S
     if (key.stride_h, key.stride_w) != (1, 1):
         raise NotImplementedError(
             "stride>1 conv stays on the XLA conv path (reference also "
             "restricts conv-to-BRGEMM to stride 1, docs/ConvMapping.md)")
+    strategy = key.strategy
+    if strategy == "auto":
+        strategy = "fullrow" if key.S > 1 else "window"
+    if strategy == "fullrow":
+        return _build_conv_nhwc_fullrow(key, interpret)
+    N, H, W, C, K = key.N, key.H, key.W, key.C, key.K
+    R, S = key.R, key.S
     P, Q = key.P, key.Q
     dtype = _jdt(key.dtype)
     out_dtype = _jdt(key.out_dtype or key.dtype)
@@ -1220,6 +1223,146 @@ def _build_conv_nhwc(key, interpret: bool):
     return fn
 
 
+def _build_conv_nhwc_fullrow(key, interpret: bool):
+    """NHWC conv-BRGEMM, fullrow strategy: per tap (rr,ss) ONE MXU pass over
+    full 8-aligned rows — A_rr = I[g, rr:rr+P, :, :] reshaped (P*Wp, c) is a
+    layout-preserving (free) reshape because the input width is padded to a
+    sublane multiple OUTSIDE the kernel (an HBM-side pad, one cheap XLA op).
+    The S column shifts that make windowed convs relayout-bound are deferred
+    into S per-column accumulators combined ONCE per program:
+
+        acc[ss][p, w] += sum_rr (I[p+rr, :] @ W[rr, ss])[w]
+        out[p, q]      = sum_ss acc[ss][p, q+ss]
+
+    so each (tap, channel-block) step is pure MXU work; the S-1 shifted adds
+    happen once per output tile instead of once per tap per channel block
+    (S*Cb times fewer Mosaic relayouts than the window strategy — the
+    difference between 26% and ~2x that on v5e, see PERF.md)."""
+    from .flags import ConvNhwcKey
+    assert isinstance(key, ConvNhwcKey)
+    N, H, W, C, K = key.N, key.H, key.W, key.C, key.K
+    R, S = key.R, key.S
+    P, Q = key.P, key.Q
+    dtype = _jdt(key.dtype)
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
+    # pad width so (P, Wp) merges are layout-preserving for the MXU dtype
+    sub = 16 if jnp.dtype(mxu_dt).itemsize == 2 else 8
+    Wp = W if W % sub == 0 else W + (sub - W % sub)
+    G, cblk, kblk = _conv_nhwc_blocks(key)
+    if not key.G:
+        G = 1 if P * Wp >= 512 else (2 if N % 2 == 0 else 1)
+    Cb, Kb = C // cblk, K // kblk
+    has_c = not key.beta0
+    has_d = key.binary_kind is not None
+    full_d = has_d and key.binary_bcast == "none"
+    rows = G * P * Wp
+
+    grid = (N // G, Kb, Cb)
+    in_specs = [
+        pl.BlockSpec((G, H, Wp, cblk), lambda n_, kb, r: (n_, 0, 0, r),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, S, cblk, kblk), lambda n_, kb, r: (0, 0, r, kb),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_c:
+        in_specs.append(pl.BlockSpec((G, P, Wp, kblk),
+                                     lambda n_, kb, r: (n_, 0, 0, kb),
+                                     memory_space=pltpu.VMEM))
+    if has_d:
+        if full_d:
+            in_specs.append(pl.BlockSpec((G, P, Wp, kblk),
+                                         lambda n_, kb, r: (n_, 0, 0, kb),
+                                         memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(pl.BlockSpec((1, kblk),
+                                         lambda n_, kb, r: (0, kb),
+                                         memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((G, P, Wp, kblk),
+                            lambda n_, kb, r: (n_, 0, 0, kb),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        idx = 0
+        i_ref = refs[idx]; idx += 1
+        w_ref = refs[idx]; idx += 1
+        c_ref = refs[idx] if has_c else None
+        idx += has_c
+        d_ref = refs[idx] if has_d else None
+        idx += has_d
+        o_ref = refs[idx]
+        acc_ref = refs[idx + 1]          # (S, rows + 8, kblk) f32
+
+        r = pl.program_id(2)
+
+        @pl.when(r == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        for rr in range(R):
+            if G == 1:
+                a_rr = i_ref[0, rr:rr + P, :, :].reshape(P * Wp, cblk)
+            else:
+                a_rr = jnp.concatenate(
+                    [i_ref[g, rr:rr + P, :, :].reshape(P * Wp, cblk)
+                     for g in range(G)], axis=0)
+            for ss in range(S):
+                acc_ref[ss, :rows, :] += jnp.dot(
+                    a_rr, w_ref[rr, ss],
+                    preferred_element_type=jnp.float32)
+
+        @pl.when(r == Cb - 1)
+        def _finish():
+            res = acc_ref[0, 0:rows, :]
+            for ss in range(1, S):
+                res = res + acc_ref[ss, ss:ss + rows, :]
+            if has_c:
+                res = res + c_ref[:].reshape(rows, kblk).astype(jnp.float32)
+            if has_d:
+                d_blk = (d_ref[:].reshape(rows, kblk) if full_d
+                         else d_ref[:])
+                res = _apply_epilogue(res, d_blk, key.binary_kind, None)
+            if key.unary_kind:
+                res = _UNARY_FNS[key.unary_kind](res)
+            o_ref[:] = res.reshape(G, P, Wp, kblk).astype(out_dtype)
+
+    dsize = jnp.dtype(dtype).itemsize
+    cost = pl.CostEstimate(
+        flops=2 * N * P * Wp * C * K * R * S,
+        bytes_accessed=(N * H * Wp * C + R * S * C * K
+                        + N * P * Wp * K) * dsize,
+        transcendentals=0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((N, P, Wp, K), out_dtype),
+        scratch_shapes=[pltpu.VMEM((S, rows + 8, kblk), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+
+    def pad_w(x):
+        if Wp == x.shape[2]:
+            return x
+        return jnp.pad(x, ((0, 0), (0, 0), (0, Wp - x.shape[2]), (0, 0)))
+
+    def fn(i, w, cacc=None, d=None):
+        args = [pad_w(i.astype(mxu_dt)), w.astype(mxu_dt)]
+        if has_c:
+            args.append(pad_w(cacc))
+        if has_d:
+            args.append(pad_w(d) if full_d else d.reshape(1, -1))
+        out = call(*args)
+        return out[:, :, :Q, :] if Wp != Q else out
+
+    return fn
+
+
 def _build_unary(key: UnaryKey, interpret: bool):
     out_dtype = _jdt(key.out_dtype or key.dtype)
     kind = key.kind
@@ -1251,8 +1394,17 @@ def _build_unary(key: UnaryKey, interpret: bool):
 def _build_binary(key: BinaryKey, interpret: bool):
     fn = _BINARY_FNS[key.kind]
     out_dtype = _jdt(key.out_dtype or key.dtype)
-    return lambda a, b: fn(a.astype(jnp.float32),
-                           b.astype(jnp.float32)).astype(out_dtype)
+
+    def prep(x, bcast):
+        # bcast_row: the operand indexes the major dim — make the minor
+        # axis explicit so NumPy broadcasting matches the indexing map
+        if bcast == "bcast_row" and x.ndim == 1:
+            return x.reshape(-1, 1)
+        return x
+
+    return lambda a, b: fn(prep(a, key.bcast_a).astype(jnp.float32),
+                           prep(b, key.bcast_b).astype(jnp.float32)
+                           ).astype(out_dtype)
 
 
 def build_kernel(key, interpret: bool | None = None):
