@@ -27,24 +27,38 @@ def diff(text, args, atol=1e-3):
     return low
 
 
-CONV1X1_NHWC = """func @entry(%i: tensor<2x14x14x256xf32>, %w: tensor<1x1x256x256xf32>, %bias: tensor<256xf32>) {
-  %0 = tl.constant {init = "zero"} : tensor<2x14x14x256xf32>
-  %1 = tl.conv2d_nhwc_hwcf %i, %w, %0 {strides = [1, 1]} : tensor<2x14x14x256xf32>
-  %2 = tl.add %1, %bias : tensor<2x14x14x256xf32>
-  %3 = tl.relu %2 : tensor<2x14x14x256xf32>
-  return %3 : tensor<2x14x14x256xf32>
+CONV1X1_NHWC = """func @entry(%i: tensor<2x16x16x256xf32>, %w: tensor<1x1x256x256xf32>, %bias: tensor<256xf32>) {
+  %0 = tl.constant {init = "zero"} : tensor<2x16x16x256xf32>
+  %1 = tl.conv2d_nhwc_hwcf %i, %w, %0 {strides = [1, 1]} : tensor<2x16x16x256xf32>
+  %2 = tl.add %1, %bias : tensor<2x16x16x256xf32>
+  %3 = tl.relu %2 : tensor<2x16x16x256xf32>
+  return %3 : tensor<2x16x16x256xf32>
 }
 """
 
 
 def test_conv1x1_nhwc_becomes_fused_matmul():
-    args = (rng(2, 14, 14, 256), rng(1, 1, 256, 256, seed=1) * 0.05,
+    # W=16 is sublane-aligned: the flat reshape is free, so the 1x1 conv
+    # rewrites to a pure fused GEMM
+    args = (rng(2, 16, 16, 256), rng(1, 1, 256, 256, seed=1) * 0.05,
             rng(256, seed=2))
     low = diff(CONV1X1_NHWC, args)
     s = print_module(low)
     assert "conv" not in s                      # the conv is gone: pure GEMM
     assert "xsmm.fused_brgemm" in s             # bias+relu fused
     assert '"beta_0"' in s
+
+
+def test_conv1x1_nhwc_unaligned_width_stays_native():
+    # W=14: the flat reshape would be an HBM relayout; the 1x1 runs on the
+    # NHWC-native kernel instead (one-tap fullrow GEMM, free reshapes)
+    text = CONV1X1_NHWC.replace("16x16", "14x14")
+    args = (rng(2, 14, 14, 256), rng(1, 1, 256, 256, seed=1) * 0.05,
+            rng(256, seed=2))
+    low = diff(text, args)
+    s = print_module(low)
+    assert 'layout = "conv_nhwc"' in s
+    assert "tl.reshape" not in s
 
 
 CONV1X1_NCHW = """func @entry(%i: tensor<2x256x14x14xf32>, %w: tensor<256x256x1x1xf32>, %bias: tensor<256xf32>) {
@@ -126,7 +140,7 @@ def test_conv_nhwc_residual_add_sinks_and_fuses():
 def test_conv1x1_bf16():
     text = CONV1X1_NHWC.replace("xf32", "xbf16")
     args = tuple(a.astype(jnp.bfloat16) for a in
-                 (rng(2, 14, 14, 256), rng(1, 1, 256, 256, seed=1) * 0.05,
+                 (rng(2, 16, 16, 256), rng(1, 1, 256, 256, seed=1) * 0.05,
                   rng(256, seed=2)))
     diff(text, args, atol=0.1)
 

@@ -135,6 +135,14 @@ class Conv1x1ToMatmulPass(Pass):
                 R, S, _, K = W.type.shape
                 if (R, S) != (1, 1):
                     continue
+                # the flat (N*H*W, C) reshape is layout-preserving only when
+                # the width is a sublane multiple; otherwise it is a real
+                # HBM relayout and the NHWC-native conv kernel (fullrow, one
+                # tap) runs the same GEMM with free in-kernel reshapes —
+                # measured 2x faster on 14x14 (PERF.md)
+                sub = 16 if I.type.dtype in ("bf16", "f16") else 8
+                if Wd % sub != 0:
+                    continue
 
                 def emit(bb):
                     xi = bb.reshape(I, (N * H * Wd, C))

@@ -53,18 +53,18 @@ def _chain(step: Callable, n: int):
                         break
             if not fed_back:
                 # no output matches an input: poison one element of the
-                # SMALLEST arg with a REAL output value, creating a true
-                # data dependency. An output-derived *zero* (sum(out)*0.0)
-                # is NOT enough: XLA algebraic simplification folds x*0 to 0
-                # and then hoists the loop-invariant op out of the scan —
-                # measured as an impossible 5x-over-roofline XLA conv.
-                # (optimization_barrier doesn't help either: it maps
-                # operands to results independently.) The poisoned element
-                # is tanh-bounded so iterated values stay finite; numerics
-                # drift is irrelevant to timing.
+                # SMALLEST arg with a value derived from EVERY output
+                # element. Two failure modes were measured before landing
+                # here (both read as impossibly-fast XLA ops):
+                #   * an output-derived zero (sum(out)*0.0) is folded by
+                #     XLA algebraic simplification -> op hoisted;
+                #   * a single-element value (out[0]) lets XLA DCE slice
+                #     the op down to computing one element per iteration.
+                # sum(out) forces the full computation; tanh bounds the
+                # iterated values (numeric drift is irrelevant to timing).
                 pi = min(range(len(new_args)),
                          key=lambda i: new_args[i].size)
-                eps = jnp.tanh(outs[0].ravel()[0].astype(jnp.float32)) \
+                eps = jnp.tanh(jnp.sum(outs[0].astype(jnp.float32))) \
                     .astype(new_args[pi].dtype)
                 idx = (0,) * new_args[pi].ndim
                 new_args[pi] = new_args[pi].at[idx].set(eps)

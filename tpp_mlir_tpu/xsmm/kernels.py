@@ -1111,7 +1111,9 @@ def _build_conv_nhwc(key, interpret: bool):
             "restricts conv-to-BRGEMM to stride 1, docs/ConvMapping.md)")
     strategy = key.strategy
     if strategy == "auto":
-        strategy = "fullrow" if key.S > 1 else "window"
+        # fullrow wins everywhere measured (PERF.md): 2.2x over window on
+        # 3x3; for 1x1 it is the same GEMM with free in-kernel reshapes
+        strategy = "fullrow"
     if strategy == "fullrow":
         return _build_conv_nhwc_fullrow(key, interpret)
     N, H, W, C, K = key.N, key.H, key.W, key.C, key.K
