@@ -794,6 +794,44 @@ def _v_sink(op):
         _fail(op, "expects one operand")
 
 
+@_op("perf.bench")
+def _v_perf_bench(op):
+    """Timed-loop region op (reference PerfOps.td:99-188 perf.bench): run
+    `callee` `n` times with the operands as iter_args — each iteration's
+    results feed the next call — and yield (mean seconds/iter, final
+    iter_args). The reference expresses the body as an inlined region; in
+    this functional SSA IR the region is a function reference, which
+    round-trips textually and keeps the op verifiable against the callee's
+    signature (the same information, no nested-region parser)."""
+    callee = op.attrs.get("callee")
+    if not isinstance(callee, str):
+        _fail(op, "needs a 'callee' string attr")
+    n = op.attrs.get("n")
+    if not isinstance(n, int) or n < 1:
+        _fail(op, "needs an int attr n >= 1")
+    if len(op.results) < 1 or len(op.results) > 1 + len(op.operands):
+        _fail(op, "results must be (mean_seconds, *final_iter_args)")
+    if op.results[0].type != F64:
+        _fail(op, "first result is the scalar mean time")
+    # chaining convention: the callee's results feed back into its LEADING
+    # args each iteration (the perf.bench iter_args); trailing operands are
+    # loop-invariant (the reference's region closure values)
+    for v, r in zip(op.operands, op.results[1:]):
+        if v.type != r.type:
+            _fail(op, f"iter_arg {v.type} != result {r.type}")
+    mod = op.parent.module if op.parent is not None else None
+    if mod is not None and callee in mod.funcs:
+        f = mod.funcs[callee]
+        if [a.type for a in f.args] != [v.type for v in op.operands]:
+            _fail(op, f"callee @{callee} args do not match operands")
+        rets = [v.type for v in f.returns]
+        if rets != [a.type for a in f.args][:len(rets)]:
+            _fail(op, f"callee @{callee} results must match its leading "
+                      "args so iterations chain")
+        if len(op.results) - 1 != len(rets):
+            _fail(op, "value results must mirror the callee's results")
+
+
 @_op("check.expect_true")
 def _v_expect_true(op):
     if len(op.operands) != 1:
@@ -976,3 +1014,14 @@ class TppBuilder(Builder):
                        strides=(1, 1)) -> Value:
         return self.create("tl.blocked_conv2d", [i, w, o], [o.type],
                            {"strides": tuple(strides)}).result
+
+    def perf_bench(self, callee: str, operands, n: int,
+                   num_chained: int = 1):
+        """perf.bench: time `n` chained applications of @callee — results
+        feed the leading `num_chained` args each iteration; returns
+        (mean_seconds, *final_results) (reference PerfOps.td:99-188)."""
+        operands = list(operands)
+        op = self.create("perf.bench", operands,
+                         [F64] + [v.type for v in operands[:num_chained]],
+                         {"callee": callee, "n": int(n)})
+        return op.results

@@ -24,6 +24,7 @@ class BenchResult:
     total_seconds: float      # wall time of the long run
     iters: int
     flops: int | None = None
+    finals: tuple | None = None  # carried args after the long run's iters
 
     @property
     def gflops(self) -> float | None:
@@ -70,7 +71,7 @@ def _chain(step: Callable, n: int):
                 new_args[pi] = new_args[pi].at[idx].set(eps)
             return tuple(new_args), None
         final, _ = jax.lax.scan(body, tuple(args), None, length=n)
-        return jax.tree.map(lambda x: jnp.sum(x.astype(jnp.float32)), final)
+        return final
 
     return jax.jit(loop)
 
@@ -90,30 +91,32 @@ def bench(step: Callable, args: Sequence, iters: int = 100,
 
     def timed(fn):
         best = float("inf")
+        last = None
         for _ in range(max(2, warmup)):
             t0 = time.perf_counter()
             r = fn(*args)
-            jax.tree.map(lambda x: float(x), r)  # force full completion
+            jax.block_until_ready(r)  # force full completion
             best = min(best, time.perf_counter() - t0)
-        return best
+            last = r
+        return best, last
 
     n_short = max(1, iters // 4)
     short = _chain(step, n_short)
     jax.block_until_ready(short(*args))  # compile, excluded
-    t_short = timed(short)
+    t_short, _ = timed(short)
 
     n_long = max(iters, n_short * 4)
     while True:
         long_ = _chain(step, n_long)
         jax.block_until_ready(long_(*args))
-        t_long = timed(long_)
+        t_long, finals = timed(long_)
         if t_long - t_short >= min_delta or n_long >= max_iters:
             break
         n_long = min(n_long * 8, max_iters)
 
     per_iter = max((t_long - t_short) / (n_long - n_short), 1e-12)
     return BenchResult(mean_seconds=per_iter, total_seconds=t_long,
-                       iters=n_long, flops=flops)
+                       iters=n_long, flops=flops, finals=finals)
 
 
 def bench_warm(key, operands, r1: int = 200, r2: int = 4000,
