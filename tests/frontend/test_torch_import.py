@@ -45,7 +45,7 @@ def test_torch_conv_block():
 
     m = import_torch(model, (2, 128, 10, 10))
     run_pipeline(m, "default-tpp-passes")
-    assert 'layout = "conv"' in str(m)
+    assert 'layout = "conv_nhwc"' in str(m)  # NCHW imports ride the NHWC-native kernel
     got = tpp_compile(m, jit=False)(jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(got, np.float32), want,
                                atol=1e-3, rtol=1e-3)
@@ -79,7 +79,7 @@ def test_torch_conv_with_padding():
         want = model(x).numpy()
     m = import_torch(model, (2, 128, 8, 8))
     run_pipeline(m, "default-tpp-passes")
-    assert 'layout = "conv"' in str(m)
+    assert 'layout = "conv_nhwc"' in str(m)  # NCHW imports ride the NHWC-native kernel
     got = tpp_compile(m, jit=False)(jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(got, np.float32), want,
                                atol=1e-3, rtol=1e-3)
@@ -139,7 +139,7 @@ def test_torch_fx_residual_block():
     m = import_torch_fx(model, (2, 128, 8, 8))
     assert m.attrs["flops"] > 0
     run_pipeline(m, "default-tpp-passes")
-    assert 'layout = "conv"' in str(m)
+    assert 'layout = "conv_nhwc"' in str(m)  # NCHW imports ride the NHWC-native kernel
     got = tpp_compile(m, jit=False)(jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(got, np.float32), want,
                                atol=2e-3, rtol=2e-3)

@@ -151,21 +151,28 @@ def is_zero_op(op: Operation | None) -> bool:
         return op.attrs.get("value") in (0, 0.0)
     if op.opname == "tl.constant":
         return op.attrs.get("init") == "zero"
-    if op.opname in ("tl.reshape", "tl.broadcast"):
+    if op.opname in ("tl.reshape", "tl.broadcast", "tl.transpose"):
         return is_zero_op(op.operands[0].owner)
     return False
 
 
 def is_pure_zero(op: Operation | None) -> bool:
     """Zero value with no destination operand to rewire (constant zero or a
-    reshape/broadcast chain over one) — safe to leave in place when a
-    BETA_0 fold makes it unread."""
+    reshape/broadcast/transpose chain over one, including an already-lowered
+    xsmm.unary transpose) — safe to leave in place when a BETA_0 fold makes
+    it unread."""
     if op is None:
         return False
     if op.opname == "tl.constant":
         return op.attrs.get("init") == "zero"
-    if op.opname in ("tl.reshape", "tl.broadcast"):
+    if op.opname in ("tl.reshape", "tl.broadcast", "tl.transpose"):
         return is_pure_zero(op.operands[0].owner)
+    if op.opname == "xsmm.unary":
+        d = op.operands[0].owner
+        if d is not None and d.attrs.get("kind") in ("transpose", "identity"):
+            return is_pure_zero(op.operands[1].owner)
+        if d is not None and d.attrs.get("kind") == "zero":
+            return True
     return False
 
 

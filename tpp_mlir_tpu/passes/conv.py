@@ -108,6 +108,42 @@ class ConvInitSimplifyPass(Pass):
 
 
 @register
+class ConvToNhwcPass(Pass):
+    """NCHW convs -> NHWC form (transposes at the op boundary, cancelled /
+    sunk by sink-transpose). NHWC is the TPU-native conv layout: channels
+    land on the lane axis, so the NHWC conv-BRGEMM kernel needs ZERO
+    relayout while NCHW pays one per call. Plays the role the reference's
+    PackConv2DNchwFchw blocked relayout plays for AVX (ToBlockLayoutAndBack
+    .cpp:569-640): normalize to the layout the microkernel wants, then let
+    propagation push the conversions to the graph boundary. Measured on
+    v5e: 2-6x over the NCHW-blocked path (PERF.md r2)."""
+
+    name = "conv-to-nhwc"
+
+    def run_on_function(self, func: Function, module: Module) -> bool:
+        changed = False
+        b = TppBuilder(func)
+        for op in list(func.ops):
+            if op.parent is None or op.opname != "tl.conv2d_nchw_fchw":
+                continue
+            I, W, O = op.operands
+            strides = tuple(op.attrs.get("strides", (1, 1)))
+
+            def emit(bb):
+                ii = bb.transpose(I, (0, 2, 3, 1))   # NCHW -> NHWC
+                wi = bb.transpose(W, (2, 3, 1, 0))   # FCHW -> HWCF
+                oi = bb.transpose(O, (0, 2, 3, 1))
+                res = bb.conv2d_nhwc_hwcf(ii, wi, oi, strides)
+                return bb.transpose(res, (0, 3, 1, 2))
+
+            res = _insert_before(func, op, b, emit)
+            func.replace_all_uses(op.result, res)
+            func.erase(op)
+            changed = True
+        return changed
+
+
+@register
 class Conv1x1ToMatmulPass(Pass):
     """1x1 stride-1 convs ARE GEMMs — rewrite them to matmul form so they
     ride the full matmul path (tile-and-fuse, fused epilogues, chains).

@@ -139,12 +139,15 @@ class SinkReshapePass(Pass):
                         if not ro.result.uses:
                             func.erase(ro)
                     return True
-            # find the reshape operand (single-use, so the swap is a move)
+            # find the FULL-shaped reshape operand (single-use, so the swap
+            # is a move; sinking past a broadcast operand would ping-pong)
             ridx = None
             for i, v in enumerate(op.operands):
                 o = v.owner
                 if o is not None and o.opname == "tl.reshape" \
-                        and len(v.uses) == 1:
+                        and len(v.uses) == 1 \
+                        and tuple(v.type.shape) \
+                        == tuple(op.result.type.shape):
                     ridx = i
                     break
             if ridx is None:
@@ -175,6 +178,145 @@ class SinkReshapePass(Pass):
             func.erase(op)
             if not rop.result.uses:
                 func.erase(rop)
+            return True
+        return False
+
+
+def _inv_perm(perm):
+    inv = [0] * len(perm)
+    for i, p in enumerate(perm):
+        inv[p] = i
+    return tuple(inv)
+
+
+@register
+class SinkTransposePass(Pass):
+    """Transpose propagation/cancellation (the layout-propagation role of
+    the reference's PropagatePackUnPack, ToBlockLayoutAndBack.cpp:682-856,
+    for the pure transposes conv-to-nhwc introduces):
+
+      * transpose(transpose(x, p1), p2) -> x (or one composed transpose);
+      * eltwise(transpose(x, p), b)  -> transpose(eltwise(x, b'), p) where
+        b' = transpose(right_align(b), inv(p)) — transposes distribute over
+        elementwise ops, so epilogues sink into the NHWC domain and the
+        conversion transposes of adjacent convs cancel at the seam.
+
+    Runs to fixpoint; after it, layout conversions survive only at graph
+    boundaries."""
+
+    name = "sink-transpose"
+
+    def run_on_function(self, func: Function, module: Module) -> bool:
+        changed = False
+        while self._round(func):
+            changed = True
+        return changed
+
+    def _round(self, func: Function) -> bool:
+        from ..ir.matcher import ELTWISE_BINARY, ELTWISE_UNARY
+
+        b = TppBuilder(func)
+        for op in list(func.ops):
+            if op.parent is None:
+                continue
+            # cancellation: transpose of transpose
+            if op.opname == "tl.transpose":
+                src = op.operands[0].owner
+                if src is not None and src.opname == "tl.transpose":
+                    p1 = tuple(src.attrs["perm"])
+                    p2 = tuple(op.attrs["perm"])
+                    composed = tuple(p1[i] for i in p2)
+                    if composed == tuple(range(len(composed))):
+                        func.replace_all_uses(op.result, src.operands[0])
+                        func.erase(op)
+                        if not src.result.uses:
+                            func.erase(src)
+                        return True
+                    idx = func.ops.index(op)
+                    start = len(func.ops)
+                    y = b.transpose(src.operands[0], composed)
+                    new_ops = func.ops[start:]
+                    del func.ops[start:]
+                    func.ops[idx:idx] = new_ops
+                    func.replace_all_uses(op.result, y)
+                    func.erase(op)
+                    if not src.result.uses:
+                        func.erase(src)
+                    return True
+                continue
+            is_un = op.opname in ELTWISE_UNARY
+            is_bin = op.opname in ELTWISE_BINARY
+            if not (is_un or is_bin):
+                continue
+            # both operands transposed with the same perm (residual add)
+            if is_bin:
+                o0, o1 = (v.owner for v in op.operands)
+                if (o0 is not None and o1 is not None
+                        and o0.opname == o1.opname == "tl.transpose"
+                        and len(op.operands[0].uses) == 1
+                        and len(op.operands[1].uses) == 1
+                        and tuple(o0.attrs["perm"])
+                        == tuple(o1.attrs["perm"])):
+                    idx = func.ops.index(op)
+                    start = len(func.ops)
+                    y = b.binary(op.opname, o0.operands[0], o1.operands[0])
+                    res = b.transpose(y, tuple(o0.attrs["perm"]))
+                    new_ops = func.ops[start:]
+                    del func.ops[start:]
+                    func.ops[idx:idx] = new_ops
+                    func.replace_all_uses(op.result, res)
+                    func.erase(op)
+                    for ro in (o0, o1):
+                        if not ro.result.uses:
+                            func.erase(ro)
+                    return True
+            # sink only past a FULL-shaped transposed operand: sinking past
+            # the small (broadcast) one would introduce a transpose on the
+            # other side and ping-pong forever
+            ridx = None
+            for i, v in enumerate(op.operands):
+                o = v.owner
+                if o is not None and o.opname == "tl.transpose" \
+                        and len(v.uses) == 1 \
+                        and tuple(v.type.shape) \
+                        == tuple(op.result.type.shape):
+                    ridx = i
+                    break
+            if ridx is None:
+                continue
+            top = op.operands[ridx].owner
+            perm = tuple(top.attrs["perm"])
+            inv = _inv_perm(perm)
+            idx = func.ops.index(op)
+            start = len(func.ops)
+            if is_un:
+                y = b.unary(op.opname, top.operands[0])
+            else:
+                other = op.operands[1 - ridx]
+                nd = len(perm)
+                bshape = tuple(other.type.shape)
+                if len(bshape) > nd:
+                    del func.ops[start:]
+                    continue
+                al = (1,) * (nd - len(bshape)) + bshape   # right-align
+                b2 = other
+                if al != bshape:
+                    b2 = b.reshape(other, al)
+                # shape equality is NOT permutation-invariance (square
+                # operands!): transpose whenever the perm is non-trivial
+                if inv != tuple(range(nd)) and any(d != 1 for d in al):
+                    b2 = b.transpose(b2, inv)
+                args = [top.operands[0], b2] if ridx == 0 \
+                    else [b2, top.operands[0]]
+                y = b.binary(op.opname, *args)
+            res = b.transpose(y, perm)
+            new_ops = func.ops[start:]
+            del func.ops[start:]
+            func.ops[idx:idx] = new_ops
+            func.replace_all_uses(op.result, res)
+            func.erase(op)
+            if not top.result.uses:
+                func.erase(top)
             return True
         return False
 

@@ -37,7 +37,13 @@ def tpp_mapping(pack: bool = True, **opts):
         "constant-fold-pack",
         "simplify-pack",
     ] if pack else []
+    # flat/TPU mode: normalize convs to NHWC (channels on lanes, zero
+    # in-kernel relayout) and sink eltwise/transposes so conversions
+    # survive only at graph boundaries; packed parity mode keeps the
+    # reference's NCHW channel-blocked layout instead
+    layout_stages = [] if pack else ["conv-to-nhwc", "sink-transpose"]
     return [
+        *layout_stages,
         "conv1x1-to-matmul",
         "sink-reshape",
         "conv-init-simplify",

@@ -623,6 +623,9 @@ class FoldXsmmFlagsPass(Pass):
                     and producer.operands[0].owner.attrs["kind"] == "zero" \
                     and len(C.uses) == 1:
                 new_c = producer.operands[1]
+            elif is_pure_zero(producer):
+                # covers lowered transposes/reshapes of constant zeros too
+                new_c = C
             elif is_zero_op(producer):
                 if is_pure_zero(producer):
                     # pure zero (constant, incl. reshaped): safe to flag even
