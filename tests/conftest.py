@@ -14,9 +14,14 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Suite wall time is dominated by XLA:CPU compiles of interpret-mode
+# kernels (first exec ~4 s, repeat ~25 ms); numerics are differential
+# (vs jnp oracles), so compile-time optimizations buy nothing here.
+if "xla_backend_optimization_level" not in flags:
+    flags = (flags + " --xla_backend_optimization_level=0"
+             " --xla_llvm_disable_expensive_passes=true").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

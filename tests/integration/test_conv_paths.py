@@ -72,15 +72,15 @@ CONV1X1_NCHW = """func @entry(%i: tensor<2x256x14x14xf32>, %w: tensor<256x256x1x
 """
 
 
-def test_conv1x1_nchw_becomes_shared_lhs_batch_gemm():
+def test_conv1x1_nchw_unaligned_width_rides_nhwc():
     args = (rng(2, 256, 14, 14), rng(256, 256, 1, 1, seed=1) * 0.05,
             rng(256, seed=2))
     low = diff(CONV1X1_NCHW, args)
     s = print_module(low)
-    assert "conv" not in s
-    assert "xsmm.batch_gemm" in s
-    assert "lhs_shared = true" in s
-    assert "tl.transpose" not in s  # zero relayout: W@I keeps NCHW layout
+    # W=14 is not 128-aligned, so the flat 1x1->matmul rewrite is gated off
+    # and the conv rides the NHWC-native path with a fused relu epilogue.
+    assert 'layout = "conv_nhwc"' in s
+    assert '"relu"' in s
 
 
 def test_conv1x1_strided_left_alone():

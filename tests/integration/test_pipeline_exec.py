@@ -116,7 +116,8 @@ def test_conv2d_brgemm_fp32():
     args = (rng(2, 128, 10, 10), rng(128, 128, 3, 3, seed=1),
             rng(128, seed=2))
     m = diff_run(text, args, atol=5e-4, rtol=5e-4)
-    assert 'layout = "conv"' in str(m)
+    # NCHW convs ride the NHWC-native path (conv-to-nhwc + sink-transpose).
+    assert 'layout = "conv_nhwc"' in str(m)
 
 
 def test_conv2d_1x1():

@@ -298,6 +298,20 @@ class SinkTransposePass(Pass):
                 if len(bshape) > nd:
                     del func.ops[start:]
                     continue
+                if bshape == tuple(op.result.type.shape):
+                    # Full-shape `other` (residual add): sinking moves the
+                    # transpose ONTO `other`, and the mirrored rewrite would
+                    # fire on it next round — an infinite ping-pong. Only
+                    # sink when it strictly pushes the transpose from a
+                    # computed value to a graph leaf (block arg / constant),
+                    # which is a one-way move.
+                    oo = other.owner
+                    other_is_leaf = oo is None or oo.opname == "tl.constant"
+                    src_is_computed = top.operands[0].owner is not None \
+                        and top.operands[0].owner.opname != "tl.constant"
+                    if not (other_is_leaf and src_is_computed):
+                        del func.ops[start:]
+                        continue
                 al = (1,) * (nd - len(bshape)) + bshape   # right-align
                 b2 = other
                 if al != bshape:
