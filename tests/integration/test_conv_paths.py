@@ -83,7 +83,7 @@ def test_conv1x1_nchw_unaligned_width_rides_nhwc():
     assert '"relu"' in s
 
 
-def test_conv1x1_strided_left_alone():
+def test_conv1x1_strided_lowers_via_xla_strategy():
     text = """func @entry(%i: tensor<2x8x8x64xf32>, %w: tensor<1x1x64x64xf32>) {
   %0 = tl.constant {init = "zero"} : tensor<2x4x4x64xf32>
   %1 = tl.conv2d_nhwc_hwcf %i, %w, %0 {strides = [2, 2]} : tensor<2x4x4x64xf32>
@@ -93,7 +93,10 @@ def test_conv1x1_strided_left_alone():
     args = (rng(2, 8, 8, 64), rng(1, 1, 64, 64, seed=1) * 0.1)
     low = diff(text, args)
     s = print_module(low)
-    assert "tl.conv2d_nhwc_hwcf" in s  # strided: stays on the XLA conv path
+    # strided: lowers through the NHWC path whose xla strategy handles any
+    # stride (and gains the fused epilogue the raw tl op could not)
+    assert 'layout = "conv_nhwc"' in s
+    assert "strides = [2, 2]" in s
 
 
 def test_conv_nhwc_wide_channels_native():

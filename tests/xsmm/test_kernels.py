@@ -216,3 +216,40 @@ def test_dispatch_failure_reports_key():
     bad = UnaryKey(kind="no_such_kind", shape=(8, 128), dtype="f32")
     with pytest.raises(Exception, match="no_such_kind"):
         cache.dispatch(bad, True)
+
+
+# -- NHWC conv strategies ----------------------------------------------------
+
+def _conv_nhwc_key(**kw):
+    from tpp_mlir_tpu.xsmm.flags import ConvNhwcKey
+    base = dict(N=2, H=10, W=10, C=64, K=64, R=3, S=3)
+    base.update(kw)
+    return ConvNhwcKey(**base)
+
+
+@pytest.mark.parametrize("strategy", ["xla", "fullrow", "window"])
+def test_conv_nhwc_strategies_agree(strategy):
+    """Every selectable conv strategy computes the same conv (the Pallas
+    strategies lost implicit coverage when auto became xla)."""
+    key = _conv_nhwc_key(strategy=strategy)
+    i = rng(2, 10, 10, 64)
+    w = rng(3, 3, 64, 64, seed=1) * 0.05
+    c = rng(2, 8, 8, 64, seed=2)
+    check(key, (i, w, c), atol=1e-4, rtol=1e-4)
+
+
+def test_conv_nhwc_xla_strided_epilogue():
+    """Strided conv (xla strategy only) with bias + relu epilogue."""
+    key = _conv_nhwc_key(H=9, W=9, R=1, S=1, stride_h=2, stride_w=2,
+                         beta0=True, binary_kind="add",
+                         binary_bcast="bcast_col", unary_kind="relu",
+                         strategy="xla")
+    i = rng(2, 9, 9, 64)
+    w = rng(1, 1, 64, 64, seed=1) * 0.1
+    bias = rng(1, 64, seed=2)
+    kfn = build_kernel(key, interpret=True)
+    got = np.asarray(kfn(i, w, None, bias), np.float32)
+    want = jax.lax.conv_general_dilated(
+        i, w, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    want = np.maximum(np.asarray(want) + np.asarray(bias).reshape(1, 1, 1, -1), 0)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

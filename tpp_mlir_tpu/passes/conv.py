@@ -271,7 +271,10 @@ class ConvToBrgemmPass(Pass):
         for op in list(func.ops):
             if op.parent is None:
                 continue
-            if tuple(op.attrs.get("strides", (1, 1))) != (1, 1):
+            strides = tuple(op.attrs.get("strides", (1, 1)))
+            if strides != (1, 1) and op.opname != "tl.conv2d_nhwc_hwcf":
+                # strided convs only lower through the NHWC path, whose
+                # default (xla) strategy handles any stride
                 continue
             if op.opname == "tl.blocked_conv2d":
                 I, W, O = op.operands
@@ -289,7 +292,7 @@ class ConvToBrgemmPass(Pass):
                 attrs = {"layout": "conv_nhwc", "N": N, "H": H, "W": Wd,
                          "C": C, "K": K, "R": R, "S": S,
                          "m": 0, "n": K, "k": C, "batch": C * R * S,
-                         "strides": (1, 1), "dtype": I.type.dtype,
+                         "strides": strides, "dtype": I.type.dtype,
                          "flags": ()}
             else:
                 continue

@@ -161,7 +161,13 @@ def reference_kernel(key):
         return blocked_matmul_reference(key)
     if isinstance(key, ConvBrgemmKey):
         return conv_brgemm_reference(key)
-    from .flags import BatchMatmulKey, ChainKey, FlashMhaKey
+    from .flags import BatchMatmulKey, ChainKey, ConvNhwcKey, FlashMhaKey
+    if isinstance(key, ConvNhwcKey):
+        # interpret-mode xla strategy IS the reference semantics: exact
+        # f32 lax conv + epilogue, no Pallas
+        from .kernels import _build_conv_nhwc_xla
+        from dataclasses import replace
+        return _build_conv_nhwc_xla(replace(key, strategy="xla"), True)
     if isinstance(key, ChainKey):
         return chain_reference(key)
     if isinstance(key, BatchMatmulKey):
