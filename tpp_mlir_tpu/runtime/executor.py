@@ -488,12 +488,18 @@ def _eval_bench(op: Operation, vals, interpret_kernels):
     interp = (interpret_kernels if interpret_kernels is not None
               else interpret_default())
 
+    def _force(r):
+        # jax.block_until_ready can return before execution under the axon
+        # tunnel (see runtime/perf.py); a scalar host read cannot
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        float(jnp.sum(leaf.astype(jnp.float32)))
+
     def timed(f, reps=3):
         best, last = float("inf"), None
         for _ in range(reps):
             t0 = time.perf_counter()
             r = f()
-            jax.block_until_ready(r)
+            _force(r)
             best = min(best, time.perf_counter() - t0)
             last = r
         return best, last
@@ -508,7 +514,7 @@ def _eval_bench(op: Operation, vals, interpret_kernels):
             fn = global_cache().dispatch(
                 dataclasses.replace(key, repeats=n), interpret_kernels)
             operands = get_operands(vals)
-            jax.block_until_ready(fn(*operands))  # compile, excluded
+            _force(fn(*operands))  # compile, excluded
             best, out = timed(lambda: fn(*operands))
             return (jnp.float32(best / n), out)
 
@@ -538,12 +544,12 @@ def _eval_bench(op: Operation, vals, interpret_kernels):
         return jax.jit(loop)
 
     longf = chain(n)
-    jax.block_until_ready(longf(*vals))
+    _force(longf(*vals))
     if n < 8:
         best, finals = timed(lambda: longf(*vals))
         return (jnp.float32(best / n),) + tuple(finals)
     shortf = chain(n // 4)
-    jax.block_until_ready(shortf(*vals))
+    _force(shortf(*vals))
     t_short, _ = timed(lambda: shortf(*vals))
     t_long, finals = timed(lambda: longf(*vals))
     mean = max((t_long - t_short) / (n - n // 4), 1e-12)

@@ -88,6 +88,17 @@ def bench(step: Callable, args: Sequence, iters: int = 100,
     to an async remote device).
     """
     import jax
+    import jax.numpy as jnp
+
+    def _force(r):
+        # Completion barrier. Measured on the axon tunnel (r3):
+        # jax.block_until_ready returned in 0.1 ms on a 256-step matmul
+        # scan whose real device time was ~7 ms — it does NOT reliably
+        # block. A scalar device->host read derived from the result
+        # cannot return early. The extra sum+transfer is fixed overhead
+        # that cancels in the two-length slope.
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        float(jnp.sum(leaf.astype(jnp.float32)))
 
     def timed(fn):
         best = float("inf")
@@ -95,20 +106,20 @@ def bench(step: Callable, args: Sequence, iters: int = 100,
         for _ in range(max(2, warmup)):
             t0 = time.perf_counter()
             r = fn(*args)
-            jax.block_until_ready(r)  # force full completion
+            _force(r)
             best = min(best, time.perf_counter() - t0)
             last = r
         return best, last
 
     n_short = max(1, iters // 4)
     short = _chain(step, n_short)
-    jax.block_until_ready(short(*args))  # compile, excluded
+    _force(short(*args))  # compile, excluded
     t_short, _ = timed(short)
 
     n_long = max(iters, n_short * 4)
     while True:
         long_ = _chain(step, n_long)
-        jax.block_until_ready(long_(*args))
+        _force(long_(*args))
         t_long, finals = timed(long_)
         if t_long - t_short >= min_delta or n_long >= max_iters:
             break
@@ -136,7 +147,7 @@ def bench_warm(key, operands, r1: int = 200, r2: int = 4000,
 
     def timed(repeats):
         fn = build_kernel(dataclasses.replace(key, repeats=repeats))
-        jax.block_until_ready(fn(*operands))  # compile
+        float(jnp.sum(fn(*operands).astype(jnp.float32)))  # compile, excluded
         best = float("inf")
         for _ in range(reps):
             t0 = _time.perf_counter()
