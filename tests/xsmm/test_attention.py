@@ -84,3 +84,50 @@ def test_softmax_v_fusion():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_flash_qblock_whole_kv_long_seq():
+    """s=2048 takes the whole-KV-resident q-blocked variant (no online
+    softmax); differential vs the plain softmax reference."""
+    from tpp_mlir_tpu.xsmm.kernels import _build_flash_mha_qblock
+
+    key = FlashMhaKey(batch=1, seq=2048, seq_kv=2048, head_dim=64,
+                      scale=0.125)
+    assert _build_flash_mha_qblock(key, True) is not None  # fits VMEM
+    kfn = build_kernel(key, interpret=True)
+    rfn = reference_kernel(key)
+    q = rng(1, 2048, 64)
+    k = rng(1, 2048, 64, seed=1)
+    v = rng(1, 2048, 64, seed=2)
+    np.testing.assert_allclose(np.asarray(kfn(q, k, v), np.float32),
+                               np.asarray(rfn(q, k, v), np.float32),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_flash_qblock_causal():
+    from tpp_mlir_tpu.xsmm.kernels import _build_flash_mha_qblock
+
+    key = FlashMhaKey(batch=1, seq=2048, seq_kv=2048, head_dim=64,
+                      causal=True)
+    kfn = _build_flash_mha_qblock(key, True)
+    assert kfn is not None
+    rfn = reference_kernel(key)
+    q = rng(1, 2048, 64)
+    k = rng(1, 2048, 64, seed=1)
+    v = rng(1, 2048, 64, seed=2)
+    np.testing.assert_allclose(np.asarray(kfn(q, k, v), np.float32),
+                               np.asarray(rfn(q, k, v), np.float32),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_flash_blocked_causal_block_skip():
+    """Explicit bq/bk force the blocked online-softmax path; causal results
+    must be identical with the above-diagonal kv blocks skipped."""
+    key = FlashMhaKey(batch=1, seq=256, seq_kv=256, head_dim=32,
+                      bq=64, bk=64, causal=True)
+    kfn = build_kernel(key, interpret=True)
+    rfn = reference_kernel(key)
+    q, k, v = rng(1, 256, 32), rng(1, 256, 32, seed=1), rng(1, 256, 32, seed=2)
+    np.testing.assert_allclose(np.asarray(kfn(q, k, v), np.float32),
+                               np.asarray(rfn(q, k, v), np.float32),
+                               atol=1e-5, rtol=1e-5)

@@ -739,6 +739,14 @@ def _build_flash_mha(key, interpret: bool):
         # whole sequence per head: group heads per program so per-program
         # overhead amortizes (the seq<=512 MHA benchmark regime)
         return _build_flash_mha_grouped(key, interpret)
+    if nk > 1 and not key.bq and not key.bk:
+        # long-seq regime: prefer whole-KV-resident q-blocking when K+V for
+        # one head fit in VMEM (at D=64, 2*Skv*D*2B = 0.5 MB at s=2048) —
+        # kills the online-softmax rescale chain entirely and fetches K/V
+        # once per head instead of once per q-block
+        fn = _build_flash_mha_qblock(key, interpret)
+        if fn is not None:
+            return fn
     grid = (B, nq, nk)
 
     in_specs = [
@@ -753,6 +761,7 @@ def _build_flash_mha(key, interpret: bool):
                             memory_space=pltpu.VMEM)
 
     def kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref):
+        i = pl.program_id(1)
         j = pl.program_id(2)
 
         @pl.when(j == 0)
@@ -761,26 +770,39 @@ def _build_flash_mha(key, interpret: bool):
             m_ref[:] = jnp.full_like(m_ref, -1e30)
             l_ref[:] = jnp.zeros_like(l_ref)
 
-        q = q_ref[0].astype(jnp.float32) * key.scale
-        k = k_ref[0]
-        s_blk = jax.lax.dot_general(
-            q.astype(dtype), k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (bq, bk)
-        if key.causal:
-            i = pl.program_id(1)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + i * bq
-            cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + j * bk
-            s_blk = jnp.where(rows >= cols, s_blk, -1e30)
+        def _step():
+            q = q_ref[0].astype(jnp.float32) * key.scale
+            k = k_ref[0]
+            s_blk = jax.lax.dot_general(
+                q.astype(dtype), k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (bq, bk)
+            if key.causal:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) \
+                    + i * bq
+                cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) \
+                    + j * bk
+                s_blk = jnp.where(rows >= cols, s_blk, -1e30)
 
-        m_prev = m_ref[:]
-        l_prev = l_ref[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s_blk, axis=1, keepdims=True))
-        p = jnp.exp(s_blk - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_ref[:] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[:] = m_new
-        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-            p.astype(dtype), v_ref[0], preferred_element_type=jnp.float32)
+            m_prev = m_ref[:]
+            l_prev = l_ref[:]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(s_blk, axis=1, keepdims=True))
+            p = jnp.exp(s_blk - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[:] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[:] = m_new
+            acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+                p.astype(dtype), v_ref[0], preferred_element_type=jnp.float32)
+
+        if key.causal:
+            # skip kv blocks entirely above the diagonal: their scores mask
+            # to -inf and contribute nothing — half the MXU/VPU work
+            @pl.when(j * bk <= i * bq + bq - 1)
+            def _run():
+                _step()
+        else:
+            _step()
 
         @pl.when(j == nk - 1)
         def _finish():
@@ -900,6 +922,94 @@ def _build_chain_bench(key, interpret: bool):
         return call(*args)
 
     return fn
+
+
+def _build_flash_mha_qblock(key, interpret: bool):
+    """Long-sequence attention with the WHOLE K/V resident per head and the
+    query dimension blocked: grid (B, nq). No online softmax — the full
+    score row (bq, Skv) is materialized once, so the per-kv-block rescale
+    chain (2 extra exps + 2 multiplies of the accumulator per step) and the
+    nq-fold K/V refetch of the blocked path both disappear. At D=64 the two
+    attention dots can at most half-fill the MXU (64-wide contraction /
+    output vs 128 lanes), which makes the VPU softmax work the co-bottleneck
+    — this variant spends the VMEM budget on removing exactly that.
+
+    Returns None when K+V+scores don't fit in VMEM (fall back to the
+    blocked online-softmax path)."""
+    from .flags import FlashMhaKey
+    assert isinstance(key, FlashMhaKey)
+    B, S, Skv, D = key.batch, key.seq, key.seq_kv, key.head_dim
+    dtype = _jdt(key.dtype)
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
+    dsz = jnp.dtype(mxu_dt).itemsize
+    sub = 16 if dsz == 2 else 8
+    budget = int(current_target().vmem_bytes * 0.85)
+    fixed = 2 * Skv * D * dsz                      # resident K + V
+
+    def need(bq_):
+        # q + out blocks, f32 scores + one f32-sized temp for exp/p
+        return (fixed + bq_ * D * (dsz + jnp.dtype(out_dtype).itemsize)
+                + 8 * bq_ * Skv)
+
+    bq = 0
+    cand = S
+    while cand >= sub:
+        if S % cand == 0 and cand % sub == 0 and need(cand) <= budget:
+            bq = cand
+            break
+        cand //= 2
+    if bq < 128:   # too small to amortize the grid step — not worth it
+        return None
+    nq = S // bq
+    grid = (B, nq)
+
+    in_specs = [
+        pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Skv, D), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Skv, D), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        i = pl.program_id(1)
+        q = q_ref[0].astype(jnp.float32) * key.scale
+        s = jax.lax.dot_general(
+            q.astype(dtype), k_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (bq, Skv)
+        if key.causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (bq, Skv), 0) + i * bq
+            cols = jax.lax.broadcasted_iota(jnp.int32, (bq, Skv), 1)
+            s = jnp.where(rows >= cols, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(dtype), v_ref[0],
+                    preferred_element_type=jnp.float32)
+        o_ref[0] = (o / l).astype(out_dtype)
+
+    cost = pl.CostEstimate(
+        flops=4 * B * S * Skv * D,
+        bytes_accessed=B * (S * D * 2 + 2 * Skv * D) * dsz,
+        transcendentals=B * S * Skv)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, S, D), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+    return lambda q, k, v: call(q.astype(mxu_dt), k.astype(mxu_dt),
+                                v.astype(mxu_dt))
 
 
 def _build_flash_mha_grouped(key, interpret: bool):
