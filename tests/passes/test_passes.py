@@ -234,3 +234,43 @@ def test_sink_transpose_residual_add_converges():
     m2 = run(text2, "sink-transpose")
     s2 = print_module(m2)
     assert s2.count("tl.transpose") == 2  # one on %x, one on the result
+
+
+def test_fold_const_scale_bn_into_conv():
+    """conv + bias + eval-BN(scale+shift) folds into the conv constants:
+    scale multiplies the weight literal, shift+bias merge into one add that
+    conv-init-simplify absorbs as the accumulator init."""
+    text = """func @f(%x: tensor<2x8x8x16xf32>) {
+  %w = tl.constant {init = "rand", seed = 3} : tensor<3x3x16x16xf32>
+  %acc = tl.constant {init = "zero"} : tensor<2x6x6x16xf32>
+  %c = tl.conv2d_nhwc_hwcf %x, %w, %acc {strides = [1, 1]} : tensor<2x6x6x16xf32>
+  %bias = tl.constant {init = "rand", seed = 4} : tensor<16xf32>
+  %b1 = tl.add %c, %bias : tensor<2x6x6x16xf32>
+  %s = tl.constant {init = "rand", seed = 5} : tensor<16xf32>
+  %m1 = tl.mul %b1, %s : tensor<2x6x6x16xf32>
+  %sh = tl.constant {init = "rand", seed = 6} : tensor<16xf32>
+  %a2 = tl.add %m1, %sh : tensor<2x6x6x16xf32>
+  %r = tl.relu %a2 : tensor<2x6x6x16xf32>
+  return %r : tensor<2x6x6x16xf32>
+}
+"""
+    m = run(text, "fold-const-scale", "conv-init-simplify", "cleanup")
+    s = print_module(m)
+    assert "tl.mul" not in s            # scale folded into the weight
+    assert "tl.add" not in s            # adds merged + absorbed into acc
+    assert 'literal' in s
+
+
+def test_pad_commutes_with_transpose():
+    text = """func @f(%x: tensor<2x4x8x8xf32>) {
+  %0 = tl.transpose %x {perm = [0, 2, 3, 1]} : tensor<2x8x8x4xf32>
+  %1 = tl.pad %0 {lo = [0, 1, 1, 0], hi = [0, 1, 1, 0]} : tensor<2x10x10x4xf32>
+  %2 = tl.relu %1 : tensor<2x10x10x4xf32>
+  return %2 : tensor<2x10x10x4xf32>
+}
+"""
+    m = run(text, "sink-transpose")
+    s = print_module(m)
+    # pad moved above the transpose (NCHW padding on dims 2,3)
+    assert s.index("tl.pad") < s.index("tl.transpose")
+    assert "lo = [0, 0, 1, 1]" in s

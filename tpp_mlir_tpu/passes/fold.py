@@ -244,6 +244,34 @@ class SinkTransposePass(Pass):
                         func.erase(src)
                     return True
                 continue
+            # pad commutes with transpose: pad(transpose(x, p), lo, hi) ->
+            # transpose(pad(x, lo∘p, hi∘p), p) — lets the conversion
+            # transposes of adjacent padded convs cancel at the seam
+            if op.opname == "tl.pad":
+                src = op.operands[0].owner
+                if src is not None and src.opname == "tl.transpose" \
+                        and len(op.operands[0].uses) == 1:
+                    perm = tuple(src.attrs["perm"])
+                    lo = tuple(op.attrs["lo"])
+                    hi = tuple(op.attrs["hi"])
+                    lo_x = [0] * len(perm)
+                    hi_x = [0] * len(perm)
+                    for d, p in enumerate(perm):
+                        lo_x[p] = lo[d]
+                        hi_x[p] = hi[d]
+                    idx = func.ops.index(op)
+                    start = len(func.ops)
+                    y = b.pad(src.operands[0], tuple(lo_x), tuple(hi_x))
+                    res = b.transpose(y, perm)
+                    new_ops = func.ops[start:]
+                    del func.ops[start:]
+                    func.ops[idx:idx] = new_ops
+                    func.replace_all_uses(op.result, res)
+                    func.erase(op)
+                    if not src.result.uses:
+                        func.erase(src)
+                    return True
+                continue
             is_un = op.opname in ELTWISE_UNARY
             is_bin = op.opname in ELTWISE_BINARY
             if not (is_un or is_bin):
@@ -332,6 +360,206 @@ class SinkTransposePass(Pass):
             if not top.result.uses:
                 func.erase(top)
             return True
+        return False
+
+
+def _materialize_const(val, module):
+    """numpy array for a value computable from constants through
+    reshape/transpose/broadcast, else None. The compile-time evaluation
+    role of the reference's constant folding (ConstantFoldPack and the
+    linalg const-folders) for eltwise operands."""
+    import numpy as np
+
+    op = val.owner
+    if op is None:
+        return None
+    if op.opname == "tl.constant":
+        if op.attrs.get("init") == "literal":
+            arr = np.asarray(module.literals[op.attrs["literal"]])
+        else:
+            from ..runtime.tensor_init import tensor_init
+            arr = np.asarray(tensor_init(
+                op.attrs.get("init", "zero"),
+                op.attrs.get("orig_shape", val.type.shape),
+                val.type.dtype, op.attrs.get("seed", 0),
+                op.attrs.get("value", 1.0)))
+        from ..runtime.tensor_init import apply_pack_recipe
+        return np.asarray(apply_pack_recipe(arr, op.attrs), np.float32)
+    if op.opname == "tl.reshape":
+        a = _materialize_const(op.operands[0], module)
+        return None if a is None else a.reshape(val.type.shape)
+    if op.opname == "tl.transpose":
+        a = _materialize_const(op.operands[0], module)
+        return None if a is None else np.transpose(a, op.attrs["perm"])
+    if op.opname == "tl.broadcast":
+        a = _materialize_const(op.operands[0], module)
+        if a is None:
+            return None
+        shp = (1,) * (len(val.type.shape) - a.ndim) + tuple(a.shape)
+        return np.broadcast_to(a.reshape(shp), val.type.shape)
+    return None
+
+
+def _channel_vec(arr, out_shape, ch_axis):
+    """Per-channel vector (length K, or 1 for a scalar) if `arr` broadcast
+    against `out_shape` varies only along `ch_axis`, else None."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.ndim > len(out_shape):
+        return None
+    shp = (1,) * (len(out_shape) - a.ndim) + tuple(a.shape)
+    for ax, d in enumerate(shp):
+        if d != 1 and ax != ch_axis:
+            return None
+    if shp[ch_axis] not in (1, out_shape[ch_axis]):
+        return None
+    return a.reshape(-1)
+
+
+_CONV_CH_AXIS = {"tl.conv2d_nhwc_hwcf": 3, "tl.conv2d_nchw_fchw": 1}
+
+
+@register
+class FoldConstScalePass(Pass):
+    """Compile-time folding of constant eltwise chains around convolutions
+    (what makes imported eval-mode BatchNorm free — the reference relies on
+    the same idea via linalg constant folding + FoldIntoEltwise):
+
+      R1  mul(conv(x, W_const, zero), s_const)  -> conv(x, W*s, zero)
+          (per-output-channel s folds into the constant weight)
+      R2  mul(add(u, c_const), s_const)         -> add(mul(u, s), c*s)
+          (distribute, pushing the mul toward the conv for R1)
+      R3  add(add(u, c1_const), c2_const)       -> add(u, c1+c2)
+
+    Runs to fixpoint before conv-init-simplify, which then absorbs the one
+    surviving const add into the conv accumulator init — so a conv+bias+BN
+    +residual+relu block lowers to ONE fused kernel with the binary slot
+    free for the residual."""
+
+    name = "fold-const-scale"
+
+    def run_on_function(self, func: Function, module: Module) -> bool:
+        changed = False
+        while self._round(func, module):
+            changed = True
+        return changed
+
+    def _new_const(self, b, module, arr, shape, dtype):
+        import numpy as np
+
+        key = f"fold{len(module.literals)}_c"
+        while key in module.literals:
+            key += "_"
+        module.literals[key] = np.asarray(arr, np.float32).reshape(shape)
+        from ..ir import TensorType
+        return b.create("tl.constant", [],
+                        [TensorType(tuple(shape), dtype)],
+                        {"init": "literal", "literal": key}).result
+
+    def _round(self, func: Function, module: Module) -> bool:
+        import numpy as np
+
+        b = TppBuilder(func)
+        for op in list(func.ops):
+            if op.parent is None:
+                continue
+            if op.opname == "tl.mul":
+                for full, s in ((op.operands[0], op.operands[1]),
+                                (op.operands[1], op.operands[0])):
+                    if tuple(full.type.shape) != tuple(op.result.type.shape):
+                        continue
+                    prod = full.owner
+                    if prod is None or len(full.uses) != 1:
+                        continue
+                    s_arr = _materialize_const(s, module)
+                    if s_arr is None:
+                        continue
+                    # R1: fold per-channel scale into the conv weight
+                    if prod.opname in _CONV_CH_AXIS:
+                        ch = _CONV_CH_AXIS[prod.opname]
+                        vec = _channel_vec(s_arr, prod.result.type.shape, ch)
+                        if vec is None:
+                            continue
+                        w = prod.operands[1]
+                        w_arr = _materialize_const(w, module)
+                        if w_arr is None or not is_zero_op(
+                                prod.operands[2].owner):
+                            continue
+                        if prod.opname == "tl.conv2d_nhwc_hwcf":
+                            w_new = w_arr * vec.reshape(1, 1, 1, -1)
+                        else:   # FCHW: K leads
+                            w_new = w_arr * vec.reshape(-1, 1, 1, 1)
+                        idx = func.ops.index(prod)
+                        start = len(func.ops)
+                        w_c = self._new_const(b, module, w_new,
+                                              w.type.shape, w.type.dtype)
+                        new_ops = func.ops[start:]
+                        del func.ops[start:]
+                        func.ops[idx:idx] = new_ops
+                        prod.set_operand(1, w_c)
+                        func.replace_all_uses(op.result, full)
+                        func.erase(op)
+                        return True
+                    # R2: distribute the const mul over a const add
+                    if prod.opname == "tl.add":
+                        for u, c in ((prod.operands[0], prod.operands[1]),
+                                     (prod.operands[1], prod.operands[0])):
+                            c_arr = _materialize_const(c, module)
+                            if c_arr is None:
+                                continue
+                            if _materialize_const(u, module) is not None:
+                                continue  # both const: nothing to push to
+                            cs = np.asarray(c_arr, np.float32) \
+                                * np.asarray(s_arr, np.float32)
+                            idx = func.ops.index(op)
+                            start = len(func.ops)
+                            mu = b.mul(u, s)
+                            c_c = self._new_const(b, module, cs, cs.shape,
+                                                  op.result.type.dtype)
+                            res = b.add(mu, c_c)
+                            new_ops = func.ops[start:]
+                            del func.ops[start:]
+                            func.ops[idx:idx] = new_ops
+                            func.replace_all_uses(op.result, res)
+                            func.erase(op)
+                            if not prod.result.uses:
+                                func.erase(prod)
+                            return True
+                        continue
+            if op.opname == "tl.add":
+                # R3: combine consecutive const adds
+                for full, c2 in ((op.operands[0], op.operands[1]),
+                                 (op.operands[1], op.operands[0])):
+                    prod = full.owner
+                    if prod is None or prod.opname != "tl.add" \
+                            or len(full.uses) != 1:
+                        continue
+                    c2_arr = _materialize_const(c2, module)
+                    if c2_arr is None:
+                        continue
+                    for u, c1 in ((prod.operands[0], prod.operands[1]),
+                                  (prod.operands[1], prod.operands[0])):
+                        c1_arr = _materialize_const(c1, module)
+                        if c1_arr is None:
+                            continue
+                        if _materialize_const(u, module) is not None:
+                            continue
+                        c3 = np.asarray(c1_arr, np.float32) \
+                            + np.asarray(c2_arr, np.float32)
+                        idx = func.ops.index(op)
+                        start = len(func.ops)
+                        c_c = self._new_const(b, module, c3, c3.shape,
+                                              op.result.type.dtype)
+                        res = b.add(u, c_c)
+                        new_ops = func.ops[start:]
+                        del func.ops[start:]
+                        func.ops[idx:idx] = new_ops
+                        func.replace_all_uses(op.result, res)
+                        func.erase(op)
+                        if not prod.result.uses:
+                            func.erase(prod)
+                        return True
         return False
 
 

@@ -44,6 +44,7 @@ def tpp_mapping(pack: bool = True, **opts):
     layout_stages = [] if pack else ["conv-to-nhwc", "sink-transpose"]
     return [
         *layout_stages,
+        "fold-const-scale",
         "conv1x1-to-matmul",
         "sink-reshape",
         "conv-init-simplify",
