@@ -164,3 +164,20 @@ def test_convnet_model_nhwc_256ch():
     got = tpp_compile(m_low, jit=False)(*args)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-2, rtol=1e-3)
+
+
+def test_pad_fuses_into_conv():
+    """A zero-pad feeding a conv fuses into the conv dispatch (padding
+    attr) — no tl.pad survives, saving its HBM round trip."""
+    text = """func @entry(%x: tensor<2x8x8x32xf32>, %w: tensor<3x3x32x32xf32>) {
+  %p = tl.pad %x {lo = [0, 1, 1, 0], hi = [0, 1, 1, 0]} : tensor<2x10x10x32xf32>
+  %0 = tl.constant {init = "zero"} : tensor<2x8x8x32xf32>
+  %1 = tl.conv2d_nhwc_hwcf %p, %w, %0 {strides = [1, 1]} : tensor<2x8x8x32xf32>
+  return %1 : tensor<2x8x8x32xf32>
+}
+"""
+    args = (rng(2, 8, 8, 32), rng(3, 3, 32, 32, seed=1) * 0.1)
+    low = diff(text, args)
+    s = print_module(low)
+    assert "tl.pad" not in s
+    assert "padding = [1, 1, 1, 1]" in s or "padding = (1, 1, 1, 1)" in s

@@ -197,3 +197,47 @@ def test_conv2d_nhwc_relayout_free():
     assert '"beta_0"' in s and 'binary_kind = "add"' in s
     assert "tl.pack" not in s and "tl.transpose" not in s
     assert "tl.reshape" not in s  # truly relayout-free: not even reshapes
+
+
+def test_check_ops_compiled_mode():
+    """check.* lower INTO the compiled (jit) program as status tensors and
+    are enforced on the host — the compiled artifact asserts itself
+    (reference ConvertCheckToLoops.cpp:1-191). The failing case proves the
+    check actually runs: a wrong kernel makes the compiled call raise."""
+    good = """func @entry(%x: tensor<8x128xf32>) {
+  %0 = tl.relu %x : tensor<8x128xf32>
+  %1 = tl.relu %x : tensor<8x128xf32>
+  check.expect_almost_eq %0, %1 {threshold = 1e-06}
+  check.expect_sane %0
+  return %0 : tensor<8x128xf32>
+}
+"""
+    m = parse_module(good)
+    run_pipeline(m, "default-tpp-passes")
+    fn = tpp_compile(m, interpret_kernels=True)   # jit=True
+    out = fn(rng(8, 128))
+    assert out.shape == (8, 128)
+
+    bad = """func @entry(%x: tensor<8x128xf32>) {
+  %0 = tl.relu %x : tensor<8x128xf32>
+  %1 = tl.exp %x : tensor<8x128xf32>
+  check.expect_almost_eq %0, %1 {threshold = 1e-06}
+  return %0 : tensor<8x128xf32>
+}
+"""
+    mb = parse_module(bad)
+    run_pipeline(mb, "default-tpp-passes")
+    fnb = tpp_compile(mb, interpret_kernels=True)
+    with pytest.raises(AssertionError, match="almost_eq"):
+        fnb(rng(8, 128))
+
+    nan = """func @entry(%x: tensor<8x128xf32>) {
+  %0 = tl.div %x, %x : tensor<8x128xf32>
+  check.expect_sane %0
+  return %0 : tensor<8x128xf32>
+}
+"""
+    mn = parse_module(nan)
+    fnn = tpp_compile(mn, interpret_kernels=True)
+    with pytest.raises(AssertionError, match="expect_sane"):
+        fnn(jnp.zeros((8, 128), jnp.float32))

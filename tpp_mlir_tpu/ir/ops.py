@@ -613,8 +613,9 @@ def _brgemm_shapes(d):
         C, K = d.attrs["C"], d.attrs["K"]
         R, S = d.attrs["R"], d.attrs["S"]
         sh, sw = d.attrs.get("strides", (1, 1))
-        P = (H - R) // sh + 1
-        Q = (W - S) // sw + 1
+        pl_, ph, pwl, pwh = d.attrs.get("padding", (0, 0, 0, 0))
+        P = (H + pl_ + ph - R) // sh + 1
+        Q = (W + pwl + pwh - S) // sw + 1
         return ((N, H, W, C), (R, S, C, K), (N, P, Q, K))
     if d.attrs.get("layout", "flat") == "blocked":
         Mb, Nb = d.attrs["Mb"], d.attrs["Nb"]

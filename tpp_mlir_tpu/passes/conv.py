@@ -287,25 +287,83 @@ class ConvToBrgemmPass(Pass):
                          "flags": ()}
             elif op.opname == "tl.conv2d_nhwc_hwcf":
                 I, W, O = op.operands
-                N, H, Wd, C = I.type.shape
+                # fuse a zero-pad producer into the conv (the xla strategy
+                # pads natively; Pallas strategies pad outside the kernel) —
+                # saves the pad's HBM round trip. Two shapes: a direct NHWC
+                # pad, or pad-below-transpose at the NCHW graph boundary.
+                hit = _match_pad(I)
+                pad4, in_shape, make_input = (hit if hit is not None
+                                              else (None, I.type.shape,
+                                                    lambda bb: I))
+                N, H, Wd, C = in_shape
                 R, S, _, K = W.type.shape
                 attrs = {"layout": "conv_nhwc", "N": N, "H": H, "W": Wd,
                          "C": C, "K": K, "R": R, "S": S,
                          "m": 0, "n": K, "k": C, "batch": C * R * S,
                          "strides": strides, "dtype": I.type.dtype,
                          "flags": ()}
+                if pad4 is not None:
+                    attrs["padding"] = pad4
             else:
                 continue
 
-            def emit(bb):
+            def emit(bb, _mk=None):
+                i_val = _mk(bb) if _mk is not None else I
                 d = bb.create("xsmm.brgemm_dispatch", [], [I64], attrs)
-                inv = bb.create("xsmm.brgemm", [d.result, I, W, O], [O.type])
+                inv = bb.create("xsmm.brgemm", [d.result, i_val, W, O],
+                                [O.type])
                 if "fusion_group" in op.attrs:
                     inv.attrs["fusion_group"] = op.attrs["fusion_group"]
                 return inv.result
 
-            res = _insert_before(func, op, b, emit)
+            if op.opname == "tl.conv2d_nhwc_hwcf":
+                mk = make_input
+                emit_fn = lambda bb, _mk=mk: emit(bb, _mk)  # noqa: E731
+            else:
+                emit_fn = emit
+
+            res = _insert_before(func, op, b, emit_fn)
             func.replace_all_uses(op.result, res)
             func.erase(op)
             changed = True
         return changed
+
+
+def _match_pad(I):
+    """Match a fusable zero-pad feeding an NHWC conv input.
+
+    Returns (pad4, unpadded_nhwc_shape, make_input(bb)) or None.
+    pad4 = (h_lo, h_hi, w_lo, w_hi). Two shapes:
+      * direct: conv(pad_nhwc(x))            -- spatial dims 1,2 padded;
+      * boundary: conv(transpose(pad_nchw(x))) -- the pad rides below the
+        NCHW->NHWC conversion transpose; the fused input is a NEW transpose
+        of the unpadded x.
+    """
+    src = I.owner
+    if src is None or len(I.uses) != 1:
+        return None
+    if src.opname == "tl.pad":
+        lo, hi = tuple(src.attrs["lo"]), tuple(src.attrs["hi"])
+        if len(lo) != 4 or lo[0] or hi[0] or lo[3] or hi[3]:
+            return None
+        x = src.operands[0]
+        return ((lo[1], hi[1], lo[2], hi[2]), tuple(x.type.shape),
+                lambda bb: x)
+    if src.opname == "tl.transpose":
+        pad = src.operands[0].owner
+        if pad is None or pad.opname != "tl.pad" \
+                or len(src.operands[0].uses) != 1:
+            return None
+        perm = tuple(src.attrs["perm"])
+        lo, hi = tuple(pad.attrs["lo"]), tuple(pad.attrs["hi"])
+        if len(lo) != 4:
+            return None
+        # transpose output dim d comes from pad dim perm[d]; only the
+        # spatial output dims (1, 2) may be padded
+        if lo[perm[0]] or hi[perm[0]] or lo[perm[3]] or hi[perm[3]]:
+            return None
+        x = pad.operands[0]
+        shape = tuple(x.type.shape[perm[d]] for d in range(4))
+        return ((lo[perm[1]], hi[perm[1]], lo[perm[2]], hi[perm[2]]),
+                shape, lambda bb: bb.transpose(x, perm))
+    return None

@@ -316,7 +316,8 @@ def _dispatch_key(d: Operation, invoke: Operation):
                 unary_kind=un_kind, precision=prec,
                 G=a.get("G", 0), cblk=a.get("cblk", 0),
                 kblk=a.get("kblk_blk", 0),
-                strategy=a.get("strategy", "auto"))
+                strategy=a.get("strategy", "auto"),
+                pad=tuple(a.get("padding", (0, 0, 0, 0))))
         return BrgemmKey(batch=a["batch"], m=a["m"], n=a["n"], k=a["k"],
                          dtype=a["dtype"], out_dtype=out_dtype, beta0=beta0,
                          vnni=a.get("vnni", 0),
@@ -558,22 +559,78 @@ def _eval_bench(op: Operation, vals, interpret_kernels):
 
 def compile(module: Module, func_name: str = "entry",
             interpret_kernels: bool | None = None,
-            jit: bool = True) -> Callable:
+            jit: bool = True, enforce_checks: bool = True) -> Callable:
     """Build a (jitted) JAX callable for `func_name`.
 
-    check.* ops are skipped under jit (use `interpret` or `run_checks` for
-    assertion semantics); perf.* ops are skipped too — the bench harness
-    times whole compiled programs on device, matching perf.bench semantics.
+    check.* ops lower INTO the compiled program as scalar status tensors
+    (jnp.isfinite / max-abs-diff reductions) enforced on the host after each
+    call — the role of the reference's ConvertCheckToLoops
+    (lib/TPP/Conversion/ConvertCheckToLoops/ConvertCheckToLoops.cpp:1-191),
+    which compiles checks into the optimized binary so integration tests
+    assert on the real artifact. Programs without check ops pay nothing
+    (no extra outputs, no host sync). perf.* ops are skipped — the bench
+    harness times whole compiled programs on device, matching perf.bench
+    semantics.
     """
     import jax
 
     func = module[func_name]
+    check_ops = [op for op in func.ops if op.opname.startswith("check.")]
 
-    def fn(*args):
-        outs = _run_func(func, args, interpret_kernels, with_checks=False)
-        return outs[0] if len(outs) == 1 else outs
+    if not check_ops or not enforce_checks:
+        def fn(*args):
+            outs = _run_func(func, args, interpret_kernels,
+                             with_checks=False)
+            return outs[0] if len(outs) == 1 else outs
 
-    return jax.jit(fn) if jit else fn
+        return jax.jit(fn) if jit else fn
+
+    def fn_checked(*args):
+        statuses = []
+
+        def cb(op, vals):
+            statuses.append(_traced_check(op, vals))
+
+        outs = _run_func(func, args, interpret_kernels, with_checks=True,
+                         check_cb=cb)
+        res = outs[0] if len(outs) == 1 else outs
+        return res, tuple(statuses)
+
+    inner = jax.jit(fn_checked) if jit else fn_checked
+
+    def wrapper(*args):
+        res, statuses = inner(*args)
+        for op, (ok, aux) in zip(check_ops, statuses):
+            if not bool(ok):           # host read = completion barrier
+                detail = ""
+                if op.opname == "check.expect_almost_eq":
+                    thr = op.attrs.get("threshold", 1e-5)
+                    detail = f": max |diff| {float(aux)} > {thr}"
+                raise AssertionError(
+                    f"{op.opname} failed in compiled program{detail}")
+        return res
+
+    return wrapper
+
+
+def _traced_check(op: Operation, vals):
+    """Status tensor (ok: bool scalar, aux: f32 scalar) for a check op,
+    traceable under jit."""
+    import jax.numpy as jnp
+
+    if op.opname == "check.expect_sane":
+        ok = jnp.isfinite(vals[0].astype(jnp.float32)).all()
+        return ok, jnp.float32(0)
+    if op.opname == "check.expect_almost_eq":
+        thr = op.attrs.get("threshold", 1e-5)
+        diff = jnp.max(jnp.abs(vals[0].astype(jnp.float32)
+                               - vals[1].astype(jnp.float32)))
+        return diff <= thr, diff
+    if op.opname == "check.expect_true":
+        v = vals[0]
+        ok = v if getattr(v, "ndim", 0) == 0 else jnp.asarray(v).all()
+        return jnp.asarray(ok, bool), jnp.float32(0)
+    raise NotImplementedError(op.opname)
 
 
 def extract_bench_kernel(module: Module, func_name: str = "entry"):

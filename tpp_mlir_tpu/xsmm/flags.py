@@ -192,16 +192,23 @@ class ConvNhwcKey:
     #   outside the kernel, a cheap HBM-side pad); the S column shifts are
     #   DEFERRED into one final combine per program instead of per
     #   (tap, channel-block) step — S*Cb times fewer relayouts.
-    # "auto": fullrow for S>1, window for 1x1.
+    # "xla": the platform conv + fused epilogue in one jit region
+    #   (the measured-best default; handles stride>1 and fused padding).
+    # "auto": xla.
     strategy: str = "auto"
+    # zero padding fused into the conv (h_lo, h_hi, w_lo, w_hi) — saves the
+    # HBM round trip of a separate pad op
+    pad: tuple[int, int, int, int] = (0, 0, 0, 0)
 
     @property
     def P(self) -> int:
-        return (self.H - self.R) // self.stride_h + 1
+        return (self.H + self.pad[0] + self.pad[1] - self.R) \
+            // self.stride_h + 1
 
     @property
     def Q(self) -> int:
-        return (self.W - self.S) // self.stride_w + 1
+        return (self.W + self.pad[2] + self.pad[3] - self.S) \
+            // self.stride_w + 1
 
 
 @dataclass(frozen=True)

@@ -1226,6 +1226,22 @@ def _build_conv_nhwc(key, interpret: bool):
         strategy = "xla"
     if strategy == "xla":
         return _build_conv_nhwc_xla(key, interpret)
+    if any(key.pad):
+        # Pallas strategies take pre-padded inputs: pad outside the kernel
+        # (one cheap XLA op) and run the unpadded-key kernel
+        import dataclasses
+        ikey = dataclasses.replace(
+            key, pad=(0, 0, 0, 0),
+            H=key.H + key.pad[0] + key.pad[1],
+            W=key.W + key.pad[2] + key.pad[3])
+        inner = _build_conv_nhwc(ikey, interpret)
+        p = key.pad
+
+        def fn_padded(i, w, cacc=None, d=None):
+            i = jnp.pad(i, ((0, 0), (p[0], p[1]), (p[2], p[3]), (0, 0)))
+            return inner(i, w, cacc, d)
+
+        return fn_padded
     if (key.stride_h, key.stride_w) != (1, 1):
         raise NotImplementedError(
             "stride>1 conv runs via strategy='xla' (reference also "
@@ -1367,11 +1383,14 @@ def _build_conv_nhwc_xla(key, interpret: bool):
     # on the MXU; interpret (CPU tests) keeps f32 exact.
     mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
 
+    padding = (((key.pad[0], key.pad[1]), (key.pad[2], key.pad[3]))
+               if any(key.pad) else "VALID")
+
     def fn(i, w, cacc=None, d=None):
         out = jax.lax.conv_general_dilated(
             i.astype(mxu_dt), w.astype(mxu_dt),
             window_strides=(key.stride_h, key.stride_w),
-            padding="VALID",
+            padding=padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
             precision=prec)
