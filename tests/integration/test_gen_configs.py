@@ -34,3 +34,34 @@ def test_gen_config_executes_and_matches_loops(cfg):
     b = np.asarray(r2["outputs"][0], np.float32)
     tol = 0.08 if "bf16" in cfg else 1e-4
     np.testing.assert_allclose(a, b, atol=tol, rtol=tol)
+
+
+BLOCKED_CONFIGS = [
+    "--batch=64 --layers=64,64 --tiles=32,32,32 --bias --relu",
+    "--batch=64 --layers=64,64 --tiles=32,32,32 --float-type=bf16 --vnni=2",
+    "--batch=8 --layers=32,32,32 --tiles=8,32,32 --bias --relu --kernel=args",
+]
+
+
+@pytest.mark.parametrize("cfg", BLOCKED_CONFIGS)
+def test_gen_tiles_emits_preblocked_ir(cfg):
+    """--tiles emits PRE-BLOCKED IR directly (reference MLIRGen.cpp:384-417
+    emits packed/VNNI shapes from the generator): tl.blocked_matmul + packed
+    arg/const types in the text, no tl.matmul, and the text parses and
+    re-prints stably (tpp-opt round-trip)."""
+    text = generate_text(config_from_args(build_parser().parse_args(
+        cfg.split())))
+    assert "tl.blocked_matmul" in text
+    assert "tl.matmul" not in text
+    if "--vnni=2" in cfg:
+        assert "tl.vnni_pack" in text and "vnni = 2" in text
+    m = parse_module(text)
+    r1 = str(m)
+    assert r1 == str(parse_module(r1))  # print->parse->print fixpoint
+    # blocked text executes and matches reference loops semantics
+    a = np.asarray(run_module(parse_module(text), init_type="rand",
+                              seed=5)["outputs"][0], np.float32)
+    b = np.asarray(run_module(parse_module(text), init_type="rand", seed=5,
+                              linalg_to_loops=True)["outputs"][0], np.float32)
+    tol = 0.08 if "bf16" in cfg else 1e-4
+    np.testing.assert_allclose(a, b, atol=tol, rtol=tol)

@@ -132,3 +132,21 @@ def test_cli_pipe_end_to_end(tmp_path):
     assert run.returncode == 0, run.stderr[-1500:]
     floats = extract_floats(run.stdout)
     assert len(floats) == 8 * 16
+
+
+def test_print_mlir_kernel_artifact_dump(capsys):
+    """--print-mlir=kernel dumps each dispatched kernel's jaxpr + StableHLO
+    (role of reference -print-mlir=llvm, DefaultPipeline.cpp:33-36)."""
+    text = gen(["--batch=8", "--layers=32,32", "--bias", "--relu"])
+    r = run_module(parse_module(text), init_type="rand",
+                   print_mlir="kernel")
+    err = capsys.readouterr().err
+    assert "===== kernel" in err
+    assert "jaxpr" in err and "stablehlo" in err
+    arts = r["kernel_artifacts"]
+    assert arts and all("stablehlo" in a or "error" in a
+                        for a in arts.values())
+    # artifact capture must not change results
+    r2 = run_module(parse_module(text), init_type="rand")
+    np.testing.assert_allclose(np.asarray(r["outputs"][0], np.float32),
+                               np.asarray(r2["outputs"][0], np.float32))

@@ -131,3 +131,47 @@ def test_flash_blocked_causal_block_skip():
     np.testing.assert_allclose(np.asarray(kfn(q, k, v), np.float32),
                                np.asarray(rfn(q, k, v), np.float32),
                                atol=1e-5, rtol=1e-5)
+
+def test_flash_strategies_agree():
+    """grouped / qblock / blocked are selectable via FlashMhaKey.strategy
+    and all match the plain softmax reference on one input."""
+    base = dict(batch=2, seq=512, seq_kv=512, head_dim=64, scale=0.125)
+    q, k, v = rng(2, 512, 64), rng(2, 512, 64, seed=1), rng(2, 512, 64, seed=2)
+    rfn = reference_kernel(FlashMhaKey(**base))
+    want = np.asarray(rfn(q, k, v), np.float32)
+    for strat in ("grouped", "qblock", "blocked"):
+        kfn = build_kernel(FlashMhaKey(**base, strategy=strat),
+                           interpret=True)
+        np.testing.assert_allclose(np.asarray(kfn(q, k, v), np.float32),
+                                   want, atol=1e-4, rtol=1e-4,
+                                   err_msg=strat)
+
+
+def test_flash_qblock_d128():
+    """head_dim=128 fills the MXU contraction (the D=64 rows cap at ~50%);
+    the qblock variant must handle it."""
+    key = FlashMhaKey(batch=1, seq=1024, seq_kv=1024, head_dim=128,
+                      scale=0.088, strategy="qblock")
+    kfn = build_kernel(key, interpret=True)
+    rfn = reference_kernel(key)
+    q = rng(1, 1024, 128)
+    k = rng(1, 1024, 128, seed=1)
+    v = rng(1, 1024, 128, seed=2)
+    np.testing.assert_allclose(np.asarray(kfn(q, k, v), np.float32),
+                               np.asarray(rfn(q, k, v), np.float32),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_flash_causal_s1024_routes_to_chunk_skip():
+    """auto + causal + s>=512 routes to the kv-chunk-skipping qblock variant
+    (several q blocks, so above-diagonal chunks are skipped)."""
+    key = FlashMhaKey(batch=1, seq=1024, seq_kv=1024, head_dim=64,
+                      causal=True)
+    kfn = build_kernel(key, interpret=True)
+    rfn = reference_kernel(key)
+    q = rng(1, 1024, 64)
+    k = rng(1, 1024, 64, seed=1)
+    v = rng(1, 1024, 64, seed=2)
+    np.testing.assert_allclose(np.asarray(kfn(q, k, v), np.float32),
+                               np.asarray(rfn(q, k, v), np.float32),
+                               atol=1e-4, rtol=1e-4)

@@ -73,7 +73,8 @@ def build_projection(batch: int = 64, seq: int = 32, model_dim: int = 1024,
 def build_mha(batch: int = 16, heads: int = 16, seq: int = 256,
               head_dim: int = 64, dtype: str = "f32",
               causal: bool = False, scale: float | None = None,
-              fused: bool = False) -> Module:
+              fused: bool = False, strategy: str | None = None,
+              bq: int = 0, bk: int = 0) -> Module:
     """Full attention core: softmax(Q Kt * scale) V as one IR function (the
     tile-and-fuse MHA test case shape). With fused=True (or causal, which
     has no unfused IR spelling) the builder emits tl.attention directly,
@@ -91,6 +92,12 @@ def build_mha(batch: int = 16, heads: int = 16, seq: int = 256,
         attrs = {"scale": scale if scale is not None else 1.0}
         if causal:
             attrs["causal"] = True
+        if strategy:
+            attrs["strategy"] = strategy
+        if bq:
+            attrs["bq"] = bq
+        if bk:
+            attrs["bk"] = bk
         out = b.create("tl.attention", list(f.args),
                        [TensorType((B, seq, head_dim), dtype)], attrs).result
     else:
@@ -105,6 +112,12 @@ def build_mha(batch: int = 16, heads: int = 16, seq: int = 256,
         acc2 = b.constant(TensorType((B, seq, head_dim), dtype), init="zero")
         out = b.batch_matmul(p, f.args[2], acc2)
     b.ret(out)
-    m.attrs["flops"] = (2 * B * seq * seq * head_dim) * 2 + 4 * B * seq * seq
+    flops = (2 * B * seq * seq * head_dim) * 2 + 4 * B * seq * seq
+    if causal:
+        # only the lower triangle is useful work — count it honestly (the
+        # kernel skips above-diagonal kv chunks, so GFLOPS stays comparable
+        # to the non-causal rows instead of double-crediting the skip)
+        flops //= 2
+    m.attrs["flops"] = flops
     m.verify()
     return m

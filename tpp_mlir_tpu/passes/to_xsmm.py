@@ -118,6 +118,9 @@ class ConvertTlToXsmmPass(Pass):
                          "causal": bool(op.attrs.get("causal", False)),
                          "dtype": Q.type.dtype, "flags": (),
                          "precision": precision}
+                for opt in ("strategy", "bq", "bk"):
+                    if opt in op.attrs:
+                        attrs[opt] = op.attrs[opt]
 
                 def emit():
                     d = b.create("xsmm.attention_dispatch", [], [I64], attrs)

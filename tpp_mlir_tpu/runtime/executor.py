@@ -344,7 +344,9 @@ def _dispatch_key(d: Operation, invoke: Operation):
                            dtype=a["dtype"], out_dtype=out_dtype,
                            scale=float(a.get("scale", 1.0)),
                            causal=bool(a.get("causal", False)),
-                           precision=prec)
+                           precision=prec,
+                           bq=int(a.get("bq", 0)), bk=int(a.get("bk", 0)),
+                           strategy=a.get("strategy", "auto"))
     if name == "xsmm.batch_gemm_dispatch":
         from ..xsmm.flags import BatchMatmulKey
         return BatchMatmulKey(batch=a["batch"], m=a["m"], n=a["n"], k=a["k"],

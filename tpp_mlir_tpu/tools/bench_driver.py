@@ -92,6 +92,24 @@ def run_benchmark(entry, iters, verbose=False, no_baseline=False):
 
     run_pipeline(module, entry.get("pipeline", "default-tpp-passes"))
 
+    if entry.get("task_grid"):
+        # scaling rows (reference config/omp/*.json thread sweeps): shard
+        # the batch dim over a dp(xtp) device mesh — ICI collectives on real
+        # multi-chip, the virtual CPU mesh under --platform cpu --devices N
+        from tpp_mlir_tpu.parallel import data_parallel_run, make_mesh
+
+        dims = [int(x) for x in
+                str(entry["task_grid"]).replace("x", ",").split(",")]
+        shape = {"dp": dims[0]}
+        if len(dims) > 1 and dims[1] > 1:
+            shape["tp"] = dims[1]
+        mesh = make_mesh(shape)
+        inner = tpp_compile(module, jit=False)
+        fn = data_parallel_run(inner, mesh, batch_arg_indices=[0],
+                               num_args=len(args))
+        res = bench(fn, args, iters=bench_iters, flops=flops)
+        return res, base
+
     # warm mode: single chain/fc kernel programs time via the in-kernel
     # perf.bench region (weights resident in VMEM across iterations, like
     # the reference's hot libxsmm kernel — and like XLA pinning weights
@@ -141,6 +159,9 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default="",
                    help="force a JAX platform (e.g. cpu for smoke tests; "
                         "the env var alone cannot override the axon plugin)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="with --platform cpu: number of virtual host "
+                        "devices (for task-grid scaling configs)")
     p.add_argument("-v", "--verbose", action="count", default=0,
                    help="-v info, -vv debug (harness Logger levels)")
     args = p.parse_args(argv)
@@ -148,6 +169,8 @@ def main(argv=None) -> int:
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+        if args.devices:
+            jax.config.update("jax_num_cpu_devices", args.devices)
 
     from tpp_mlir_tpu.utils.logger import Logger
     from tpp_mlir_tpu.utils.target import current_target, roofline_flops

@@ -85,6 +85,13 @@ def run_module(module: Module, func_name: str = "entry", n: int = 0,
                out_stream=None) -> dict:
     out_stream = out_stream or sys.stdout
     stages = {"early": None, "late": None}
+    dump_kernels = print_mlir in ("kernel", "llvm")
+    if dump_kernels:
+        # rebuild kernels with artifact capture (cached entries were built
+        # without the capture wrapper)
+        from ..xsmm.cache import global_cache
+        global_cache().clear()
+        global_cache().capture_artifacts = True
     if print_mlir == "early":
         print(module, file=sys.stderr)
     if not linalg_to_loops:
@@ -140,6 +147,17 @@ def run_module(module: Module, func_name: str = "entry", n: int = 0,
     out = fn(*args)
     outs = out if isinstance(out, tuple) else (out,)
     result["outputs"] = outs
+    if dump_kernels:
+        from ..xsmm.cache import global_cache
+        cache = global_cache()
+        for key, art in cache.artifacts.items():
+            print(f"// ===== kernel {key!r} =====", file=sys.stderr)
+            for stage in ("jaxpr", "stablehlo", "error"):
+                if stage in art:
+                    print(f"// --- {stage} ---", file=sys.stderr)
+                    print(art[stage], file=sys.stderr)
+        cache.capture_artifacts = False
+        result["kernel_artifacts"] = dict(cache.artifacts)
     if print_result:
         for o in outs:
             print_tensor(o, file=out_stream)
@@ -158,7 +176,11 @@ def main(argv=None) -> int:
                    help="skip lowering; execute reference semantics")
     p.add_argument("--pipeline", default="default-tpp-passes")
     p.add_argument("-print-mlir", "--print-mlir",
-                   choices=["", "early", "mid", "late"], default="")
+                   choices=["", "early", "mid", "late", "kernel", "llvm"],
+                   default="",
+                   help="'kernel' (alias 'llvm', reference -print-mlir=llvm) "
+                        "dumps each dispatched kernel's jaxpr + StableHLO "
+                        "(incl. the Mosaic custom-call payload) to stderr")
     p.add_argument("-v", "--verbose", action="count", default=0,
                    help="-v prints kernel-cache stats after the run")
     p.add_argument("-splat-to-random", "--splat-to-random",

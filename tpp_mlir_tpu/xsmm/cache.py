@@ -31,6 +31,11 @@ class KernelCache:
         self._lock = threading.Lock()
         self._kernels: dict = {}
         self.stats = CacheStats()
+        # per-dispatched-kernel artifact capture (jaxpr + StableHLO incl.
+        # the Mosaic custom-call payload) — the role of the reference's
+        # -print-mlir=llvm kernel-artifact staging (DefaultPipeline.cpp:33-36)
+        self.capture_artifacts = False
+        self.artifacts: dict = {}
 
     def dispatch(self, key, interpret: bool | None = None):
         cache_key = (key, interpret)
@@ -47,13 +52,39 @@ class KernelCache:
             # reference runtime's shape-dump on dispatch failure
             # (XsmmRunnerUtils.cpp:132-137) — minus the exit(-1)
             raise type(e)(f"kernel dispatch failed for {key!r}: {e}") from e
+        if self.capture_artifacts:
+            fn = self._capturing(key, fn)
         with self._lock:
             return self._kernels.setdefault(cache_key, fn)
+
+    def _capturing(self, key, fn):
+        """Wrap a kernel so its first invocation records jaxpr + StableHLO
+        (shape-specialized exactly as dispatched; safe under an outer jit
+        trace because only avals are read)."""
+        def wrapped(*args, **kwargs):
+            if key not in self.artifacts:
+                import jax
+                try:
+                    specs = jax.tree_util.tree_map(
+                        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                        args)
+                    self.artifacts[key] = {
+                        "jaxpr": str(jax.make_jaxpr(
+                            lambda *xs: fn(*xs, **kwargs))(*specs)),
+                        "stablehlo": jax.jit(
+                            lambda *xs: fn(*xs, **kwargs)
+                        ).lower(*specs).as_text(),
+                    }
+                except Exception as e:   # never break execution for a dump
+                    self.artifacts[key] = {"error": f"{type(e).__name__}: {e}"}
+            return fn(*args, **kwargs)
+        return wrapped
 
     def clear(self):
         with self._lock:
             self._kernels.clear()
             self.stats = CacheStats()
+            self.artifacts = {}
 
     def __len__(self):
         return len(self._kernels)

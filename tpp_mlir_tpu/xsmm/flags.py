@@ -232,6 +232,9 @@ class FlashMhaKey:
     precision: str = "default"
     bq: int = 0                # query block (0 = heuristic)
     bk: int = 0                # key/value block
+    # auto: grouped (whole seq, small S) / qblock (KV resident) / blocked
+    # (online softmax) by VMEM fit; explicit values force one variant
+    strategy: str = "auto"
 
 
 @dataclass(frozen=True)

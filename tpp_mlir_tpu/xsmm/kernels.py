@@ -715,6 +715,13 @@ def _build_chain(key, interpret: bool):
     return fn
 
 
+# softmax in base-2 space: softmax(s) == 2^(s*log2e) / sum 2^(s*log2e), and
+# log2e folds into the attention scale applied to Q — one fewer VPU multiply
+# per SCORE element (S*Skv of them), paid once per Q element (S*D) instead.
+# FlashAttention-2 (PAPERS.md) uses the same rebasing on CUDA.
+_LOG2E = 1.4426950408889634
+
+
 def _build_flash_mha(key, interpret: bool):
     """Fused attention: one kernel per (batch, q-block) computing
     softmax(Q Kt * scale) V with the online-softmax recurrence; KV blocks are
@@ -735,18 +742,33 @@ def _build_flash_mha(key, interpret: bool):
         bk //= 2
     nq = pl.cdiv(S, bq)
     nk = pl.cdiv(Skv, bk)
-    if nq == 1 and nk == 1 and not key.bq and not key.bk:
-        # whole sequence per head: group heads per program so per-program
-        # overhead amortizes (the seq<=512 MHA benchmark regime)
+    if key.strategy == "grouped":
         return _build_flash_mha_grouped(key, interpret)
-    if nk > 1 and not key.bq and not key.bk:
-        # long-seq regime: prefer whole-KV-resident q-blocking when K+V for
-        # one head fit in VMEM (at D=64, 2*Skv*D*2B = 0.5 MB at s=2048) —
-        # kills the online-softmax rescale chain entirely and fetches K/V
-        # once per head instead of once per q-block
+    if key.strategy == "qblock":
         fn = _build_flash_mha_qblock(key, interpret)
-        if fn is not None:
-            return fn
+        if fn is None:
+            raise ValueError(
+                f"qblock attention does not fit VMEM for {key}")
+        return fn
+    if key.strategy == "auto":
+        if key.causal and S == Skv and S >= 512:
+            # causal: the qblock variant chunk-skips above-diagonal work
+            # (~2x); grouped/blocked only mask or skip at coarse grain
+            fn = _build_flash_mha_qblock(key, interpret)
+            if fn is not None:
+                return fn
+        if nq == 1 and nk == 1 and not key.bq and not key.bk:
+            # whole sequence per head: group heads per program so
+            # per-program overhead amortizes (the seq<=512 regime)
+            return _build_flash_mha_grouped(key, interpret)
+        if nk > 1 and not key.bq and not key.bk:
+            # long-seq regime: prefer whole-KV-resident q-blocking when K+V
+            # for one head fit in VMEM (at D=64, 2*Skv*D*2B = 0.5 MB at
+            # s=2048) — kills the online-softmax rescale chain entirely and
+            # fetches K/V once per head instead of once per q-block
+            fn = _build_flash_mha_qblock(key, interpret)
+            if fn is not None:
+                return fn
     grid = (B, nq, nk)
 
     in_specs = [
@@ -771,7 +793,7 @@ def _build_flash_mha(key, interpret: bool):
             l_ref[:] = jnp.zeros_like(l_ref)
 
         def _step():
-            q = q_ref[0].astype(jnp.float32) * key.scale
+            q = q_ref[0].astype(jnp.float32) * (key.scale * _LOG2E)
             k = k_ref[0]
             s_blk = jax.lax.dot_general(
                 q.astype(dtype), k,
@@ -788,8 +810,8 @@ def _build_flash_mha(key, interpret: bool):
             l_prev = l_ref[:]
             m_new = jnp.maximum(m_prev,
                                 jnp.max(s_blk, axis=1, keepdims=True))
-            p = jnp.exp(s_blk - m_new)
-            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp2(s_blk - m_new)
+            alpha = jnp.exp2(m_prev - m_new)
             l_ref[:] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
             m_ref[:] = m_new
             acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
@@ -953,12 +975,21 @@ def _build_flash_mha_qblock(key, interpret: bool):
                 + 8 * bq_ * Skv)
 
     bq = 0
-    cand = S
+    cap = S
+    if key.causal and S == Skv and S >= 512:
+        # causal wants several q blocks so above-diagonal kv chunks can be
+        # skipped: the computed fraction is (nq+1)/2nq, so nq=4 already
+        # drops 37.5% of the work; K/V block indices don't change across
+        # consecutive q steps, so Mosaic elides the re-copy (no refetch tax)
+        cap = max(S // 4, 256)
+    cand = min(S, cap)
     while cand >= sub:
         if S % cand == 0 and cand % sub == 0 and need(cand) <= budget:
             bq = cand
             break
         cand //= 2
+    if key.bq and S % key.bq == 0 and need(key.bq) <= budget:
+        bq = key.bq                      # explicit override for experiments
     if bq < 128:   # too small to amortize the grid step — not worth it
         return None
     nq = S // bq
@@ -975,9 +1006,14 @@ def _build_flash_mha_qblock(key, interpret: bool):
     out_spec = pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
                             memory_space=pltpu.VMEM)
 
+    if key.causal and nq > 1:
+        return _flash_mha_qblock_causal(key, bq, grid, in_specs, out_spec,
+                                        dtype, out_dtype, mxu_dt, dsz,
+                                        interpret)
+
     def kernel(q_ref, k_ref, v_ref, o_ref):
         i = pl.program_id(1)
-        q = q_ref[0].astype(jnp.float32) * key.scale
+        q = q_ref[0].astype(jnp.float32) * (key.scale * _LOG2E)
         s = jax.lax.dot_general(
             q.astype(dtype), k_ref[0],
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -987,7 +1023,7 @@ def _build_flash_mha_qblock(key, interpret: bool):
             cols = jax.lax.broadcasted_iota(jnp.int32, (bq, Skv), 1)
             s = jnp.where(rows >= cols, s, -1e30)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jnp.dot(p.astype(dtype), v_ref[0],
                     preferred_element_type=jnp.float32)
@@ -1005,6 +1041,80 @@ def _build_flash_mha_qblock(key, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((B, S, D), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+    return lambda q, k, v: call(q.astype(mxu_dt), k.astype(mxu_dt),
+                                v.astype(mxu_dt))
+
+
+def _flash_mha_qblock_causal(key, bq, grid, in_specs, out_spec, dtype,
+                             out_dtype, mxu_dt, dsz, interpret: bool):
+    """Causal variant of the KV-resident q-blocked kernel: the kv axis is
+    processed in static chunks and chunks entirely above the diagonal are
+    skipped with `pl.when` — QK dot, softmax VPU work and PV dot all drop to
+    the computed fraction (nq+1)/2nq of the square. Two passes over the
+    resident chunk scores (max, then exp2+accumulate) replace online
+    softmax, so no rescale chain exists to pay per chunk."""
+    B, S, Skv, D = key.batch, key.seq, key.seq_kv, key.head_dim
+    nq = grid[1]
+    lane = 128
+    ck = bq if bq % lane == 0 and Skv % bq == 0 else 0
+    if not ck:
+        ck = _divisor_block(Skv, max(256, Skv // 8), lane)
+    if Skv % ck:
+        ck = Skv                                     # degenerate: one chunk
+    nck = Skv // ck
+
+    def kernel(q_ref, k_ref, v_ref, o_ref, s_ref, m_ref, l_ref, acc_ref):
+        i = pl.program_id(1)
+        qrow_end = (i + 1) * bq        # kv columns >= this are all masked
+        q = (q_ref[0].astype(jnp.float32) * (key.scale * _LOG2E)
+             ).astype(dtype)
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        for j in range(nck):
+            @pl.when(j * ck < qrow_end)
+            def _qk(j=j):
+                s = jax.lax.dot_general(
+                    q, k_ref[0, j * ck:(j + 1) * ck, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (bq, ck)
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, ck), 0) + i * bq
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, ck), 1) + j * ck
+                s = jnp.where(rows >= cols, s, -1e30)
+                s_ref[:, j * ck:(j + 1) * ck] = s
+                m_ref[:] = jnp.maximum(
+                    m_ref[:], jnp.max(s, axis=1, keepdims=True))
+        for j in range(nck):
+            @pl.when(j * ck < qrow_end)
+            def _pv(j=j):
+                p = jnp.exp2(s_ref[:, j * ck:(j + 1) * ck] - m_ref[:])
+                l_ref[:] = l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
+                acc_ref[:] = acc_ref[:] + jnp.dot(
+                    p.astype(dtype), v_ref[0, j * ck:(j + 1) * ck, :],
+                    preferred_element_type=jnp.float32)
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(out_dtype)
+
+    cost = pl.CostEstimate(
+        flops=2 * B * S * Skv * D,     # causal: ~half the square computed
+        bytes_accessed=B * (S * D * 2 + 2 * Skv * D) * dsz,
+        transcendentals=B * S * Skv // 2)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, S, D), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bq, Skv), jnp.float32),
+                        pltpu.VMEM((bq, 1), jnp.float32),
+                        pltpu.VMEM((bq, 1), jnp.float32),
+                        pltpu.VMEM((bq, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=cost,
         interpret=interpret,
     )
@@ -1033,7 +1143,7 @@ def _build_flash_mha_grouped(key, interpret: bool):
 
     def kernel(q_ref, k_ref, v_ref, o_ref):
         for g in range(G):
-            q = q_ref[g].astype(jnp.float32) * key.scale
+            q = q_ref[g].astype(jnp.float32) * (key.scale * _LOG2E)
             sc = jax.lax.dot_general(
                 q.astype(q_ref.dtype), k_ref[g],
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -1042,10 +1152,12 @@ def _build_flash_mha_grouped(key, interpret: bool):
                 rows = jax.lax.broadcasted_iota(jnp.int32, (S, Skv), 0)
                 cols = jax.lax.broadcasted_iota(jnp.int32, (S, Skv), 1)
                 sc = jnp.where(rows >= cols, sc, -1e30)
-            p = jax.nn.softmax(sc, axis=-1)
-            o_ref[g] = jnp.dot(p.astype(v_ref.dtype), v_ref[g],
-                               preferred_element_type=jnp.float32
-                               ).astype(out_dtype)
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            p = jnp.exp2(sc - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o_ref[g] = (jnp.dot(p.astype(v_ref.dtype), v_ref[g],
+                                preferred_element_type=jnp.float32)
+                        / l).astype(out_dtype)
 
     cost = pl.CostEstimate(
         flops=4 * B * S * Skv * D,
