@@ -274,3 +274,71 @@ def test_pad_commutes_with_transpose():
     # pad moved above the transpose (NCHW padding on dims 2,3)
     assert s.index("tl.pad") < s.index("tl.transpose")
     assert "lo = [0, 0, 1, 1]" in s
+
+
+def test_tile_and_fuse_diamond_multi_consumer():
+    """add(relu(y), y) with y used twice: the all-users-in-worklist rule
+    (reference hasAllUsersInWorklist, TileConsumerAndFuseProducers.cpp:
+    332-457) admits the diamond into ONE fusion group."""
+    text = """func @f(%a: tensor<64x64xf32>, %b: tensor<64x64xf32>) {
+  %c = tl.constant {init = "zero"} : tensor<64x64xf32>
+  %y = tl.matmul %a, %b, %c : tensor<64x64xf32>
+  %r = tl.relu %y : tensor<64x64xf32>
+  %z = tl.add %r, %y : tensor<64x64xf32>
+  return %z : tensor<64x64xf32>
+}
+"""
+    m = parse_module(text)
+    run_pipeline(m, "tile-and-fuse")
+    ops = {}
+    for op in m["f"].ops:
+        ops.setdefault(op.opname, op)
+    g = ops["tl.matmul"].attrs.get("fusion_group")
+    assert g is not None
+    assert ops["tl.relu"].attrs.get("fusion_group") == g
+    assert ops["tl.add"].attrs.get("fusion_group") == g
+    assert ops["tl.constant"].attrs.get("fusion_group") == g
+
+
+def test_tile_and_fuse_eltwise_producer():
+    """An eltwise producer feeding the contraction (relu(x) @ w) joins the
+    group when the contraction is its only user (reference fuses producers,
+    not just consumer chains)."""
+    text = """func @f(%x: tensor<64x64xf32>, %w: tensor<64x64xf32>) {
+  %c = tl.constant {init = "zero"} : tensor<64x64xf32>
+  %p = tl.relu %x : tensor<64x64xf32>
+  %y = tl.matmul %p, %w, %c : tensor<64x64xf32>
+  %z = tl.relu %y : tensor<64x64xf32>
+  return %z : tensor<64x64xf32>
+}
+"""
+    m = parse_module(text)
+    run_pipeline(m, "tile-and-fuse")
+    ops = list(m["f"].ops)
+    mm = next(o for o in ops if o.opname == "tl.matmul")
+    g = mm.attrs.get("fusion_group")
+    assert g is not None
+    relus = [o for o in ops if o.opname == "tl.relu"]
+    assert all(o.attrs.get("fusion_group") == g for o in relus)
+
+
+def test_tile_and_fuse_no_recompute_guard():
+    """A producer with a user OUTSIDE the group must NOT be fused (fusing it
+    would recompute the value in the tile loop)."""
+    text = """func @f(%a: tensor<64x64xf32>, %b: tensor<64x64xf32>) {
+  %c = tl.constant {init = "zero"} : tensor<64x64xf32>
+  %p = tl.relu %a : tensor<64x64xf32>
+  %y = tl.matmul %p, %b, %c : tensor<64x64xf32>
+  %z = tl.relu %y : tensor<64x64xf32>
+  return %z, %p : tensor<64x64xf32>, tensor<64x64xf32>
+}
+"""
+    m = parse_module(text)
+    run_pipeline(m, "tile-and-fuse")
+    ops = list(m["f"].ops)
+    mm = next(o for o in ops if o.opname == "tl.matmul")
+    g = mm.attrs.get("fusion_group")
+    assert g is not None
+    pre = next(o for o in ops if o.opname == "tl.relu"
+               and o.operands[0].owner is None)
+    assert pre.attrs.get("fusion_group") != g

@@ -150,3 +150,40 @@ def test_print_mlir_kernel_artifact_dump(capsys):
     r2 = run_module(parse_module(text), init_type="rand")
     np.testing.assert_allclose(np.asarray(r["outputs"][0], np.float32),
                                np.asarray(r2["outputs"][0], np.float32))
+
+
+def test_splat_to_random_cli(tmp_path, capsys):
+    """-splat-to-random turns 'const'-init weight splats into random init
+    (reference MLIRBench.cpp:111-164) — results change, accumulators keep
+    semantics."""
+    from tpp_mlir_tpu.tools.tpp_run import main
+    f = tmp_path / "m.mlir"
+    f.write_text("""func @entry(%x: tensor<8x16xf32>) {
+  %w = tl.constant {init = "const", value = 0.5} : tensor<16x16xf32>
+  %a = tl.constant {init = "zero"} : tensor<8x16xf32>
+  %0 = tl.matmul %x, %w, %a : tensor<8x16xf32>
+  return %0 : tensor<8x16xf32>
+}
+""")
+    assert main([str(f), "--print", "-seed", "7",
+                 "-init-type", "rand"]) == 0
+    splat_out = capsys.readouterr().out
+    assert main([str(f), "--print", "-seed", "7", "-init-type", "rand",
+                 "-splat-to-random"]) == 0
+    rand_out = capsys.readouterr().out
+    assert splat_out and rand_out and splat_out != rand_out
+
+
+def test_profile_cli(tmp_path):
+    """--profile writes a jax trace directory (SURVEY.md section 5
+    tracing/profiling)."""
+    from tpp_mlir_tpu.tools.tpp_run import main
+    f = tmp_path / "m.mlir"
+    f.write_text("""func @entry(%x: tensor<8x8xf32>) {
+  %0 = tl.relu %x : tensor<8x8xf32>
+  return %0 : tensor<8x8xf32>
+}
+""")
+    prof = tmp_path / "trace"
+    assert main([str(f), "--profile", str(prof)]) == 0
+    assert prof.exists() and any(prof.rglob("*"))

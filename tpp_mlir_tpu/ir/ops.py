@@ -704,6 +704,11 @@ def _v_xsmm_attention(op):
     B, S, D = d.attrs["batch"], d.attrs["seq"], d.attrs["head_dim"]
     if q.shape != (B, S, D):
         _fail(op, f"dispatch inconsistent with Q {q.shape}")
+    k, v = op.operands[2].type, op.operands[3].type
+    Skv = d.attrs["seq_kv"]
+    if k.shape != (B, Skv, D) or v.shape != (B, Skv, D):
+        _fail(op, f"dispatch seq_kv={Skv} inconsistent with K {k.shape} / "
+                  f"V {v.shape}")
 
 
 @_op("xsmm.fused_chain_dispatch")

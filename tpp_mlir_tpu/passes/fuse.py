@@ -66,34 +66,61 @@ class TileAndFusePass(Pass):
             max((op.attrs.get("fusion_group", -1) for op in func.ops),
                 default=-1) + 1)
         changed = False
-        # start-from-last-consumer, like the reference (doFusion:645)
+        # consumer-rooted producer-BFS worklist, the reference's
+        # collectFusableProducers shape (TileConsumerAndFuseProducers.cpp:
+        # 332-457): start from the LAST op of an eltwise chain and walk
+        # operands upward; a producer joins only if ALL its users are
+        # already in the worklist (hasAllUsersInWorklist — no recomputation),
+        # which is exactly what admits diamonds like add(relu(y), y) and
+        # residual adds whose both legs hang off the same contraction.
         for op in reversed(list(func.ops)):
-            if not is_contraction(op) or "fusion_group" in op.attrs:
+            if op.parent is None or "fusion_group" in op.attrs:
                 continue
-            group = [op]
-            # fuse producers: zero-fill of the accumulator
-            dest = op.operands[-1]
-            if dest.owner is not None and is_zero_op(dest.owner) \
-                    and len(dest.uses) == 1:
-                group.append(dest.owner)
-            # fuse consumer chain
-            cur = op
-            for _ in range(max_depth):
-                if len(cur.results) != 1 or len(cur.result.uses) != 1:
-                    break
-                user, _ = cur.result.uses[0]
-                if user.opname not in FUSABLE_CONSUMERS:
-                    break
-                if "fusion_group" in user.attrs:
-                    break
-                group.append(user)
-                cur = user
-            if len(group) == 1:
+            if op.opname not in FUSABLE_CONSUMERS and not is_contraction(op):
+                continue
+            # roots only: skip ops whose single use is an ungrouped fusable
+            # eltwise (the walk will reach them from that consumer)
+            if len(op.results) == 1 and len(op.result.uses) == 1:
+                user, _ = op.result.uses[0]
+                if user.opname in FUSABLE_CONSUMERS \
+                        and "fusion_group" not in user.attrs:
+                    continue
+            worklist = {op}
+            frontier = [op]
+            anchor = op if is_contraction(op) else None
+            depth = 0
+            escaped = {id(v) for v in func.returns}
+            while frontier and depth < max_depth:
+                nxt = []
+                for cur in frontier:
+                    for v in cur.operands:
+                        p = v.owner
+                        if p is None or p in worklist \
+                                or "fusion_group" in p.attrs:
+                            continue
+                        if len(p.results) != 1:
+                            continue
+                        if id(p.result) in escaped:
+                            continue   # value escapes via return: external user
+                        if not (p.opname in FUSABLE_CONSUMERS
+                                or is_zero_op(p)
+                                or (is_contraction(p) and anchor is None)):
+                            continue
+                        if not all(u in worklist
+                                   for u, _ in p.result.uses):
+                            continue   # fusing would recompute p elsewhere
+                        worklist.add(p)
+                        nxt.append(p)
+                        if is_contraction(p):
+                            anchor = p
+                frontier = nxt
+                depth += 1
+            if anchor is None or len(worklist) < 2:
                 continue
             gid = next(gid_counter)
-            for g in group:
+            for g in worklist:
                 g.attrs["fusion_group"] = gid
-            self._assign_tiles(op)
+            self._assign_tiles(anchor)
             changed = True
         return changed
 

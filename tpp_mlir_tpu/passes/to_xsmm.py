@@ -34,7 +34,14 @@ _BINARY_MAP = {"tl.add": "add", "tl.sub": "sub", "tl.mul": "mul",
 
 def infer_bcast(out_shape, operand_shape) -> str:
     """NumPy-broadcast shape -> xsmm broadcast flag
-    (role of reference getBinaryFlags, XsmmUtils.h:33-127)."""
+    (role of reference getBinaryFlags, XsmmUtils.h:33-127).
+
+    Unambiguous BY CONSTRUCTION: tl eltwise ops verify strict NumPy
+    broadcasting (ir/ops.py broadcast_shapes), under which a rank-1 (N,)
+    operand always aligns with the LAST output dim — bcast_col — even when
+    the output is square. A row broadcast must be spelled (M, 1). (The
+    reference's map-based inference, mirrored for tl.generic in
+    ir/affine.py infer_bcast_from_map, agrees on verified programs.)"""
     if tuple(operand_shape) == tuple(out_shape):
         return "none"
     n = 1
@@ -46,8 +53,6 @@ def infer_bcast(out_shape, operand_shape) -> str:
         return "bcast_col"
     if len(operand_shape) >= 2 and operand_shape[-2] == out_shape[-2] \
             and operand_shape[-1] == 1:
-        return "bcast_row"
-    if len(operand_shape) == 1 and operand_shape[0] == out_shape[-2]:
         return "bcast_row"
     return "none"
 

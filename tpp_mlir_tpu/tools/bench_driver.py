@@ -108,7 +108,7 @@ def run_benchmark(entry, iters, verbose=False, no_baseline=False):
         fn = data_parallel_run(inner, mesh, batch_arg_indices=[0],
                                num_args=len(args))
         res = bench(fn, args, iters=bench_iters, flops=flops)
-        return res, base
+        return res, base, "scan" 
 
     # warm mode: single chain/fc kernel programs time via the in-kernel
     # perf.bench region (weights resident in VMEM across iterations, like
@@ -126,13 +126,13 @@ def run_benchmark(entry, iters, verbose=False, no_baseline=False):
                 res = BenchResult(mean_seconds=per_iter,
                                   total_seconds=per_iter,
                                   iters=2000, flops=flops)
-                return res, base
+                return res, base, "warm"
             except Exception:
                 pass  # e.g. VMEM overflow on this target: scan fallback
 
     fn = tpp_compile(module, jit=True)
     res = bench(fn, args, iters=bench_iters, flops=flops)
-    return res, base
+    return res, base, "scan" 
 
 
 def target_matches(entry) -> bool:
@@ -191,8 +191,8 @@ def main(argv=None) -> int:
             log.debug(f"running {name} (iters={iters})")
             t0 = time.time()
             try:
-                res, base = run_benchmark(entry, iters, args.verbose,
-                                           no_baseline=args.no_baseline)
+                res, base, mode = run_benchmark(entry, iters, args.verbose,
+                                                no_baseline=args.no_baseline)
             except Exception as e:
                 print(f"{name}: FAIL ({type(e).__name__}: {e})")
                 results.append({"name": name, "error": str(e)})
@@ -201,14 +201,14 @@ def main(argv=None) -> int:
             roof = roofline_flops(dtype)
             gflops = res.gflops
             row = {"name": name, "mean_seconds": res.mean_seconds,
-                   "iters": iters,
+                   "iters": iters, "mode": mode,
                    "baseline_mean_seconds": base.mean_seconds}
             if gflops is not None:
                 pct = gflops * 1e9 / roof * 100
                 speedup = base.mean_seconds / res.mean_seconds
                 vs = "" if speedup != speedup else f", {speedup:4.2f}x vs XLA"
                 print(f"{name}: {gflops:10.3f} gflops "
-                      f"({pct:5.1f}% roofline{vs}) "
+                      f"({pct:5.1f}% roofline{vs}, {mode}) "
                       f"[{time.time()-t0:.0f}s]")
                 row.update(gflops=gflops, roofline_pct=pct)
                 if speedup == speedup:

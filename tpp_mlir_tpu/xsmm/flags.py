@@ -235,6 +235,10 @@ class FlashMhaKey:
     # auto: grouped (whole seq, small S) / qblock (KV resident) / blocked
     # (online softmax) by VMEM fit; explicit values force one variant
     strategy: str = "auto"
+    # >0: perf.bench in-kernel timed region — `repeats` sequential
+    # applications with K/V resident in VMEM and the output fed back as the
+    # next query (the warm-KV analogue of ChainKey.repeats)
+    repeats: int = 0
 
 
 @dataclass(frozen=True)

@@ -729,6 +729,12 @@ def _build_flash_mha(key, interpret: bool):
     against the two MXU contractions per step."""
     from .flags import FlashMhaKey
     assert isinstance(key, FlashMhaKey)
+    if key.repeats:
+        fn = _build_flash_bench(key, interpret)
+        if fn is None:
+            raise ValueError(
+                f"warm attention bench does not fit VMEM for {key}")
+        return fn
     B, S, Skv, D = key.batch, key.seq, key.seq_kv, key.head_dim
     dtype = _jdt(key.dtype)
     out_dtype = _jdt(key.out_dtype or key.dtype)
@@ -751,12 +757,6 @@ def _build_flash_mha(key, interpret: bool):
                 f"qblock attention does not fit VMEM for {key}")
         return fn
     if key.strategy == "auto":
-        if key.causal and S == Skv and S >= 512:
-            # causal: the qblock variant chunk-skips above-diagonal work
-            # (~2x); grouped/blocked only mask or skip at coarse grain
-            fn = _build_flash_mha_qblock(key, interpret)
-            if fn is not None:
-                return fn
         if nq == 1 and nk == 1 and not key.bq and not key.bk:
             # whole sequence per head: group heads per program so
             # per-program overhead amortizes (the seq<=512 regime)
@@ -946,6 +946,111 @@ def _build_chain_bench(key, interpret: bool):
     return fn
 
 
+def _build_flash_bench(key, interpret: bool):
+    """perf.bench in-kernel timed region for attention: grid
+    (B, nq, repeats) with K/V on constant-index BlockSpecs (fetched once per
+    batch-head, resident across all repeats) and the output fed back as the
+    next query through a (bq, D) VMEM scratch — the warm-KV analogue of the
+    chain bench (`_build_chain_bench`). Softmax keeps the feedback bounded,
+    so arbitrarily long repeat chains stay finite. Returns None when
+    K/V + the score block don't fit VMEM."""
+    B, S, Skv, D = key.batch, key.seq, key.seq_kv, key.head_dim
+    dtype = _jdt(key.dtype)
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
+    dsz = jnp.dtype(mxu_dt).itemsize
+    sub = 16 if dsz == 2 else 8
+    budget = int(current_target().vmem_bytes * 0.85)
+    fixed = 2 * Skv * D * dsz
+
+    def need(bq_):
+        return (fixed + bq_ * D * (2 * dsz + 4) + 8 * bq_ * Skv)
+
+    bq = 0
+    cand = S
+    while cand >= sub:
+        if S % cand == 0 and cand % sub == 0 and need(cand) <= budget:
+            bq = cand
+            break
+        cand //= 2
+    if bq < 128:
+        return None
+    nq = S // bq
+    # group heads per program when the whole sequence fits, exactly like the
+    # grouped forward kernel — without it the warm bench under-reports small
+    # -S shapes (measured: 1-head programs at S=256 ran 17.8% vs the
+    # head-grouped scan's 32%)
+    G = 1
+    if nq == 1:
+        for g in (8, 4, 2):
+            if B % g == 0 and g * need(bq) <= budget:
+                G = g
+                break
+    R = key.repeats
+    grid = (B // G, nq, R)
+
+    in_specs = [
+        pl.BlockSpec((G, bq, D), lambda b, i, r: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, Skv, D), lambda b, i, r: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, Skv, D), lambda b, i, r: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((G, bq, D), lambda b, i, r: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref, hbuf):
+        i = pl.program_id(1)
+        r = pl.program_id(2)
+
+        @pl.when(r == 0)
+        def _seed():
+            hbuf[:] = q_ref[:].reshape(G * bq, D).astype(mxu_dt)
+
+        for g in range(G):
+            q = hbuf[g * bq:(g + 1) * bq, :].astype(jnp.float32) \
+                * (key.scale * _LOG2E)
+            s = jax.lax.dot_general(
+                q.astype(dtype), k_ref[g],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if key.causal:
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, Skv), 0) + i * bq
+                cols = jax.lax.broadcasted_iota(jnp.int32, (bq, Skv), 1)
+                s = jnp.where(rows >= cols, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(dtype), v_ref[g],
+                        preferred_element_type=jnp.float32) / l
+            hbuf[g * bq:(g + 1) * bq, :] = o.astype(mxu_dt)
+
+        @pl.when(r == R - 1)
+        def _finish():
+            o_ref[:] = hbuf[:].reshape(G, bq, D).astype(out_dtype)
+
+    cost = pl.CostEstimate(
+        flops=R * 4 * B * S * Skv * D,
+        bytes_accessed=B * (S * D * 2 + 2 * Skv * D) * dsz,
+        transcendentals=R * B * S * Skv)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, S, D), out_dtype),
+        scratch_shapes=[pltpu.VMEM((G * bq, D), mxu_dt)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+    return lambda q, k, v: call(q.astype(mxu_dt), k.astype(mxu_dt),
+                                v.astype(mxu_dt))
+
+
 def _build_flash_mha_qblock(key, interpret: bool):
     """Long-sequence attention with the WHOLE K/V resident per head and the
     query dimension blocked: grid (B, nq). No online softmax — the full
@@ -955,6 +1060,15 @@ def _build_flash_mha_qblock(key, interpret: bool):
     attention dots can at most half-fill the MXU (64-wide contraction /
     output vs 128 lanes), which makes the VPU softmax work the co-bottleneck
     — this variant spends the VMEM budget on removing exactly that.
+
+    Causal runs the SAME kernel with a triangular mask — full-square wall
+    time. Two work-skipping designs measured WORSE on v5e r3 and were
+    removed: an in-kernel kv-chunk loop (pl.when-guarded chunk dots ran 2-4x
+    slower than one full-row dot, whether scores round-tripped through VMEM
+    scratch or ran online), and per-q-block specialized calls (refetch K/V
+    nq times — fatal at D=64 f32 near the bandwidth bound). Mosaic's cost
+    model wants one large dot per program; the diagonal skip does not pay
+    at these sequence lengths.
 
     Returns None when K+V+scores don't fit in VMEM (fall back to the
     blocked online-softmax path)."""
@@ -975,14 +1089,7 @@ def _build_flash_mha_qblock(key, interpret: bool):
                 + 8 * bq_ * Skv)
 
     bq = 0
-    cap = S
-    if key.causal and S == Skv and S >= 512:
-        # causal wants several q blocks so above-diagonal kv chunks can be
-        # skipped: the computed fraction is (nq+1)/2nq, so nq=4 already
-        # drops 37.5% of the work; K/V block indices don't change across
-        # consecutive q steps, so Mosaic elides the re-copy (no refetch tax)
-        cap = max(S // 4, 256)
-    cand = min(S, cap)
+    cand = S
     while cand >= sub:
         if S % cand == 0 and cand % sub == 0 and need(cand) <= budget:
             bq = cand
@@ -1005,11 +1112,6 @@ def _build_flash_mha_qblock(key, interpret: bool):
     ]
     out_spec = pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
                             memory_space=pltpu.VMEM)
-
-    if key.causal and nq > 1:
-        return _flash_mha_qblock_causal(key, bq, grid, in_specs, out_spec,
-                                        dtype, out_dtype, mxu_dt, dsz,
-                                        interpret)
 
     def kernel(q_ref, k_ref, v_ref, o_ref):
         i = pl.program_id(1)
@@ -1041,80 +1143,6 @@ def _build_flash_mha_qblock(key, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((B, S, D), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
-        cost_estimate=cost,
-        interpret=interpret,
-    )
-    return lambda q, k, v: call(q.astype(mxu_dt), k.astype(mxu_dt),
-                                v.astype(mxu_dt))
-
-
-def _flash_mha_qblock_causal(key, bq, grid, in_specs, out_spec, dtype,
-                             out_dtype, mxu_dt, dsz, interpret: bool):
-    """Causal variant of the KV-resident q-blocked kernel: the kv axis is
-    processed in static chunks and chunks entirely above the diagonal are
-    skipped with `pl.when` — QK dot, softmax VPU work and PV dot all drop to
-    the computed fraction (nq+1)/2nq of the square. Two passes over the
-    resident chunk scores (max, then exp2+accumulate) replace online
-    softmax, so no rescale chain exists to pay per chunk."""
-    B, S, Skv, D = key.batch, key.seq, key.seq_kv, key.head_dim
-    nq = grid[1]
-    lane = 128
-    ck = bq if bq % lane == 0 and Skv % bq == 0 else 0
-    if not ck:
-        ck = _divisor_block(Skv, max(256, Skv // 8), lane)
-    if Skv % ck:
-        ck = Skv                                     # degenerate: one chunk
-    nck = Skv // ck
-
-    def kernel(q_ref, k_ref, v_ref, o_ref, s_ref, m_ref, l_ref, acc_ref):
-        i = pl.program_id(1)
-        qrow_end = (i + 1) * bq        # kv columns >= this are all masked
-        q = (q_ref[0].astype(jnp.float32) * (key.scale * _LOG2E)
-             ).astype(dtype)
-        m_ref[:] = jnp.full_like(m_ref, -1e30)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        for j in range(nck):
-            @pl.when(j * ck < qrow_end)
-            def _qk(j=j):
-                s = jax.lax.dot_general(
-                    q, k_ref[0, j * ck:(j + 1) * ck, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)      # (bq, ck)
-                rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (bq, ck), 0) + i * bq
-                cols = jax.lax.broadcasted_iota(
-                    jnp.int32, (bq, ck), 1) + j * ck
-                s = jnp.where(rows >= cols, s, -1e30)
-                s_ref[:, j * ck:(j + 1) * ck] = s
-                m_ref[:] = jnp.maximum(
-                    m_ref[:], jnp.max(s, axis=1, keepdims=True))
-        for j in range(nck):
-            @pl.when(j * ck < qrow_end)
-            def _pv(j=j):
-                p = jnp.exp2(s_ref[:, j * ck:(j + 1) * ck] - m_ref[:])
-                l_ref[:] = l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
-                acc_ref[:] = acc_ref[:] + jnp.dot(
-                    p.astype(dtype), v_ref[0, j * ck:(j + 1) * ck, :],
-                    preferred_element_type=jnp.float32)
-        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(out_dtype)
-
-    cost = pl.CostEstimate(
-        flops=2 * B * S * Skv * D,     # causal: ~half the square computed
-        bytes_accessed=B * (S * D * 2 + 2 * Skv * D) * dsz,
-        transcendentals=B * S * Skv // 2)
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, S, D), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bq, Skv), jnp.float32),
-                        pltpu.VMEM((bq, 1), jnp.float32),
-                        pltpu.VMEM((bq, 1), jnp.float32),
-                        pltpu.VMEM((bq, D), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=cost,
         interpret=interpret,
     )
