@@ -102,3 +102,29 @@ def test_extract_bench_kernel_paths():
     assert out.shape == (16, 64)
 
     assert extract_bench_kernel(lower("--batch=16 --layers=64,32")) is None
+
+
+def test_driver_file_entry(tmp_path):
+    """Raw .mlir benchmark kernels via the `file` entry (reference
+    benchmarks/mlir/*.mlir pack/unpack micro-kernels)."""
+    (tmp_path / "k.mlir").write_text("""// BENCH_TOTAL_FLOPS: 8192
+func @entry(%x: tensor<32x64xf32>) {
+  %0 = tl.pack %x {inner_dims = [0, 1], inner_tiles = [16, 16]} : tensor<2x4x16x16xf32>
+  return %0 : tensor<2x4x16x16xf32>
+}
+""")
+    cfg = {"benchmarks": [
+        {"name": "micro_pack", "iters": 3, "dtype": "f32",
+         "file": "k.mlir"}]}
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    out_path = tmp_path / "res.json"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "driver.py"),
+         "-c", str(cfg_path), "--json", str(out_path), "--platform", "cpu",
+         "--no-baseline"],
+        capture_output=True, text=True, timeout=300, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.load(open(out_path))
+    row = res["results"][0]
+    assert row["name"] == "micro_pack" and row.get("gflops")

@@ -261,3 +261,19 @@ def test_extract_bench_kernel_attention():
     args = tuple(rng(4, 128, 32, seed=i) for i in range(3))
     ops = get_operands(args)
     assert len(ops) == 3 and all(o.shape == (4, 128, 32) for o in ops)
+
+
+def test_mha_block_full_graph_lowers_and_matches():
+    """The FULL MHA block (projections + head split + fused core + output
+    projection — reference fp32-mha-tensorflow-seq-len-32.mlir role) lowers
+    to gemm+attention invokes and matches reference semantics."""
+    m = mha.build_mha_block(batch=2, heads=4, seq=16, head_dim=32)
+    x = rng(32, 128, seed=3)
+    want = np.asarray(tpp_compile(m, jit=False)(x)[0], np.float32)
+    m2 = mha.build_mha_block(batch=2, heads=4, seq=16, head_dim=32)
+    run_pipeline(m2, "default-tpp-passes")
+    s = str(m2)
+    assert "xsmm.attention" in s and "tl.softmax" not in s
+    assert "xsmm.gemm" in s
+    got = np.asarray(tpp_compile(m2, jit=False)(x)[0], np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

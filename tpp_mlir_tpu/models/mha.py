@@ -70,6 +70,51 @@ def build_projection(batch: int = 64, seq: int = 32, model_dim: int = 1024,
     return m
 
 
+def build_mha_block(batch: int = 8, heads: int = 16, seq: int = 32,
+                    head_dim: int = 64, dtype: str = "f32") -> Module:
+    """FULL multi-head attention block: Q/K/V projections + fused attention
+    core + output projection, one IR function — the role of the reference's
+    imported full-graph benchmark
+    (benchmarks/mlir/fp32-mha-tensorflow-seq-len-32.mlir, the
+    fp32_mha_tensorflow_seq_len_32 row of config/base/mha.json). Tokens
+    enter flattened (batch*seq, E); head split/merge are tl.reshape +
+    tl.transpose the layout passes sink."""
+    E = heads * head_dim
+    M = batch * seq
+    m = Module()
+    f = m.add(Function("entry", [TensorType((M, E), dtype)], ["x"]))
+    b = TppBuilder(f)
+    x = f.args[0]
+
+    def proj(seed):
+        w = b.constant(TensorType((E, E), dtype), init="normal", seed=seed)
+        acc = b.constant(TensorType((M, E), dtype), init="zero")
+        return b.matmul(x, w, acc)
+
+    def to_heads(v):
+        v4 = b.reshape(v, (batch, seq, heads, head_dim))
+        v4 = b.transpose(v4, (0, 2, 1, 3))
+        return b.reshape(v4, (batch * heads, seq, head_dim))
+
+    q, k, v = (to_heads(proj(s)) for s in (1, 2, 3))
+    att = b.create("tl.attention", [q, k, v],
+                   [TensorType((batch * heads, seq, head_dim), dtype)],
+                   {"scale": head_dim ** -0.5}).result
+    ctx = b.reshape(att, (batch, heads, seq, head_dim))
+    ctx = b.transpose(ctx, (0, 2, 1, 3))
+    ctx = b.reshape(ctx, (M, E))
+    wo = b.constant(TensorType((E, E), dtype), init="normal", seed=4)
+    acco = b.constant(TensorType((M, E), dtype), init="zero")
+    out = b.matmul(ctx, wo, acco)
+    b.ret(out)
+    BH = batch * heads
+    m.attrs["flops"] = (4 * 2 * M * E * E
+                        + 4 * BH * seq * seq * head_dim
+                        + 4 * BH * seq * seq)
+    m.verify()
+    return m
+
+
 def build_mha(batch: int = 16, heads: int = 16, seq: int = 256,
               head_dim: int = 64, dtype: str = "f32",
               causal: bool = False, scale: float | None = None,

@@ -32,6 +32,12 @@ def build_module(entry):
     from tpp_mlir_tpu.tools.mlir_gen import (build_parser, config_from_args,
                                              generate_text)
 
+    if "file" in entry:
+        # raw .mlir benchmark kernels (reference benchmarks/mlir/*.mlir,
+        # e.g. the pack/unpack micro-kernels); path relative to the config
+        import os
+        path = os.path.join(entry.get("_dir", ""), entry["file"])
+        return parse_module(open(path).read())
     if "gen" in entry:
         args = build_parser().parse_args(entry["gen"].split())
         return parse_module(generate_text(config_from_args(args)))
@@ -45,6 +51,7 @@ def build_module(entry):
             "mha_softmax_v": mha.build_softmax_v,
             "mha_projection": mha.build_projection,
             "mha_full": mha.build_mha,
+            "mha_block": mha.build_mha_block,
             "convnet": lambda **kw: convnet.build_convnet(
                 convnet.ConvConfig(**kw)),
             "resnet_block": __import__(
@@ -52,7 +59,7 @@ def build_module(entry):
                 fromlist=["build_resnet_block"]).build_resnet_block,
         }[name]
         return builder(**kwargs)
-    raise ValueError(f"benchmark entry needs 'gen' or 'model': {entry}")
+    raise ValueError(f"benchmark entry needs 'gen', 'model' or 'file': {entry}")
 
 
 def run_benchmark(entry, iters, verbose=False, no_baseline=False):
@@ -178,9 +185,11 @@ def main(argv=None) -> int:
     log = Logger(args.verbose)
     log.info(f"target: {current_target().name}")
     results = []
+    import os
     for cfg_path in args.config:
         cfg = json.load(open(cfg_path))
         for entry in cfg.get("benchmarks", []):
+            entry.setdefault("_dir", os.path.dirname(os.path.abspath(cfg_path)))
             name = entry["name"]
             if not fnmatch.fnmatch(name, args.filter):
                 continue
