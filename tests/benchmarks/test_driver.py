@@ -101,7 +101,12 @@ def test_extract_bench_kernel_paths():
     out = build_kernel(key, interpret=True)(*getops(args))
     assert out.shape == (16, 64)
 
-    assert extract_bench_kernel(lower("--batch=16 --layers=64,32")) is None
+    # non-square single-layer fc qualifies via the ping-pong warm bench (r3)
+    hit = extract_bench_kernel(lower("--batch=16 --layers=64,32"))
+    assert hit is not None and hit[0].pingpong
+    # multi-layer non-square chains still cannot feed back
+    assert extract_bench_kernel(
+        lower("--batch=16 --layers=64,32,16 --bias")) is None
 
 
 def test_driver_file_entry(tmp_path):

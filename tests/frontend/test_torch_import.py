@@ -143,3 +143,48 @@ def test_torch_fx_residual_block():
     got = tpp_compile(m, jit=False)(jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(got, np.float32), want,
                                atol=2e-3, rtol=2e-3)
+
+
+def test_torch_transformer_encoder_block():
+    """A torch transformer encoder block (pre-LN: LayerNorm ->
+    MultiheadAttention -> residual -> LayerNorm -> FFN -> residual)
+    imports via torch.fx, lowers with ONE fused attention core, and
+    matches torch numerics."""
+    import torch
+    import torch.nn as nn
+
+    from tpp_mlir_tpu.frontend import import_torch_fx
+
+    E, H, B, S = 64, 4, 2, 16
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln1 = nn.LayerNorm(E)
+            self.attn = nn.MultiheadAttention(E, H, batch_first=True)
+            self.ln2 = nn.LayerNorm(E)
+            self.fc1 = nn.Linear(E, 4 * E)
+            self.act = nn.GELU()
+            self.fc2 = nn.Linear(4 * E, E)
+
+        def forward(self, x):
+            h = self.ln1(x)
+            a, _ = self.attn(h, h, h, need_weights=False)
+            x = x + a
+            h = self.ln2(x)
+            return x + self.fc2(self.act(self.fc1(h)))
+
+    torch.manual_seed(0)
+    model = Block().eval()
+    xt = torch.randn(B, S, E)
+    with torch.no_grad():
+        want = model(xt).numpy()
+
+    m = import_torch_fx(model, (B, S, E))
+    run_pipeline(m, "default-tpp-passes")
+    s = str(m)
+    assert "xsmm.attention" in s and "tl.softmax" not in s
+    fn = tpp_compile(m, jit=False)
+    out = fn(jnp.asarray(xt.numpy()))
+    got = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)

@@ -92,3 +92,53 @@ def test_chain_bench_repeats():
     np.testing.assert_allclose(np.asarray(kfn(x, *wb), np.float32),
                                np.asarray(rfn(x, *wb), np.float32),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_pingpong_bench_matches_reference_sequence():
+    """ChainKey.pingpong (non-square fc warm bench): the output is the state
+    after the LAST forward step of the fwd/back sequence — every repeat has
+    a hard data dependency on the previous one."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpp_mlir_tpu.xsmm import build_kernel
+    from tpp_mlir_tpu.xsmm.flags import ChainKey
+
+    key = ChainKey(m=32, dims=(64, 128), dtype="f32", has_bias=True,
+                   unary_kind="relu", last_unary="relu", pingpong=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 64), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (64, 128), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(2), (128,), jnp.float32)
+    R = 4
+    h = np.asarray(x)
+    hn = None
+    for r in range(R - 1 if (R - 1) % 2 == 0 else R - 2 + 1):
+        if r % 2 == 0:
+            hn = np.maximum(h @ np.asarray(w) + np.asarray(b), 0)
+        else:
+            h = hn @ np.asarray(w).T
+    fn = build_kernel(dataclasses.replace(key, repeats=R), interpret=True)
+    got = np.asarray(fn(x, w, b), np.float32)
+    np.testing.assert_allclose(got, hn, atol=1e-3, rtol=1e-3)
+
+
+def test_extract_bench_kernel_nonsquare_fc_pingpong():
+    """Non-square fc programs now qualify for warm extraction via the
+    ping-pong mode instead of falling back to the streaming scan."""
+    from tpp_mlir_tpu.ir import parse_module
+    from tpp_mlir_tpu.passes import run_pipeline
+    from tpp_mlir_tpu.runtime.executor import extract_bench_kernel
+    from tpp_mlir_tpu.tools.mlir_gen import (build_parser, config_from_args,
+                                             generate_text)
+
+    text = generate_text(config_from_args(build_parser().parse_args(
+        "--batch=64 --layers=128,256 --bias --relu".split())))
+    m = parse_module(text)
+    run_pipeline(m, "default-tpp-passes")
+    hit = extract_bench_kernel(m)
+    assert hit is not None
+    key, _ = hit
+    assert key.pingpong and key.dims == (128, 256)

@@ -6,10 +6,13 @@ traces to linalg IR, then the TPP pipeline compiles it. Here the importer
 converts a torch.nn module directly into the tensor IR; weights become
 literal constants (pre-packable by constant-fold-pack like any weight).
 
-Supported module classes: Sequential / Linear / ReLU / GELU / Tanh /
-Softmax / Flatten / Conv2d (incl. zero padding) / BatchNorm2d (eval
-fold to scale+shift) / MaxPool2d / AvgPool2d / Identity / Dropout.
-Everything runs through the same default pipeline as tpp-gen models.
+Supported module classes: Sequential / Linear (rank-2 or batch-first
+rank-3 tokens) / ReLU / GELU / Tanh / Softmax / Flatten / Conv2d (incl.
+zero padding) / BatchNorm2d (eval fold to scale+shift) / MaxPool2d /
+AvgPool2d / LayerNorm (last dim) / MultiheadAttention (batch_first
+self-attention -> ONE tl.attention core, i.e. the flash kernel) /
+Identity / Dropout. Everything runs through the same default pipeline as
+tpp-gen models — a torch transformer encoder block imports end to end.
 
 Both importers (module-walk `import_torch` and graph-level
 `import_torch_fx`) share ONE layer-lowering (`_LayerLowering`), so they
@@ -60,16 +63,27 @@ class _LayerLowering:
         if isinstance(layer, nn.Sequential):
             for sub in layer:
                 x = self.lower(sub, x)
+                if isinstance(x, tuple):   # e.g. MultiheadAttention
+                    x = x[0]
             return x
         if isinstance(layer, nn.Linear):
             K, N = layer.in_features, layer.out_features
+            shape3 = x.type.shape if x.type.rank == 3 else None
+            if shape3 is not None:   # tokens (B, S, E): flatten for the GEMM
+                x = b.reshape(x, (shape3[0] * shape3[1], shape3[2]))
             w = self.const_of(layer.weight.T.contiguous(), (K, N))
             acc = b.constant(TensorType((x.type.shape[0], N), dtype),
                              init="zero")
             x = b.matmul(x, w, acc)
             if layer.bias is not None:
                 x = b.add(x, self.const_of(layer.bias, (N,)))
+            if shape3 is not None:
+                x = b.reshape(x, (shape3[0], shape3[1], N))
             return x
+        if isinstance(layer, nn.LayerNorm):
+            return self.layer_norm(layer, x)
+        if isinstance(layer, nn.MultiheadAttention):
+            return self.multihead_attention(layer, x)
         if isinstance(layer, nn.Conv2d):
             if _pair(layer.dilation) != (1, 1):
                 raise NotImplementedError(
@@ -134,6 +148,86 @@ class _LayerLowering:
         raise NotImplementedError(
             f"torch import: unsupported layer {type(layer).__name__}")
 
+    def layer_norm(self, layer, x):
+        """y = (x - mean)/sqrt(var + eps) * gamma + beta over the LAST dim
+        (the transformer spelling). Emitted as reduce/eltwise tl ops the
+        pipeline fuses; biased variance matches torch."""
+        b, dtype = self.b, self.dtype
+        if len(layer.normalized_shape) != 1:
+            raise NotImplementedError(
+                "torch import: LayerNorm over multiple trailing dims is not "
+                "supported (normalize the last dim only)")
+        shape3 = x.type.shape if x.type.rank == 3 else None
+        if shape3 is not None:
+            x = b.reshape(x, (shape3[0] * shape3[1], shape3[2]))
+        M, E = x.type.shape
+        inv_n = b.constant(TensorType((1,), dtype), init="const",
+                           value=1.0 / E)
+        mean = b.mul(b.reduce(x, kind="sum", axes=(1,)), inv_n)   # (M, 1)
+        d = b.sub(x, mean)
+        var = b.mul(b.reduce(b.mul(d, d), kind="sum", axes=(1,)), inv_n)
+        eps = b.constant(TensorType((1,), dtype), init="const",
+                         value=float(layer.eps))
+        inv = b.unary("tl.rsqrt", b.add(var, eps))                # (M, 1)
+        y = b.mul(d, inv)
+        if layer.elementwise_affine:
+            y = b.mul(y, self.const_of(layer.weight, (E,)))
+            if layer.bias is not None:
+                y = b.add(y, self.const_of(layer.bias, (E,)))
+        if shape3 is not None:
+            y = b.reshape(y, shape3)
+        return y
+
+    def multihead_attention(self, layer, x):
+        """nn.MultiheadAttention self-attention (batch_first): packed
+        in-projection split into Q/K/V GEMMs, head split/merge reshapes,
+        ONE tl.attention core (the flash kernel after lowering), output
+        projection. Returns (result, None) matching torch's API."""
+        b, dtype = self.b, self.dtype
+        if not layer.batch_first:
+            raise NotImplementedError(
+                "torch import: MultiheadAttention requires batch_first=True")
+        if not layer._qkv_same_embed_dim:
+            raise NotImplementedError(
+                "torch import: MultiheadAttention needs kdim == vdim == "
+                "embed_dim")
+        E = layer.embed_dim
+        H = layer.num_heads
+        D = E // H
+        B_, S, _ = x.type.shape
+        M = B_ * S
+        flat = b.reshape(x, (M, E))
+
+        def in_proj(i):
+            w = self.const_of(
+                layer.in_proj_weight[i * E:(i + 1) * E].T.contiguous(),
+                (E, E))
+            acc = b.constant(TensorType((M, E), dtype), init="zero")
+            v = b.matmul(flat, w, acc)
+            if layer.in_proj_bias is not None:
+                v = b.add(v, self.const_of(
+                    layer.in_proj_bias[i * E:(i + 1) * E], (E,)))
+            v = b.reshape(v, (B_, S, H, D))
+            v = b.transpose(v, (0, 2, 1, 3))
+            return b.reshape(v, (B_ * H, S, D))
+
+        q, k, v = in_proj(0), in_proj(1), in_proj(2)
+        att = b.create("tl.attention", [q, k, v],
+                       [TensorType((B_ * H, S, D), dtype)],
+                       {"scale": D ** -0.5}).result
+        ctx = b.reshape(att, (B_, H, S, D))
+        ctx = b.transpose(ctx, (0, 2, 1, 3))
+        ctx = b.reshape(ctx, (B_, S, E))
+        # output projection (NonDynamicallyQuantizableLinear is a Linear)
+        outp = layer.out_proj
+        flat_ctx = b.reshape(ctx, (M, E))
+        w = self.const_of(outp.weight.T.contiguous(), (E, E))
+        acc = b.constant(TensorType((M, E), dtype), init="zero")
+        out = b.matmul(flat_ctx, w, acc)
+        if outp.bias is not None:
+            out = b.add(out, self.const_of(outp.bias, (E,)))
+        return (b.reshape(out, (B_, S, E)), None)
+
 
 def import_torch(model, example_shape, dtype: str = "f32",
                  name: str = "entry") -> Module:
@@ -188,7 +282,9 @@ def import_torch_fx(model, example_shape, dtype: str = "f32",
             env[node.name] = lowering.lower(modules[node.target],
                                             env[node.args[0].name])
         elif node.op == "call_function":
-            if node.target in (operator.add, torch.add):
+            if node.target is operator.getitem:
+                env[node.name] = env[node.args[0].name][node.args[1]]
+            elif node.target in (operator.add, torch.add):
                 env[node.name] = b.add(env[node.args[0].name],
                                        env[node.args[1].name])
             elif node.target in (torch.relu, F.relu):

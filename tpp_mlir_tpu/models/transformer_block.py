@@ -1,0 +1,38 @@
+"""Torch-defined transformer encoder block, imported through torch.fx —
+benchmarks the frontend -> pipeline -> fused-attention + GEMM kernel path
+end to end (the reference's torch-dynamo benchmark role,
+benchmarks/config/pytorch/torch_dynamo.json, extended to the attention
+model family)."""
+
+from __future__ import annotations
+
+
+def build_transformer_block(batch: int = 8, seq: int = 256,
+                            embed: int = 1024, heads: int = 16,
+                            mlp_ratio: int = 4, seed: int = 0):
+    import torch
+    import torch.nn as nn
+
+    from ..frontend import import_torch_fx
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln1 = nn.LayerNorm(embed)
+            self.attn = nn.MultiheadAttention(embed, heads,
+                                              batch_first=True)
+            self.ln2 = nn.LayerNorm(embed)
+            self.fc1 = nn.Linear(embed, mlp_ratio * embed)
+            self.act = nn.GELU()
+            self.fc2 = nn.Linear(mlp_ratio * embed, embed)
+
+        def forward(self, x):
+            h = self.ln1(x)
+            a, _ = self.attn(h, h, h, need_weights=False)
+            x = x + a
+            h = self.ln2(x)
+            return x + self.fc2(self.act(self.fc1(h)))
+
+    torch.manual_seed(seed)
+    model = Block().eval()
+    return import_torch_fx(model, (batch, seq, embed))

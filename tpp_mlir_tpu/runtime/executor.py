@@ -699,7 +699,13 @@ def extract_bench_kernel(module: Module, func_name: str = "entry"):
         return None
 
     if key.dims[0] != key.dims[-1]:
-        return None  # output cannot feed back as input
+        if len(key.dims) == 2:
+            # non-square single-layer fc: ping-pong warm bench (odd repeats
+            # contract back through the same resident weight)
+            import dataclasses
+            key = dataclasses.replace(key, pingpong=True)
+        else:
+            return None  # output cannot feed back as input
 
     # warm mode keeps ALL weights resident: gate on the full VMEM footprint.
     # Under default precision f32 weights enter the kernel as bf16 (see
@@ -713,7 +719,12 @@ def extract_bench_kernel(module: Module, func_name: str = "entry"):
     weights = sum(key.dims[i] * key.dims[i + 1] for i in range(L)) * mxu_dsize
     biases = sum(key.dims[1:]) * io_dsize if key.has_bias else 0
     # x block + out block (io dtype) + hbuf feedback (mxu dtype) + f32 temp
-    bufs = key.m * max(key.dims) * (2 * io_dsize + mxu_dsize + 4)
+    if key.pingpong:
+        k_, n_ = key.dims
+        bufs = key.m * (k_ * (io_dsize + mxu_dsize)
+                        + n_ * (io_dsize + mxu_dsize + 4))
+    else:
+        bufs = key.m * max(key.dims) * (2 * io_dsize + mxu_dsize + 4)
     if weights + biases + bufs > int(current_target().vmem_bytes * 0.9):
         return None
 

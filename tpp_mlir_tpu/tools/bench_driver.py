@@ -57,6 +57,9 @@ def build_module(entry):
             "resnet_block": __import__(
                 "tpp_mlir_tpu.models.resnet_block",
                 fromlist=["build_resnet_block"]).build_resnet_block,
+            "transformer_block": __import__(
+                "tpp_mlir_tpu.models.transformer_block",
+                fromlist=["build_transformer_block"]).build_transformer_block,
         }[name]
         return builder(**kwargs)
     raise ValueError(f"benchmark entry needs 'gen', 'model' or 'file': {entry}")

@@ -116,6 +116,12 @@ class ChainKey:
     # scf.for with warm caches, PerfOps.td bench semantics). Requires
     # dims[0] == dims[-1] and a single M block.
     repeats: int = 1
+    # pingpong = warm bench for NON-square single-layer fc (k != n): even
+    # repeats run the fc forward (m,k)->(m,n), odd repeats multiply by the
+    # SAME weight contracted on n to return to (m,k) — a real cross-repeat
+    # data dependency, so no step can be folded away, with every repeat
+    # doing one full m*k*n contraction. Output = the last forward state.
+    pingpong: bool = False
 
 
 @dataclass(frozen=True)

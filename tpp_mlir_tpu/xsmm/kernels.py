@@ -592,6 +592,8 @@ def _build_chain(key, interpret: bool):
     from .flags import ChainKey
     assert isinstance(key, ChainKey)
     if key.repeats > 1:
+        if key.pingpong:
+            return _build_chain_bench_pingpong(key, interpret)
         return _build_chain_bench(key, interpret)
     m, dims = key.m, key.dims
     L = len(dims) - 1
@@ -854,6 +856,87 @@ def _build_flash_mha(key, interpret: bool):
     mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
     return lambda q, k, v: call(q.astype(mxu_dt), k.astype(mxu_dt),
                                 v.astype(mxu_dt))
+
+
+def _build_chain_bench_pingpong(key, interpret: bool):
+    """Warm-weights bench for a NON-square single-layer fc (k != n, see
+    ChainKey.pingpong): even repeats run the fc forward, odd repeats
+    contract the state with the SAME resident weight on its n axis to
+    return to width k. Every repeat is one full m*k*n MXU contraction with
+    a hard data dependency on the previous one, so nothing folds away;
+    the output is the state after the last FORWARD step (== a single fc
+    application for any even repeat count, which the differential test
+    uses)."""
+    m, (k, n) = key.m, key.dims
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    R = key.repeats
+    last_fwd = R - 1 if (R - 1) % 2 == 0 else R - 2
+    act = _UNARY_FNS.get(key.last_unary or "identity")
+
+    in_specs = [pl.BlockSpec((m, k), lambda r: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, n), lambda r: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    if key.has_bias:
+        in_specs.append(pl.BlockSpec((1, n), lambda r: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((m, n), lambda r: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        x_ref, w_ref = refs[0], refs[1]
+        b_ref = refs[2] if key.has_bias else None
+        o_ref = refs[2 + int(key.has_bias)]
+        hk = refs[3 + int(key.has_bias)]
+        hn = refs[4 + int(key.has_bias)]
+        r = pl.program_id(0)
+
+        @pl.when(r == 0)
+        def _seed():
+            hk[:] = x_ref[:].astype(mxu_dt)
+
+        @pl.when(r % 2 == 0)
+        def _fwd():
+            z = jnp.dot(hk[:], w_ref[:], preferred_element_type=jnp.float32)
+            if key.has_bias:
+                z = z + b_ref[:].astype(jnp.float32)
+            hn[:] = act(z).astype(mxu_dt)
+
+        @pl.when(r % 2 == 1)
+        def _back():
+            hk[:] = jax.lax.dot_general(
+                hn[:], w_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(mxu_dt)
+
+        @pl.when(r == last_fwd)
+        def _finish():
+            o_ref[:] = hn[:].astype(out_dtype)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(R,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((m, k), mxu_dt),
+                        pltpu.VMEM((m, n), mxu_dt)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(flops=R * 2 * m * k * n,
+                                      bytes_accessed=0, transcendentals=0),
+        interpret=interpret,
+    )
+
+    def fn(x, *wb):
+        args = [x.astype(mxu_dt) if x.ndim > 1 else x]
+        for v in wb:
+            args.append(v.reshape(1, -1) if v.ndim == 1
+                        else v.astype(mxu_dt))
+        return call(*args)
+
+    return fn
 
 
 def _build_chain_bench(key, interpret: bool):
