@@ -184,3 +184,11 @@ def test_cast_rank_change_rejected():
   return %0 : tensor<8x4xbf16>
 }
 """, "tl.cast")
+
+
+def test_layer_norm_bad_gamma_shape():
+    expect_invalid("""func @f(%x: tensor<8x32xf32>, %g: tensor<16xf32>, %b: tensor<16xf32>) {
+  %0 = tl.layer_norm %x, %g, %b : tensor<8x32xf32>
+  return %0 : tensor<8x32xf32>
+}
+""", "tl.layer_norm")

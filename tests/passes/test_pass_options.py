@@ -111,3 +111,27 @@ def test_pipelines_list_and_print_after(capsys):
     for name in ("tpp-mapping", "linalg-lowering", "default-tpp-passes",
                  "tile-and-fuse", "pack-vnni", "convert-tl-to-xsmm"):
         assert name in out
+
+
+def test_layer_norm_lowers_to_fused_kernel():
+    """tl.layer_norm lowers to ONE xsmm.layer_norm invoke and matches the
+    un-lowered reference execution."""
+    text = """func @entry(%x: tensor<32x128xf32>, %g: tensor<128xf32>, %b: tensor<128xf32>) {
+  %0 = tl.layer_norm %x, %g, %b {eps = 1e-05} : tensor<32x128xf32>
+  return %0 : tensor<32x128xf32>
+}
+"""
+    m = parse_module(text)
+    ref = tpp_compile(m, jit=False)
+    args = _args(m)
+    want = ref(*args)
+    want = want[0] if isinstance(want, tuple) else want
+    m2 = parse_module(text)
+    run_pipeline(m2, "default-tpp-passes")
+    s = print_module(m2)
+    assert "xsmm.layer_norm" in s and "tl.layer_norm" not in s
+    got = tpp_compile(m2, jit=False)(*args)
+    got = got[0] if isinstance(got, tuple) else got
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=1e-5, rtol=1e-5)

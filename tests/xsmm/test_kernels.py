@@ -253,3 +253,29 @@ def test_conv_nhwc_xla_strided_epilogue():
         i, w, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
     want = np.maximum(np.asarray(want) + np.asarray(bias).reshape(1, 1, 1, -1), 0)
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_layer_norm_kernel_differential():
+    """Fused one-pass LayerNorm kernel vs the jnp reference, affine and
+    plain."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpp_mlir_tpu.xsmm import build_kernel, reference_kernel
+    from tpp_mlir_tpu.xsmm.flags import LayerNormKey
+
+    key = LayerNormKey(m=64, n=256, dtype="f32", affine=True, eps=1e-5)
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 256), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(1), (256,), jnp.float32)
+    bt = jax.random.normal(jax.random.PRNGKey(2), (256,), jnp.float32)
+    got = np.asarray(build_kernel(key, interpret=True)(x, g, bt), np.float32)
+    want = np.asarray(reference_kernel(key)(x, g, bt), np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    key2 = dataclasses.replace(key, affine=False)
+    got2 = np.asarray(build_kernel(key2, interpret=True)(x), np.float32)
+    want2 = np.asarray(reference_kernel(key2)(x), np.float32)
+    np.testing.assert_allclose(got2, want2, atol=1e-5, rtol=1e-5)

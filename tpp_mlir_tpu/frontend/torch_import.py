@@ -149,10 +149,10 @@ class _LayerLowering:
             f"torch import: unsupported layer {type(layer).__name__}")
 
     def layer_norm(self, layer, x):
-        """y = (x - mean)/sqrt(var + eps) * gamma + beta over the LAST dim
-        (the transformer spelling). Emitted as reduce/eltwise tl ops the
-        pipeline fuses; biased variance matches torch."""
-        b, dtype = self.b, self.dtype
+        """Emit the FUSED tl.layer_norm op (one Pallas kernel: one HBM read,
+        one write — the decomposed reduce/eltwise spelling costs ~6 kernel
+        round trips). Biased variance matches torch."""
+        b = self.b
         if len(layer.normalized_shape) != 1:
             raise NotImplementedError(
                 "torch import: LayerNorm over multiple trailing dims is not "
@@ -160,20 +160,15 @@ class _LayerLowering:
         shape3 = x.type.shape if x.type.rank == 3 else None
         if shape3 is not None:
             x = b.reshape(x, (shape3[0] * shape3[1], shape3[2]))
-        M, E = x.type.shape
-        inv_n = b.constant(TensorType((1,), dtype), init="const",
-                           value=1.0 / E)
-        mean = b.mul(b.reduce(x, kind="sum", axes=(1,)), inv_n)   # (M, 1)
-        d = b.sub(x, mean)
-        var = b.mul(b.reduce(b.mul(d, d), kind="sum", axes=(1,)), inv_n)
-        eps = b.constant(TensorType((1,), dtype), init="const",
-                         value=float(layer.eps))
-        inv = b.unary("tl.rsqrt", b.add(var, eps))                # (M, 1)
-        y = b.mul(d, inv)
+        E = x.type.shape[-1]
+        gamma = beta = None
         if layer.elementwise_affine:
-            y = b.mul(y, self.const_of(layer.weight, (E,)))
-            if layer.bias is not None:
-                y = b.add(y, self.const_of(layer.bias, (E,)))
+            gamma = self.const_of(layer.weight, (E,))
+            beta = (self.const_of(layer.bias, (E,))
+                    if layer.bias is not None
+                    else self.const_of(
+                        __import__("torch").zeros(E), (E,)))
+        y = b.layer_norm(x, gamma, beta, eps=float(layer.eps))
         if shape3 is not None:
             y = b.reshape(y, shape3)
         return y

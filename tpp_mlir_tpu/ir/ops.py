@@ -379,6 +379,51 @@ def _v_softmax(op):
         _fail(op, "result type must match input")
 
 
+@_op("tl.layer_norm")
+def _v_layer_norm(op):
+    # Fused LayerNorm over the LAST dim: x [+ gamma, beta] -> y, shape-
+    # preserving (the transformer normal form; decomposed reduce/eltwise
+    # spellings stay legal but cost ~6 HBM passes instead of one kernel).
+    if len(op.operands) not in (1, 3):
+        _fail(op, "expects (x) or (x, gamma, beta)")
+    x = op.operands[0].type
+    if x.rank != 2:
+        _fail(op, "expects rank-2 (tokens, features)")
+    for g in op.operands[1:]:
+        if g.type.shape != (x.shape[-1],):
+            _fail(op, f"gamma/beta must be ({x.shape[-1]},), "
+                      f"got {g.type.shape}")
+    if op.result.type != x:
+        _fail(op, "result type must match input")
+
+
+@_op("xsmm.layer_norm_dispatch")
+def _v_layer_norm_dispatch(op):
+    if op.operands:
+        _fail(op, "dispatch is pure, takes no operands")
+    for a in ("m", "n"):
+        if a not in op.attrs:
+            _fail(op, f"missing attr '{a}'")
+    if op.result.type != I64:
+        _fail(op, "dispatch returns an i64 kernel handle")
+
+
+@_op("xsmm.layer_norm")
+def _v_xsmm_layer_norm(op):
+    if len(op.operands) not in (2, 4):
+        _fail(op, "expects (dispatch, x[, gamma, beta])")
+    d = _dispatch_of(op)
+    if d is None or d.opname != "xsmm.layer_norm_dispatch":
+        _fail(op, "first operand must be a layer_norm_dispatch result")
+    x = op.operands[1].type
+    if x.shape != (d.attrs["m"], d.attrs["n"]):
+        _fail(op, f"dispatch inconsistent with x {x.shape}")
+    if bool(d.attrs.get("affine", True)) != (len(op.operands) == 4):
+        _fail(op, "affine flag inconsistent with operand count")
+    if op.result.type != x:
+        _fail(op, "result must match x")
+
+
 @_op("tl.reshape")
 def _v_reshape(op):
     if len(op.operands) != 1:
@@ -970,6 +1015,12 @@ class TppBuilder(Builder):
 
     def softmax(self, x: Value, axis: int = -1) -> Value:
         return self.create("tl.softmax", [x], [x.type], {"axis": axis}).result
+
+    def layer_norm(self, x: Value, gamma: Value | None = None,
+                   beta: Value | None = None, eps: float = 1e-5) -> Value:
+        ops = [x] + ([gamma, beta] if gamma is not None else [])
+        return self.create("tl.layer_norm", ops, [x.type],
+                           {"eps": eps}).result
 
     def reshape(self, x: Value, shape) -> Value:
         return self.create("tl.reshape", [x], [x.type.with_shape(shape)]).result

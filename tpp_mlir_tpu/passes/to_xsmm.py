@@ -138,6 +138,29 @@ class ConvertTlToXsmmPass(Pass):
                 func.erase(op)
                 changed = True
 
+            elif name == "tl.layer_norm" and "layer_norm" not in skip:
+                X = op.operands[0]
+                M, E = X.type.shape
+                attrs = {"m": M, "n": E,
+                         "eps": float(op.attrs.get("eps", 1e-5)),
+                         "affine": len(op.operands) == 3,
+                         "dtype": X.type.dtype, "flags": (),
+                         "precision": precision}
+                operands = list(op.operands)
+
+                def emit():
+                    d = b.create("xsmm.layer_norm_dispatch", [], [I64],
+                                 attrs)
+                    inv = b.create("xsmm.layer_norm",
+                                   [d.result, *operands],
+                                   [op.result.type])
+                    _carry(op, inv)
+                    return inv.result
+                res, _ = before(op, emit)
+                func.replace_all_uses(op.result, res)
+                func.erase(op)
+                changed = True
+
             elif name == "tl.batch_matmul" and "batch_matmul" not in skip:
                 A, B, C = op.operands
                 if op.attrs.get("lhs_shared"):

@@ -161,6 +161,17 @@ def _eval_tl(op: Operation, vals: list, interpret_kernels: bool):
     if name == "tl.generic":
         from ..ir.affine import eval_generic
         return eval_generic(op, vals)
+    if name == "tl.layer_norm":
+        import jax
+
+        x = acc32(vals[0])
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        d = x - mean
+        var = jnp.mean(d * d, axis=-1, keepdims=True)
+        y = d * jax.lax.rsqrt(var + float(op.attrs.get("eps", 1e-5)))
+        if len(vals) == 3:
+            y = y * acc32(vals[1]) + acc32(vals[2])
+        return y.astype(odt)
     if name == "tl.softmax":
         return jax.nn.softmax(acc32(vals[0]),
                               axis=op.attrs.get("axis", -1)).astype(odt)
@@ -355,6 +366,12 @@ def _dispatch_key(d: Operation, invoke: Operation):
                               softmax_lhs=bool(a.get("softmax_lhs", False)),
                               lhs_shared=bool(a.get("lhs_shared", False)),
                               precision=prec)
+    if name == "xsmm.layer_norm_dispatch":
+        from ..xsmm.flags import LayerNormKey
+        return LayerNormKey(m=a["m"], n=a["n"], dtype=a["dtype"],
+                            out_dtype=out_dtype,
+                            affine=bool(a.get("affine", True)),
+                            eps=float(a.get("eps", 1e-5)), precision=prec)
     if name == "xsmm.unary_dispatch":
         return UnaryKey(kind=a["kind"], shape=tuple(a.get("shape", ())),
                         dtype=a["dtype"], out_dtype=out_dtype,
@@ -415,6 +432,8 @@ def _eval_xsmm(op: Operation, vals: list,
         return fn(vals[1])
     if name == "xsmm.binary":
         return fn(vals[1], vals[2])
+    if name == "xsmm.layer_norm":
+        return fn(*vals[1:])
     raise NotImplementedError(name)
 
 

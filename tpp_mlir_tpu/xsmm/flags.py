@@ -248,6 +248,23 @@ class FlashMhaKey:
 
 
 @dataclass(frozen=True)
+class LayerNormKey:
+    """Key for the one-pass fused LayerNorm kernel: rows blocked over the
+    grid, mean/variance/normalize/affine in one VMEM-resident pass — the
+    decomposed reduce+eltwise spelling costs ~6 HBM round trips, this one
+    pays one read + one write (measured drag on the imported transformer
+    block)."""
+
+    m: int                     # tokens (rows)
+    n: int                     # features (normalized dim)
+    dtype: str
+    out_dtype: str | None = None
+    affine: bool = True        # gamma/beta operands present
+    eps: float = 1e-5
+    precision: str = "default"
+
+
+@dataclass(frozen=True)
 class UnaryKey:
     kind: str                      # identity/zero/relu/transpose/vnni2/...
     shape: tuple[int, ...]

@@ -1769,6 +1769,64 @@ def _build_conv_nhwc_fullrow(key, interpret: bool):
     return fn
 
 
+def _build_layer_norm(key, interpret: bool):
+    """One-pass LayerNorm: grid over row blocks; per program load (bm, E),
+    compute mean/var on the VPU in f32, normalize, apply gamma/beta from
+    constant-index (resident) blocks, write once. Statistics use the
+    biased variance like torch."""
+    from .flags import LayerNormKey
+    assert isinstance(key, LayerNormKey)
+    M, E = key.m, key.n
+    dt = _jdt(key.dtype)
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    sub, _ = current_target().min_tile(key.dtype)
+    dsz = jnp.dtype(dt).itemsize
+    budget = current_target().vmem_bytes // 2
+    bm = _divisor_block(M, max(sub, budget // max(1, (2 * dsz + 8) * E)),
+                        sub)
+    grid = (pl.cdiv(M, bm),)
+    in_specs = [pl.BlockSpec((bm, E), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    if key.affine:
+        in_specs += [pl.BlockSpec((1, E), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+    out_spec = pl.BlockSpec((bm, E), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        x = refs[0][:].astype(jnp.float32)
+        o_ref = refs[3 if key.affine else 1]
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        d = x - mean
+        var = jnp.mean(d * d, axis=-1, keepdims=True)
+        y = d * jax.lax.rsqrt(var + key.eps)
+        if key.affine:
+            y = y * refs[1][:].astype(jnp.float32) \
+                + refs[2][:].astype(jnp.float32)
+        o_ref[:] = y.astype(out_dtype)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((M, E), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * M * E, bytes_accessed=2 * M * E * dsz,
+            transcendentals=M),
+        interpret=interpret,
+    )
+
+    def fn(x, gamma=None, beta=None):
+        if key.affine:
+            return call(x, gamma.reshape(1, E), beta.reshape(1, E))
+        return call(x)
+
+    return fn
+
+
 def _build_unary(key: UnaryKey, interpret: bool):
     out_dtype = _jdt(key.out_dtype or key.dtype)
     kind = key.kind
@@ -1835,4 +1893,7 @@ def build_kernel(key, interpret: bool | None = None):
         return _build_unary(key, interpret)
     if isinstance(key, BinaryKey):
         return _build_binary(key, interpret)
+    from .flags import LayerNormKey
+    if isinstance(key, LayerNormKey):
+        return _build_layer_norm(key, interpret)
     raise TypeError(f"unknown kernel key {key!r}")

@@ -178,4 +178,21 @@ def reference_kernel(key):
         # eltwise kernels are already jnp closures; reference == kernel
         return (_build_unary if isinstance(key, UnaryKey)
                 else _build_binary)(key, True)
+    from .flags import LayerNormKey
+    if isinstance(key, LayerNormKey):
+        import jax
+        import jax.numpy as jnp
+
+        def ln(x, gamma=None, beta=None):
+            x = x.astype(jnp.float32)
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            d = x - mean
+            var = jnp.mean(d * d, axis=-1, keepdims=True)
+            y = d * jax.lax.rsqrt(var + key.eps)
+            if key.affine:
+                y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+            return y.astype(jnp.dtype(
+                {"f32": "float32", "bf16": "bfloat16",
+                 "f16": "float16"}[key.out_dtype or key.dtype]))
+        return ln
     raise TypeError(key)
