@@ -277,3 +277,57 @@ def test_mha_block_full_graph_lowers_and_matches():
     assert "xsmm.gemm" in s
     got = np.asarray(tpp_compile(m2, jit=False)(x)[0], np.float32)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_flash_tokens_layout_lane_sliced_heads():
+    """Token-layout attention (B, S, H*D) with heads selected as 128-wide
+    lane column blocks (2 heads per program at D=64) — zero head-split
+    relayout. Differential vs the split-merge reference."""
+    key = FlashMhaKey(batch=2, seq=128, seq_kv=128, head_dim=64, heads=8,
+                      scale=0.125)
+    from tpp_mlir_tpu.xsmm.kernels import _build_flash_mha_tokens
+    assert _build_flash_mha_tokens(key, True) is not None
+    kfn = build_kernel(key, interpret=True)
+    rfn = reference_kernel(key)
+    q = rng(2, 128, 512)
+    k = rng(2, 128, 512, seed=1)
+    v = rng(2, 128, 512, seed=2)
+    np.testing.assert_allclose(np.asarray(kfn(q, k, v), np.float32),
+                               np.asarray(rfn(q, k, v), np.float32),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_flash_tokens_layout_causal():
+    key = FlashMhaKey(batch=1, seq=256, seq_kv=256, head_dim=64, heads=4,
+                      scale=0.125, causal=True)
+    kfn = build_kernel(key, interpret=True)
+    rfn = reference_kernel(key)
+    q = rng(1, 256, 256)
+    k = rng(1, 256, 256, seed=1)
+    v = rng(1, 256, 256, seed=2)
+    np.testing.assert_allclose(np.asarray(kfn(q, k, v), np.float32),
+                               np.asarray(rfn(q, k, v), np.float32),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_torch_mha_import_emits_token_layout():
+    """The torch MultiheadAttention import emits token-layout tl.attention
+    (heads attr) with NO transposes around the core."""
+    import torch
+    import torch.nn as nn
+
+    from tpp_mlir_tpu.frontend import import_torch_fx
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.attn = nn.MultiheadAttention(64, 4, batch_first=True)
+
+        def forward(self, x):
+            a, _ = self.attn(x, x, x, need_weights=False)
+            return a
+
+    m = import_torch_fx(M().eval(), (2, 16, 64))
+    s = str(m)
+    assert "heads = 4" in s
+    assert "tl.transpose" not in s

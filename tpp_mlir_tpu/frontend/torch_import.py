@@ -202,20 +202,18 @@ class _LayerLowering:
             if layer.in_proj_bias is not None:
                 v = b.add(v, self.const_of(
                     layer.in_proj_bias[i * E:(i + 1) * E], (E,)))
-            v = b.reshape(v, (B_, S, H, D))
-            v = b.transpose(v, (0, 2, 1, 3))
-            return b.reshape(v, (B_ * H, S, D))
+            # token layout straight into the core: per-head columns are
+            # selected inside the attention kernel (heads attr) — no
+            # head-split transposes exist
+            return b.reshape(v, (B_, S, E))
 
         q, k, v = in_proj(0), in_proj(1), in_proj(2)
         att = b.create("tl.attention", [q, k, v],
-                       [TensorType((B_ * H, S, D), dtype)],
-                       {"scale": D ** -0.5}).result
-        ctx = b.reshape(att, (B_, H, S, D))
-        ctx = b.transpose(ctx, (0, 2, 1, 3))
-        ctx = b.reshape(ctx, (B_, S, E))
+                       [TensorType((B_, S, E), dtype)],
+                       {"scale": D ** -0.5, "heads": H}).result
         # output projection (NonDynamicallyQuantizableLinear is a Linear)
         outp = layer.out_proj
-        flat_ctx = b.reshape(ctx, (M, E))
+        flat_ctx = b.reshape(att, (M, E))
         w = self.const_of(outp.weight.T.contiguous(), (E, E))
         acc = b.constant(TensorType((M, E), dtype), init="zero")
         out = b.matmul(flat_ctx, w, acc)

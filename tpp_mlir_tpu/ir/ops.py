@@ -437,6 +437,9 @@ def _v_attention(op):
     # Fused attention core: softmax(Q Kt * scale) V over [B, S, D] operands
     # (formed by the attention-fusion pass from the MHA benchmark pattern;
     # reference ships the pieces separately, benchmarks/mlir/fp32-*.mlir).
+    # With a `heads` attr the operands stay in TOKEN layout [B, S, H*D]
+    # (per-head columns; the kernel splits heads in BlockSpec index space —
+    # zero relayout between the QKV projections and the core).
     if len(op.operands) != 3:
         _fail(op, "expects (Q, K, V)")
     q, k, v = (_t(x) for x in op.operands)
@@ -448,6 +451,9 @@ def _v_attention(op):
         _fail(op, f"shape mismatch q{q.shape} k{k.shape} v{v.shape}")
     if op.result.type.shape != (B, S, D):
         _fail(op, f"result {op.result.type.shape} != {(B, S, D)}")
+    H = op.attrs.get("heads")
+    if H is not None and D % int(H) != 0:
+        _fail(op, f"heads={H} must divide the embedding width {D}")
 
 
 @_op("tl.pack")
@@ -747,11 +753,13 @@ def _v_xsmm_attention(op):
         _fail(op, "first operand must be an attention_dispatch result")
     q = op.operands[1].type
     B, S, D = d.attrs["batch"], d.attrs["seq"], d.attrs["head_dim"]
-    if q.shape != (B, S, D):
+    H = int(d.attrs.get("heads", 0) or 0)
+    width = D * H if H else D       # token layout carries heads*head_dim
+    if q.shape != (B, S, width):
         _fail(op, f"dispatch inconsistent with Q {q.shape}")
     k, v = op.operands[2].type, op.operands[3].type
     Skv = d.attrs["seq_kv"]
-    if k.shape != (B, Skv, D) or v.shape != (B, Skv, D):
+    if k.shape != (B, Skv, width) or v.shape != (B, Skv, width):
         _fail(op, f"dispatch seq_kv={Skv} inconsistent with K {k.shape} / "
                   f"V {v.shape}")
 

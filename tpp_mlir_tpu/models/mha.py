@@ -91,18 +91,13 @@ def build_mha_block(batch: int = 8, heads: int = 16, seq: int = 32,
         acc = b.constant(TensorType((M, E), dtype), init="zero")
         return b.matmul(x, w, acc)
 
-    def to_heads(v):
-        v4 = b.reshape(v, (batch, seq, heads, head_dim))
-        v4 = b.transpose(v4, (0, 2, 1, 3))
-        return b.reshape(v4, (batch * heads, seq, head_dim))
-
-    q, k, v = (to_heads(proj(s)) for s in (1, 2, 3))
+    # token layout: heads are column slices selected inside the attention
+    # kernel (heads attr) — no head-split transposes anywhere
+    q, k, v = (b.reshape(proj(s), (batch, seq, E)) for s in (1, 2, 3))
     att = b.create("tl.attention", [q, k, v],
-                   [TensorType((batch * heads, seq, head_dim), dtype)],
-                   {"scale": head_dim ** -0.5}).result
-    ctx = b.reshape(att, (batch, heads, seq, head_dim))
-    ctx = b.transpose(ctx, (0, 2, 1, 3))
-    ctx = b.reshape(ctx, (M, E))
+                   [TensorType((batch, seq, E), dtype)],
+                   {"scale": head_dim ** -0.5, "heads": heads}).result
+    ctx = b.reshape(att, (M, E))
     wo = b.constant(TensorType((E, E), dtype), init="normal", seed=4)
     acco = b.constant(TensorType((M, E), dtype), init="zero")
     out = b.matmul(ctx, wo, acco)

@@ -126,6 +126,12 @@ class ConvertTlToXsmmPass(Pass):
                 for opt in ("strategy", "bq", "bk"):
                     if opt in op.attrs:
                         attrs[opt] = op.attrs[opt]
+                H = int(op.attrs.get("heads", 0) or 0)
+                if H:
+                    # token layout: batch is the true batch, head_dim the
+                    # per-head width (operand width = heads * head_dim)
+                    attrs["heads"] = H
+                    attrs["head_dim"] = D // H
 
                 def emit():
                     d = b.create("xsmm.attention_dispatch", [], [I64], attrs)

@@ -151,6 +151,21 @@ def _eval_tl(op: Operation, vals: list, interpret_kernels: bool):
                   keepdims=op.attrs.get("keepdims", True)).astype(odt)
     if name == "tl.attention":
         q, k, v = vals
+        H = int(op.attrs.get("heads", 0) or 0)
+        if H:   # token layout (B, S, H*D): split heads for the reference
+            def sp(x):
+                B_, s_, e_ = x.shape
+                return x.reshape(B_, s_, H, e_ // H)
+            q, k, v = sp(q), sp(k), sp(v)
+            s = jnp.einsum("bqhd,bkhd->bhqk", acc32(q), acc32(k)) \
+                * op.attrs.get("scale", 1.0)
+            if op.attrs.get("causal"):
+                S, Skv = s.shape[2], s.shape[3]
+                s = jnp.where(jnp.tril(jnp.ones((S, Skv), bool))[None, None],
+                              s, -1e30)
+            p_ = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum("bhqk,bkhd->bqhd", p_, acc32(v))
+            return o.reshape(o.shape[0], o.shape[1], -1).astype(odt)
         s = jnp.einsum("bqd,bkd->bqk", acc32(q), acc32(k)) \
             * op.attrs.get("scale", 1.0)
         if op.attrs.get("causal"):
@@ -357,7 +372,8 @@ def _dispatch_key(d: Operation, invoke: Operation):
                            causal=bool(a.get("causal", False)),
                            precision=prec,
                            bq=int(a.get("bq", 0)), bk=int(a.get("bk", 0)),
-                           strategy=a.get("strategy", "auto"))
+                           strategy=a.get("strategy", "auto"),
+                           heads=int(a.get("heads", 0)))
     if name == "xsmm.batch_gemm_dispatch":
         from ..xsmm.flags import BatchMatmulKey
         return BatchMatmulKey(batch=a["batch"], m=a["m"], n=a["n"], k=a["k"],

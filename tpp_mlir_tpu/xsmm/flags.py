@@ -245,6 +245,11 @@ class FlashMhaKey:
     # applications with K/V resident in VMEM and the output fed back as the
     # next query (the warm-KV analogue of ChainKey.repeats)
     repeats: int = 0
+    # heads > 0: operands are TOKEN layout (batch, seq, heads*head_dim) and
+    # the kernel slices per-head columns in BlockSpec index space — no
+    # head-split transposes exist anywhere (batch is then the TRUE batch,
+    # not batch*heads)
+    heads: int = 0
 
 
 @dataclass(frozen=True)

@@ -731,6 +731,32 @@ def _build_flash_mha(key, interpret: bool):
     against the two MXU contractions per step."""
     from .flags import FlashMhaKey
     assert isinstance(key, FlashMhaKey)
+    if key.heads:
+        # token-layout kernel pays off when per-program work is real;
+        # at tiny seq (s=32 benchmark regime) the head-grouped flat kernel
+        # behind cheap relayouts measured 31.2% vs 23.7% for (S, W)-tiny
+        # token blocks — gate on sequence length
+        if not key.repeats and key.seq >= 128 and key.seq_kv >= 128:
+            fn = _build_flash_mha_tokens(key, interpret)
+            if fn is not None:
+                return fn
+        # fallback: split heads OUTSIDE the kernel (XLA fuses the
+        # transposes into neighbors) and run the flat-layout variants
+        import dataclasses
+        B, S, Skv = key.batch, key.seq, key.seq_kv
+        D, H = key.head_dim, key.heads
+        inner = _build_flash_mha(
+            dataclasses.replace(key, heads=0, batch=B * H), interpret)
+
+        def split(x, s):
+            return x.reshape(B, s, H, D).transpose(0, 2, 1, 3).reshape(
+                B * H, s, D)
+
+        def fn_tokens(q, k, v):
+            o = inner(split(q, S), split(k, Skv), split(v, Skv))
+            return o.reshape(B, H, S, D).transpose(0, 2, 1, 3).reshape(
+                B, S, H * D)
+        return fn_tokens
     if key.repeats:
         fn = _build_flash_bench(key, interpret)
         if fn is None:
@@ -1127,6 +1153,107 @@ def _build_flash_bench(key, interpret: bool):
         scratch_shapes=[pltpu.VMEM((G * bq, D), mxu_dt)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+    return lambda q, k, v: call(q.astype(mxu_dt), k.astype(mxu_dt),
+                                v.astype(mxu_dt))
+
+
+def _build_flash_mha_tokens(key, interpret: bool):
+    """Attention on the TOKEN layout (B, S, H*D): heads are COLUMN slices
+    selected in BlockSpec index space — `hp` heads per program so the block
+    width hp*D is lane-aligned (2 heads at D=64, 1 at D=128). The QKV
+    projections' natural output feeds the kernel directly and the output
+    feeds the out-projection directly: the head-split/merge transposes and
+    reshapes that cost 6 HBM round trips in the flat layout simply do not
+    exist. K/V for the program's heads stay VMEM-resident across q blocks
+    (same elision as the qblock variant). Returns None when the block set
+    cannot be lane-aligned or does not fit VMEM."""
+    from .flags import FlashMhaKey
+    assert isinstance(key, FlashMhaKey)
+    B, S, Skv, D, H = (key.batch, key.seq, key.seq_kv, key.head_dim,
+                       key.heads)
+    E = H * D
+    hp = 1
+    while (hp * D) % 128 and hp < H:
+        hp *= 2
+    if H % hp or ((hp * D) % 128 and hp * D != E):
+        return None
+    W = hp * D
+    dtype = _jdt(key.dtype)
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
+    dsz = jnp.dtype(mxu_dt).itemsize
+    sub = 16 if dsz == 2 else 8
+    budget = int(current_target().vmem_bytes * 0.85)
+    fixed = 2 * Skv * W * dsz                     # resident K + V columns
+
+    def need(bq_):
+        return (fixed + bq_ * W * (dsz + jnp.dtype(out_dtype).itemsize)
+                + 8 * bq_ * Skv)
+
+    bq = 0
+    cand = S
+    while cand >= sub:
+        if S % cand == 0 and cand % sub == 0 and need(cand) <= budget:
+            bq = cand
+            break
+        cand //= 2
+    if bq < min(S, 128):
+        return None
+    nq = S // bq
+    grid = (B, H // hp, nq)
+
+    in_specs = [
+        pl.BlockSpec((1, bq, W), lambda b, g, i: (b, i, g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Skv, W), lambda b, g, i: (b, 0, g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Skv, W), lambda b, g, i: (b, 0, g),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((1, bq, W), lambda b, g, i: (b, i, g),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        i = pl.program_id(2)
+        outs = []
+        for t in range(hp):
+            q = (q_ref[0, :, t * D:(t + 1) * D].astype(jnp.float32)
+                 * (key.scale * _LOG2E)).astype(dtype)
+            s = jax.lax.dot_general(
+                q, k_ref[0, :, t * D:(t + 1) * D],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (bq, Skv)
+            if key.causal:
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, Skv), 0) + i * bq
+                cols = jax.lax.broadcasted_iota(jnp.int32, (bq, Skv), 1)
+                s = jnp.where(rows >= cols, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(jnp.dot(p.astype(dtype),
+                                v_ref[0, :, t * D:(t + 1) * D],
+                                preferred_element_type=jnp.float32) / l)
+        o_ref[0] = jnp.concatenate(outs, axis=-1).astype(out_dtype)
+
+    flops = 4 * B * S * Skv * E
+    if key.causal:
+        flops //= 2
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=B * (S * E * 2 + 2 * Skv * E) * dsz,
+        transcendentals=B * H * S * Skv)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, S, E), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=cost,
         interpret=interpret,
     )

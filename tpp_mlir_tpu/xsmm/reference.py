@@ -139,7 +139,7 @@ def chain_reference(key):
 def flash_mha_reference(key):
     out_dtype = _jdt(key.out_dtype or key.dtype)
 
-    def fn(q, k, v):
+    def core(q, k, v):
         s = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32),
                        k.astype(jnp.float32)) * key.scale
         if key.causal:
@@ -149,6 +149,22 @@ def flash_mha_reference(key):
         p = jax.nn.softmax(s, axis=-1)
         return jnp.einsum("bqk,bkd->bqd", p,
                           v.astype(jnp.float32)).astype(out_dtype)
+
+    if not key.heads:
+        return core
+
+    H, D = key.heads, key.head_dim
+
+    def fn(q, k, v):
+        # token layout (B, S, H*D): split, run per-head, merge back
+        def sp(x):
+            B_, s_, _ = x.shape
+            return x.reshape(B_, s_, H, D).transpose(0, 2, 1, 3).reshape(
+                B_ * H, s_, D)
+        o = core(sp(q), sp(k), sp(v))
+        B_, S_ = q.shape[0], q.shape[1]
+        return o.reshape(B_, H, S_, D).transpose(0, 2, 1, 3).reshape(
+            B_, S_, H * D)
     return fn
 
 
