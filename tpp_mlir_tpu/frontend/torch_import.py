@@ -126,7 +126,11 @@ class _LayerLowering:
         if isinstance(layer, nn.ReLU):
             return b.relu(x)
         if isinstance(layer, nn.GELU):
-            return b.unary("tl.gelu", x)
+            # torch default is the exact erf gelu; 'tanh' selects the
+            # approximation — distinct tl kinds so numerics match exactly
+            return b.unary("tl.gelu_tanh"
+                           if getattr(layer, "approximate", "none") == "tanh"
+                           else "tl.gelu", x)
         if isinstance(layer, nn.Tanh):
             return b.unary("tl.tanh", x)
         if isinstance(layer, nn.Softmax):

@@ -27,7 +27,7 @@ from .types import TensorType
 # ---------------------------------------------------------------------------
 
 UNARY_KINDS = ("none", "identity", "zero", "relu", "vnni2", "transpose",
-               "exp", "square", "sqrt", "negate", "rsqrt", "tanh", "gelu")
+               "exp", "square", "sqrt", "negate", "rsqrt", "tanh", "gelu", "gelu_tanh")
 BINARY_KINDS = ("none", "add", "mul", "sub", "div", "max")
 # GemmFlags: beta_0 folds away the zero-fill of the accumulator; vnni_b means
 # the B operand is in VNNI layout (on TPU: native bf16 packed operand).
@@ -258,7 +258,7 @@ def _unary(name):
 
 
 for _n in ("tl.relu", "tl.identity", "tl.exp", "tl.negate", "tl.square",
-           "tl.sqrt", "tl.rsqrt", "tl.tanh", "tl.gelu"):
+           "tl.sqrt", "tl.rsqrt", "tl.tanh", "tl.gelu", "tl.gelu_tanh"):
     _unary(_n)
 
 

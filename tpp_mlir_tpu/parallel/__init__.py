@@ -17,6 +17,8 @@ everything beyond `data_parallel_run` is capability headroom, not parity.
 from .mesh import make_mesh, task_grid_mesh
 from .runner import data_parallel_run, shard_run
 from .train import TrainState, make_train_step, mlp_init
+from .transformer import make_mha_forward, mha_param_specs, mha_params
 
 __all__ = ["make_mesh", "task_grid_mesh", "data_parallel_run", "shard_run",
-           "TrainState", "make_train_step", "mlp_init"]
+           "TrainState", "make_train_step", "mlp_init",
+           "make_mha_forward", "mha_params", "mha_param_specs"]

@@ -26,7 +26,8 @@ from .pass_manager import Pass, register
 _UNARY_MAP = {
     "tl.relu": "relu", "tl.identity": "identity", "tl.exp": "exp",
     "tl.square": "square", "tl.sqrt": "sqrt", "tl.rsqrt": "rsqrt",
-    "tl.tanh": "tanh", "tl.gelu": "gelu", "tl.negate": "negate",
+    "tl.tanh": "tanh", "tl.gelu": "gelu", "tl.gelu_tanh": "gelu_tanh",
+    "tl.negate": "negate",
 }
 _BINARY_MAP = {"tl.add": "add", "tl.sub": "sub", "tl.mul": "mul",
                "tl.div": "div", "tl.max": "max"}

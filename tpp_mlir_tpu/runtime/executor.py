@@ -122,7 +122,9 @@ def _eval_tl(op: Operation, vals: list, interpret_kernels: bool):
     if name == "tl.tanh":
         return jnp.tanh(acc32(vals[0])).astype(odt)
     if name == "tl.gelu":
-        return jax.nn.gelu(acc32(vals[0])).astype(odt)
+        return jax.nn.gelu(acc32(vals[0]), approximate=False).astype(odt)
+    if name == "tl.gelu_tanh":
+        return jax.nn.gelu(acc32(vals[0]), approximate=True).astype(odt)
     if name == "tl.cast":
         return vals[0].astype(odt)
     if name == "tl.pad":

@@ -62,7 +62,10 @@ _UNARY_FNS = {
     "sqrt": jnp.sqrt,
     "rsqrt": jax.lax.rsqrt,
     "tanh": jnp.tanh,
-    "gelu": jax.nn.gelu,
+    # "gelu" = EXACT erf gelu (torch nn.GELU default; libxsmm GELU);
+    # "gelu_tanh" = the tanh approximation (torch approximate='tanh')
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
     "negate": lambda x: -x,
     "zero": lambda x: jnp.zeros_like(x),
 }
