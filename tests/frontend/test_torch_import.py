@@ -188,3 +188,22 @@ def test_torch_transformer_encoder_block():
     out = fn(jnp.asarray(xt.numpy()))
     got = np.asarray(out[0] if isinstance(out, tuple) else out, np.float32)
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+def test_torch_transformer_bf16_import():
+    """bf16 transformer block imports and executes (literal weights cast at
+    init; flash/GEMM kernels take bf16 natively)."""
+    from tpp_mlir_tpu.models.transformer_block import build_transformer_block
+    from tpp_mlir_tpu.runtime import tensor_init
+
+    m = build_transformer_block(batch=1, seq=32, embed=64, heads=4,
+                                dtype="bf16")
+    run_pipeline(m, "default-tpp-passes")
+    s = str(m)
+    assert "xsmm.attention" in s and "xsmm.layer_norm" in s
+    x = jnp.asarray(tensor_init("rand", (1, 32, 64), "bf16", seed=1))
+    fn = tpp_compile(m, jit=False)
+    out = fn(x)
+    out = out[0] if isinstance(out, tuple) else out
+    assert str(out.dtype) == "bfloat16"
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())

@@ -9,7 +9,8 @@ from __future__ import annotations
 
 def build_transformer_block(batch: int = 8, seq: int = 256,
                             embed: int = 1024, heads: int = 16,
-                            mlp_ratio: int = 4, seed: int = 0):
+                            mlp_ratio: int = 4, seed: int = 0,
+                            dtype: str = "f32"):
     import torch
     import torch.nn as nn
 
@@ -35,4 +36,4 @@ def build_transformer_block(batch: int = 8, seq: int = 256,
 
     torch.manual_seed(seed)
     model = Block().eval()
-    return import_torch_fx(model, (batch, seq, embed))
+    return import_torch_fx(model, (batch, seq, embed), dtype=dtype)
