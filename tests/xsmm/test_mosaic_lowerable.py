@@ -1,0 +1,61 @@
+"""Guard against primitives Mosaic cannot lower inside TPU kernels.
+
+Interpret-mode CPU tests execute kernel bodies with the full XLA:CPU op set,
+so a primitive like `erfc` (what jax.nn.gelu(approximate=False) lowers
+through) passes every numeric test yet fails to compile on real TPU:
+"Unimplemented primitive in Pallas TPU lowering ... erfc" (measured r3 on
+the imported transformer block's exact-GELU epilogue).
+
+This test closes the gap WITHOUT TPU hardware: trace the compiled-mode
+(interpret=False) kernels to a jaxpr and assert no known-unsupported
+primitive appears anywhere under the pallas_call. Tracing is
+platform-independent — only execution needs the TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpp_mlir_tpu.xsmm.flags import ChainKey
+from tpp_mlir_tpu.xsmm.kernels import build_kernel
+
+# Primitives Mosaic has no TPU lowering for (discovered on v5e, jax 0.9).
+UNSUPPORTED = ("erfc", "erf_inv")
+
+
+def assert_lowerable(fn, *args):
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    text = str(jaxpr)
+    for prim in UNSUPPORTED:
+        # match the primitive name as a word: "erfc " in eqn position
+        assert f" {prim} " not in text and f"{prim}[" not in text, (
+            f"kernel jaxpr contains `{prim}`, which Mosaic cannot lower "
+            f"on TPU")
+
+
+@pytest.mark.parametrize("unary", ["relu", "gelu", "gelu_tanh", "tanh",
+                                   "exp", "square", "sqrt", "negate"])
+def test_chain_epilogues_mosaic_lowerable(unary):
+    key = ChainKey(m=8, dims=(128, 128), dtype="f32", has_bias=True,
+                   unary_kind=unary, last_unary=unary)
+    fn = build_kernel(key, interpret=False)
+    x = jnp.zeros((8, 128), jnp.float32)
+    w = jnp.zeros((128, 128), jnp.float32)
+    b = jnp.zeros((128,), jnp.float32)
+    assert_lowerable(fn, x, w, b)
+
+
+def test_exact_gelu_kernel_matches_torch_reference():
+    """The in-kernel exact-gelu spelling (0.5*x*(1+erf)) must still match
+    torch nn.GELU (erfc-based jax.nn.gelu) to f32 roundoff."""
+    key = ChainKey(m=8, dims=(128, 128), dtype="f32", has_bias=True,
+                   unary_kind="gelu", last_unary="gelu")
+    fn = build_kernel(key, interpret=True)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (8, 128), jnp.float32) * 3.0
+    w = jax.random.normal(jax.random.PRNGKey(1), (128, 128),
+                          jnp.float32) / 16.0
+    b = jax.random.normal(jax.random.PRNGKey(2), (128,), jnp.float32)
+    got = fn(x, w, b)
+    want = jax.nn.gelu(x @ w + b, approximate=False)
+    assert jnp.max(jnp.abs(got - want)) < 1e-5

@@ -63,8 +63,14 @@ _UNARY_FNS = {
     "rsqrt": jax.lax.rsqrt,
     "tanh": jnp.tanh,
     # "gelu" = EXACT erf gelu (torch nn.GELU default; libxsmm GELU);
-    # "gelu_tanh" = the tanh approximation (torch approximate='tanh')
-    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    # "gelu_tanh" = the tanh approximation (torch approximate='tanh').
+    # Exact gelu is spelled with lax.erf directly: jax.nn.gelu(exact) lowers
+    # through erfc, which Mosaic cannot lower inside a TPU kernel (measured:
+    # "Unimplemented primitive ... erfc"); erf itself lowers fine. The
+    # 0.5*(1+erf) form loses nothing here: for x < -5 where cancellation
+    # could bite, gelu underflows to 0 in bf16/f32 epilogues anyway.
+    "gelu": lambda x: 0.5 * x * (1.0 + jax.lax.erf(
+        x.astype(jnp.float32) * 0.7071067811865476).astype(x.dtype)),
     "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
     "negate": lambda x: -x,
     "zero": lambda x: jnp.zeros_like(x),
