@@ -181,3 +181,28 @@ def test_pad_fuses_into_conv():
     s = print_module(low)
     assert "tl.pad" not in s
     assert "padding = [1, 1, 1, 1]" in s or "padding = (1, 1, 1, 1)" in s
+
+
+def test_convnet_residual_same_padding_fuses():
+    """The NHWC residual block model (same padding, residual add): bias
+    rides the accumulator init (ConvInitSimplify absorbing the CSE-shared
+    zero fill — the reference's DuplicateFill case), freeing the binary
+    slot so the residual add + relu fuse into the second conv's epilogue.
+    The whole block lowers to exactly two fused conv invokes."""
+    from tpp_mlir_tpu.models.convnet import ConvConfig, build_convnet
+
+    cfg = ConvConfig(batch=2, channels=64, filters=64, height=8, width=8,
+                     kernel=3, layers=2, layout="nhwc", padding="same",
+                     residual=True, const_weights=True)
+    m_ref = build_convnet(cfg)
+    m_low = build_convnet(cfg)
+    run_pipeline(m_low, "default-tpp-passes")
+    s = print_module(m_low)
+    assert s.count("xsmm.fused_brgemm ") == 2
+    assert "xsmm.binary" not in s and "xsmm.unary" not in s
+    assert "tl.pad" not in s  # pad fused into the conv dispatches
+    x = rng(2, 8, 8, 64)
+    ref = tpp_compile(m_ref, jit=False)(x)
+    got = tpp_compile(m_low, jit=False)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

@@ -23,6 +23,8 @@ class ConvConfig:
     relu: bool = True
     const_weights: bool = True
     layout: str = "nchw"         # "nhwc": zero activation relayout on TPU
+    padding: str = "valid"       # "same": pad (k-1)//2, spatial preserved
+    residual: bool = False       # add block input before the final relu
     seed: int = 0
 
 
@@ -30,14 +32,17 @@ def conv_flops(cfg: ConvConfig) -> int:
     total = 0
     H, W = cfg.height, cfg.width
     C = cfg.channels
+    same = cfg.padding == "same"
     for _ in range(cfg.layers):
-        P, Q = H - cfg.kernel + 1, W - cfg.kernel + 1
+        P, Q = (H, W) if same else (H - cfg.kernel + 1, W - cfg.kernel + 1)
         total += 2 * cfg.batch * cfg.filters * P * Q * C * cfg.kernel ** 2
         if cfg.bias:
             total += cfg.batch * cfg.filters * P * Q
         if cfg.relu:
             total += cfg.batch * cfg.filters * P * Q
         H, W, C = P, Q, cfg.filters
+    if cfg.residual:
+        total += cfg.batch * cfg.filters * H * W
     return total
 
 
@@ -64,10 +69,16 @@ def build_convnet(cfg: ConvConfig) -> Module:
     b = TppBuilder(f)
 
     x = f.args[0]
+    block_in = x if cfg.residual else None
+    if cfg.residual:
+        assert cfg.padding == "same" and cfg.channels == cfg.filters, \
+            "residual needs shape-preserving layers (same padding, C == K)"
     argi = 1
+    same = cfg.padding == "same"
+    p = (cfg.kernel - 1) // 2
     C, H, W = cfg.channels, cfg.height, cfg.width
     for i in range(cfg.layers):
-        P, Q = H - cfg.kernel + 1, W - cfg.kernel + 1
+        P, Q = (H, W) if same else (H - cfg.kernel + 1, W - cfg.kernel + 1)
         wshape = ((cfg.kernel, cfg.kernel, C, cfg.filters) if nhwc
                   else (cfg.filters, C, cfg.kernel, cfg.kernel))
         if cfg.const_weights:
@@ -85,15 +96,22 @@ def build_convnet(cfg: ConvConfig) -> Module:
         oshape = ((cfg.batch, P, Q, cfg.filters) if nhwc
                   else (cfg.batch, cfg.filters, P, Q))
         acc = b.constant(TensorType(oshape, dt), init="zero")
+        last = i == cfg.layers - 1
         if nhwc:
+            if same and p:
+                x = b.pad(x, (0, p, p, 0), (0, p, p, 0))
             x = b.conv2d_nhwc_hwcf(x, w, acc, strides=(1, 1))
             if cfg.bias:
                 x = b.add(x, bias)
         else:
+            if same and p:
+                x = b.pad(x, (0, 0, p, p), (0, 0, p, p))
             x = b.conv2d_nchw_fchw(x, w, acc, strides=(1, 1))
             if cfg.bias:
                 bias3 = b.reshape(bias, (cfg.filters, 1, 1))
                 x = b.add(x, bias3)
+        if last and block_in is not None:
+            x = b.add(x, block_in)
         if cfg.relu:
             x = b.relu(x)
         C, H, W = cfg.filters, P, Q

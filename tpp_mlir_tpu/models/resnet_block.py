@@ -6,7 +6,7 @@ from __future__ import annotations
 
 
 def build_resnet_block(batch: int = 8, channels: int = 128, hw: int = 16,
-                       seed: int = 0):
+                       seed: int = 0, dtype: str = "f32"):
     import torch
 
     from ..frontend import import_torch_fx
@@ -26,4 +26,4 @@ def build_resnet_block(batch: int = 8, channels: int = 128, hw: int = 16,
 
     torch.manual_seed(seed)
     model = Block().eval()
-    return import_torch_fx(model, (batch, channels, hw, hw))
+    return import_torch_fx(model, (batch, channels, hw, hw), dtype=dtype)

@@ -71,7 +71,12 @@ class ConvInitSimplifyPass(Pass):
             if len(conv_val.uses) != 1:
                 continue
             dest = conv.operands[2]
-            if not is_zero_op(dest.owner) or len(dest.uses) != 1:
+            # The zero dest may be CSE-shared across convs: replacing THIS
+            # conv's acc operand never mutates the zero itself, so sharing
+            # is harmless — requiring a unique use here would re-create the
+            # reference's DuplicateFill problem (Passes.td:334-342) instead
+            # of absorbing it.
+            if not is_zero_op(dest.owner):
                 continue
             out_t = conv.result.type
             from ..ir import broadcast_shapes
