@@ -1,0 +1,97 @@
+"""fold-residual-acc + qkv-merge: the transformer-block fusion passes.
+
+Reference provenance: FoldAddIntoDest.cpp (residual-into-accumulator, here
+replayed at the xsmm level where the binary slot is already claimed by the
+bias) and CombineXsmmPass.cpp extended in the Megatron fused-QKV direction
+(three same-activation projections merge into one triple-width GEMM feeding
+a qkv_packed attention invoke)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpp_mlir_tpu.ir import parse_module, print_module
+from tpp_mlir_tpu.passes import run_pipeline
+from tpp_mlir_tpu.runtime import compile as tpp_compile
+from tpp_mlir_tpu.runtime import tensor_init
+
+
+def _rng(*shape, seed=0, scale=1.0):
+    return jnp.asarray(tensor_init("rand", shape, "f32", seed=seed)) * scale
+
+
+RESIDUAL_GEMM = """func @entry(%x: tensor<64x128xf32>, %w: tensor<128x128xf32>, %b: tensor<128xf32>) {
+  %0 = tl.constant {init = "zero", seed = 0} : tensor<64x128xf32>
+  %1 = tl.matmul %x, %w, %0 : tensor<64x128xf32>
+  %2 = tl.add %1, %b : tensor<64x128xf32>
+  %3 = tl.add %2, %x : tensor<64x128xf32>
+  %4 = tl.relu %3 : tensor<64x128xf32>
+  return %4 : tensor<64x128xf32>
+}
+"""
+
+
+def test_fold_residual_acc_gemm():
+    """gemm + bias + full-shape residual + relu lower to ONE fused_brgemm:
+    the residual rides the accumulator (beta=1), bias stays bcast_col,
+    relu is the fused unary."""
+    ref = parse_module(RESIDUAL_GEMM)
+    low = parse_module(RESIDUAL_GEMM)
+    run_pipeline(low, "default-tpp-passes")
+    s = print_module(low)
+    assert s.count("xsmm.fused_brgemm ") == 1
+    assert "xsmm.binary" not in s and "xsmm.unary" not in s
+    assert '"beta_0"' not in s          # the residual IS the accumulator
+    assert 'unary_kind = "relu"' in s
+    args = (_rng(64, 128), _rng(128, 128, seed=1, scale=0.05),
+            _rng(128, seed=2))
+    r = tpp_compile(ref, jit=False)(*args)
+    l = tpp_compile(low, jit=False)(*args)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fold_residual_acc_keeps_unary_barrier():
+    """An activation BETWEEN the gemm and the residual add must NOT fold:
+    relu(gemm+bias) + x is not (x + gemm) + bias under any epilogue
+    order."""
+    text = RESIDUAL_GEMM.replace(
+        """  %2 = tl.add %1, %b : tensor<64x128xf32>
+  %3 = tl.add %2, %x : tensor<64x128xf32>
+  %4 = tl.relu %3 : tensor<64x128xf32>
+  return %4 : tensor<64x128xf32>""",
+        """  %2 = tl.add %1, %b : tensor<64x128xf32>
+  %3 = tl.relu %2 : tensor<64x128xf32>
+  %4 = tl.add %3, %x : tensor<64x128xf32>
+  return %4 : tensor<64x128xf32>""")
+    ref = parse_module(text)
+    low = parse_module(text)
+    run_pipeline(low, "default-tpp-passes")
+    args = (_rng(64, 128), _rng(128, 128, seed=1, scale=0.05),
+            _rng(128, seed=2))
+    r = tpp_compile(ref, jit=False)(*args)
+    l = tpp_compile(low, jit=False)(*args)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_transformer_block_fuses_completely():
+    """The imported torch transformer block lowers to exactly 4 GEMMs
+    (merged QKV + out-proj/residual + fc1/gelu + fc2/residual), 2 fused
+    LayerNorms, and one qkv_packed attention — no standalone elementwise
+    kernel survives."""
+    from tpp_mlir_tpu.models.transformer_block import build_transformer_block
+
+    ref = build_transformer_block(batch=2, seq=128, embed=256, heads=4)
+    low = build_transformer_block(batch=2, seq=128, embed=256, heads=4)
+    run_pipeline(low, "default-tpp-passes")
+    s = print_module(low)
+    assert s.count("xsmm.fused_brgemm ") == 4
+    assert s.count("xsmm.layer_norm ") == 2
+    assert s.count("xsmm.attention ") == 1
+    assert "qkv_packed = true" in s
+    assert "xsmm.binary" not in s and "xsmm.unary" not in s
+    x = _rng(2, 128, 256)
+    r = tpp_compile(ref, jit=True)(x)
+    l = tpp_compile(low, jit=True)(x)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(r),
+                               atol=1e-4, rtol=1e-4)

@@ -746,19 +746,31 @@ def _v_attention_dispatch(op):
 
 @_op("xsmm.attention")
 def _v_xsmm_attention(op):
-    if len(op.operands) != 4:
-        _fail(op, "expects (dispatch, Q, K, V)")
     d = _dispatch_of(op)
     if d is None or d.opname != "xsmm.attention_dispatch":
         _fail(op, "first operand must be an attention_dispatch result")
-    q = op.operands[1].type
     B, S, D = d.attrs["batch"], d.attrs["seq"], d.attrs["head_dim"]
     H = int(d.attrs.get("heads", 0) or 0)
     width = D * H if H else D       # token layout carries heads*head_dim
+    Skv = d.attrs["seq_kv"]
+    if d.attrs.get("qkv_packed"):
+        # merged-projection form: ONE [Q|K|V] column-group operand
+        if len(op.operands) != 2:
+            _fail(op, "qkv_packed expects (dispatch, QKV)")
+        if not H:
+            _fail(op, "qkv_packed requires token layout (heads attr)")
+        if S != Skv:
+            _fail(op, "qkv_packed requires seq == seq_kv (self-attention)")
+        q = op.operands[1].type
+        if q.shape != (B, S, 3 * width):
+            _fail(op, f"dispatch inconsistent with packed QKV {q.shape}")
+        return
+    if len(op.operands) != 4:
+        _fail(op, "expects (dispatch, Q, K, V)")
+    q = op.operands[1].type
     if q.shape != (B, S, width):
         _fail(op, f"dispatch inconsistent with Q {q.shape}")
     k, v = op.operands[2].type, op.operands[3].type
-    Skv = d.attrs["seq_kv"]
     if k.shape != (B, Skv, width) or v.shape != (B, Skv, width):
         _fail(op, f"dispatch seq_kv={Skv} inconsistent with K {k.shape} / "
                   f"V {v.shape}")

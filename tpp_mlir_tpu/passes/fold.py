@@ -400,6 +400,22 @@ def _materialize_const(val, module):
     return None
 
 
+def new_literal_const(b, module, arr, shape, dtype):
+    """Register `arr` as a module literal and emit a tl.constant for it —
+    the compile-time-folded-parameter mechanism (reference ConstantFoldPack
+    keeps an init+pack recipe; here the folded array IS the literal)."""
+    import numpy as np
+
+    key = f"fold{len(module.literals)}_c"
+    while key in module.literals:
+        key += "_"
+    module.literals[key] = np.asarray(arr, np.float32).reshape(shape)
+    from ..ir import TensorType
+    return b.create("tl.constant", [],
+                    [TensorType(tuple(shape), dtype)],
+                    {"init": "literal", "literal": key}).result
+
+
 def _channel_vec(arr, out_shape, ch_axis):
     """Per-channel vector (length K, or 1 for a scalar) if `arr` broadcast
     against `out_shape` varies only along `ch_axis`, else None."""
@@ -446,16 +462,7 @@ class FoldConstScalePass(Pass):
         return changed
 
     def _new_const(self, b, module, arr, shape, dtype):
-        import numpy as np
-
-        key = f"fold{len(module.literals)}_c"
-        while key in module.literals:
-            key += "_"
-        module.literals[key] = np.asarray(arr, np.float32).reshape(shape)
-        from ..ir import TensorType
-        return b.create("tl.constant", [],
-                        [TensorType(tuple(shape), dtype)],
-                        {"init": "literal", "literal": key}).result
+        return new_literal_const(b, module, arr, shape, dtype)
 
     def _round(self, func: Function, module: Module) -> bool:
         import numpy as np

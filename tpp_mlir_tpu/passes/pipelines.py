@@ -61,6 +61,8 @@ def linalg_lowering(**opts):
         "conv-to-brgemm",
         "convert-tl-to-xsmm",
         "xsmm-combine",
+        "fold-residual-acc",
+        "qkv-merge",
         "fold-xsmm-flags",
         "chain-fusion",
         "cleanup",

@@ -716,3 +716,263 @@ class VerifyXsmmPass(Pass):
                             f"dispatch {op.opname} consumed by non-invoke "
                             f"{user.opname}")
         return False
+
+
+@register
+class FoldResidualAccPass(Pass):
+    """A full-shape `xsmm.binary add` consuming a BETA_0 contraction becomes
+    the contraction's accumulator init (beta=1) — FoldAddIntoDest
+    (reference FoldAddIntoDest.cpp) replayed at the xsmm level, where it
+    catches residual adds that only become foldable AFTER xsmm-combine has
+    claimed the binary slot for the bias:
+
+        f = fused_brgemm(A, B, C=zero[beta_0], bias[bcast_col])
+        r = binary_add(x, reshape?(f))          # full-shape residual
+        [u = unary(r)]                          # optional activation
+    ->
+        f' = fused_brgemm(A, B, C=x, bias[bcast_col], unary=u?)
+
+    The residual rides the accumulator DMA the kernel already issues (the
+    zero-init path writes the same block), so the separate m*n-sized
+    elementwise pass — read(f) + read(x) + write — disappears entirely.
+    Association changes from (A@B + bias) + x to (x + A@B) + bias, within
+    f32-accumulate tolerance (the acc is f32 scratch in every kernel)."""
+
+    name = "fold-residual-acc"
+
+    def run_on_function(self, func: Function, module: Module) -> bool:
+        from .conv import _hoist_before
+
+        changed = False
+        b = TppBuilder(func)
+        for op in list(func.ops):
+            if op.parent is None or op.opname != "xsmm.binary":
+                continue
+            bdisp = op.operands[0].owner
+            if bdisp is None or bdisp.attrs.get("kind") != "add":
+                continue
+            if op.operands[1].type.shape != op.operands[2].type.shape:
+                continue  # only full-shape adds
+            for gi, oi in ((1, 2), (2, 1)):
+                v = op.operands[gi]
+                other = op.operands[oi]
+                if v is other:
+                    continue
+                reshape = None
+                prod = v.owner
+                if prod is not None and prod.opname == "tl.reshape":
+                    if len(prod.result.uses) != 1:
+                        continue
+                    reshape = prod
+                    prod = prod.operands[0].owner
+                if prod is None or prod.opname not in ("xsmm.fused_brgemm",
+                                                       "xsmm.brgemm"):
+                    continue
+                if len(prod.result.uses) != 1:
+                    continue  # the contraction output escapes elsewhere
+                pd = prod.operands[0].owner
+                flags = tuple(pd.attrs.get("flags", ()))
+                # the pass runs before fold-xsmm-flags, so "acc is dead"
+                # shows up either as the BETA_0 flag or as a still-live
+                # zero-op accumulator operand
+                from ..ir.matcher import is_zero_op
+                if "beta_0" not in flags \
+                        and not is_zero_op(prod.operands[3].owner):
+                    continue
+                if pd.attrs.get("unary_kind") not in (None, "none"):
+                    continue  # unary applies before the add: not foldable
+                if prod.result.type.dtype != op.result.type.dtype:
+                    continue
+                if not _hoist_before(func, prod, other):
+                    continue
+
+                attrs = dict(pd.attrs)
+                attrs["flags"] = tuple(f for f in flags if f != "beta_0")
+                # absorb a single trailing unary as the fused epilogue
+                unary_op = _single_user(op)
+                if unary_op is not None and unary_op.opname == "xsmm.unary":
+                    ud = unary_op.operands[0].owner
+                    attrs["unary_kind"] = ud.attrs["kind"]
+                else:
+                    unary_op = None
+
+                def emit():
+                    acc = other
+                    if acc.type.shape != prod.result.type.shape:
+                        acc = b.reshape(acc, prod.result.type.shape)
+                    nd = b.create(pd.opname, [], [I64], attrs)
+                    return acc, nd.result
+
+                start = len(func.ops)
+                acc, nd = emit()
+                new_ops = func.ops[start:]
+                del func.ops[start:]
+                i = func.ops.index(prod)
+                func.ops[i:i] = new_ops
+
+                prod.set_operand(0, nd)
+                prod.set_operand(3, acc)
+
+                repl = reshape.result if reshape is not None else prod.result
+                if unary_op is not None:
+                    func.replace_all_uses(unary_op.result, repl)
+                    ud = unary_op.operands[0].owner
+                    func.erase(unary_op)
+                    if ud is not None and not ud.result.uses:
+                        func.erase(ud)
+                func.replace_all_uses(op.result, repl)
+                func.erase(op)
+                if not bdisp.result.uses:
+                    func.erase(bdisp)
+                if not pd.result.uses:
+                    func.erase(pd)
+                changed = True
+                break
+        return changed
+
+
+@register
+class QkvMergePass(Pass):
+    """Three fused_brgemm projections reading the SAME activation with
+    constant weights (the Q/K/V pattern every imported MultiheadAttention
+    produces) merge into ONE GEMM of triple width feeding a qkv_packed
+    attention invoke:
+
+        q = fused_brgemm(A, Wq, bias_q);  k = ...;  v = ...
+        o = attention(q, k, v)                       # token layout
+    ->
+        qkv = fused_brgemm(A, [Wq|Wk|Wv], [bq|bk|bv])   # (m, 3n)
+        o   = attention(qkv)                            # qkv_packed
+
+    The activation streams from HBM once instead of three times, one kernel
+    launch replaces three, and the attention kernel reads K/V at BlockSpec
+    column-group offsets of the packed array — no slice is ever
+    materialized. The weight/bias concat happens at compile time via the
+    literal mechanism (reference ConstantFoldPack's folded-parameter idea,
+    ToBlockLayoutAndBack.cpp:682-856). Megatron's fused-QKV layout, arrived
+    at from the reference's CombineXsmm direction."""
+
+    name = "qkv-merge"
+
+    def run_on_function(self, func: Function, module: Module) -> bool:
+        import numpy as np
+
+        from ..ir import TensorType
+        from ..ir.matcher import is_zero_op
+        from .fold import _materialize_const, new_literal_const
+
+        changed = False
+        b = TppBuilder(func)
+        for op in list(func.ops):
+            if op.parent is None or op.opname != "xsmm.attention":
+                continue
+            if len(op.operands) != 4:
+                continue
+            ad = op.operands[0].owner
+            if not int(ad.attrs.get("heads", 0) or 0):
+                continue
+            if ad.attrs["seq"] != ad.attrs["seq_kv"]:
+                continue
+            reshapes, prods = [], []
+            for v in op.operands[1:]:
+                r = v.owner
+                if r is None or r.opname != "tl.reshape" \
+                        or len(r.result.uses) != 1:
+                    break
+                p = r.operands[0].owner
+                if p is None or p.opname != "xsmm.fused_brgemm" \
+                        or len(p.result.uses) != 1:
+                    break
+                reshapes.append(r)
+                prods.append(p)
+            if len(prods) != 3 or len(set(map(id, prods))) != 3:
+                continue
+            pds = [p.operands[0].owner for p in prods]
+
+            def _same_activation(x, y):
+                # CSE runs later: the A operands may be distinct-but-equal
+                # reshape ops of one source value
+                if x is y:
+                    return True
+                xo, yo = x.owner, y.owner
+                return (xo is not None and yo is not None
+                        and xo.opname == yo.opname == "tl.reshape"
+                        and xo.operands[0] is yo.operands[0]
+                        and x.type == y.type)
+
+            a0 = prods[0].operands[1]
+            if any(not _same_activation(p.operands[1], a0)
+                   for p in prods[1:]):
+                continue
+            base = dict(pds[0].attrs)
+            if any(dict(d.attrs) != base for d in pds[1:]):
+                continue
+            if base.get("layout", "flat") != "flat" or base.get("batch") != 1:
+                continue
+            if base.get("binary_kind") != "add" \
+                    or base.get("binary_bcast") != "bcast_col":
+                continue
+            if base.get("unary_kind") not in (None, "none"):
+                continue
+            # acc must be dead (zero or BETA_0) in all three
+            if "beta_0" not in base.get("flags", ()) and not all(
+                    is_zero_op(p.operands[3].owner) for p in prods):
+                continue
+            ws = [_materialize_const(p.operands[2], module) for p in prods]
+            bs = [_materialize_const(p.operands[4], module) for p in prods]
+            if any(w is None for w in ws) or any(x is None for x in bs):
+                continue
+            m, n, kk = base["m"], base["n"], base["k"]
+            dt = prods[0].result.type.dtype
+            w_cat = np.concatenate([w.reshape(kk, n) for w in ws], axis=1)
+            b_cat = np.concatenate([x.reshape(n) for x in bs])
+
+            attrs = dict(base)
+            attrs["n"] = 3 * n
+            attrs["flags"] = tuple(f for f in base.get("flags", ())
+                                   if f != "beta_0") + ("beta_0",)
+            for t in ("tile_m", "tile_n", "tile_k"):
+                attrs.pop(t, None)  # triple width: re-pick kernel blocks
+            a_attrs = dict(ad.attrs)
+            a_attrs["qkv_packed"] = True
+
+            B_, S_ = op.operands[1].type.shape[:2]
+
+            def emit():
+                wc = new_literal_const(b, module, w_cat, (1, kk, 3 * n), dt)
+                bc = new_literal_const(b, module, b_cat, (3 * n,), dt)
+                zc = b.create("tl.constant", [],
+                              [TensorType((m, 3 * n), dt)],
+                              {"init": "zero"}).result
+                nd = b.create("xsmm.fused_brgemm_dispatch", [], [I64],
+                              attrs).result
+                gemm = b.create("xsmm.fused_brgemm",
+                                [nd, a0, wc, zc, bc],
+                                [TensorType((m, 3 * n), dt)]).result
+                packed = b.reshape(gemm, (B_, S_, 3 * n))
+                nad = b.create("xsmm.attention_dispatch", [], [I64],
+                               a_attrs).result
+                att = b.create("xsmm.attention", [nad, packed],
+                               [op.result.type])
+                return att.result
+
+            start = len(func.ops)
+            res = emit()
+            new_ops = func.ops[start:]
+            del func.ops[start:]
+            i = func.ops.index(op)
+            func.ops[i:i] = new_ops
+
+            func.replace_all_uses(op.result, res)
+            func.erase(op)
+            for r, p, d in zip(reshapes, prods, pds):
+                if not r.result.uses:
+                    func.erase(r)
+                if not p.result.uses:
+                    func.erase(p)
+                if d.parent is not None and not d.result.uses:
+                    func.erase(d)
+            if ad.parent is not None and not ad.result.uses:
+                func.erase(ad)
+            changed = True
+        return changed

@@ -375,7 +375,8 @@ def _dispatch_key(d: Operation, invoke: Operation):
                            precision=prec,
                            bq=int(a.get("bq", 0)), bk=int(a.get("bk", 0)),
                            strategy=a.get("strategy", "auto"),
-                           heads=int(a.get("heads", 0)))
+                           heads=int(a.get("heads", 0)),
+                           qkv_packed=bool(a.get("qkv_packed", False)))
     if name == "xsmm.batch_gemm_dispatch":
         from ..xsmm.flags import BatchMatmulKey
         return BatchMatmulKey(batch=a["batch"], m=a["m"], n=a["n"], k=a["k"],
@@ -440,6 +441,8 @@ def _eval_xsmm(op: Operation, vals: list,
         bias = _normalize_bias(key, bias) if key.binary_kind else None
         return fn(a, b, None if key.beta0 else c, bias)
     if name == "xsmm.attention":
+        if len(vals) == 2:          # qkv_packed: one [Q|K|V] operand
+            return fn(vals[1], vals[1], vals[1])
         return fn(vals[1], vals[2], vals[3])
     if name == "xsmm.batch_gemm":
         _, a_, b_, c_ = vals

@@ -250,6 +250,11 @@ class FlashMhaKey:
     # head-split transposes exist anywhere (batch is then the TRUE batch,
     # not batch*heads)
     heads: int = 0
+    # qkv_packed: ONE operand (batch, seq, 3*heads*head_dim) holding
+    # [Q | K | V] as column groups (the merged QKV projection's natural
+    # output); the token-layout kernel reads K/V via BlockSpec group
+    # offsets — no slice/copy ever materializes. Requires seq == seq_kv.
+    qkv_packed: bool = False
 
 
 @dataclass(frozen=True)

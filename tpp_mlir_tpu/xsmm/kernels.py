@@ -740,6 +740,22 @@ def _build_flash_mha(key, interpret: bool):
     against the two MXU contractions per step."""
     from .flags import FlashMhaKey
     assert isinstance(key, FlashMhaKey)
+    if key.qkv_packed:
+        import dataclasses
+        assert key.heads and key.seq == key.seq_kv, key
+        E = key.heads * key.head_dim
+        if not key.repeats and key.seq >= 128:
+            fn = _build_flash_mha_tokens(key, interpret)
+            if fn is not None:
+                return fn
+        # fallback: slice the packed operand (XLA fuses the slices into the
+        # relayouts the unpacked path performs anyway)
+        inner = _build_flash_mha(
+            dataclasses.replace(key, qkv_packed=False), interpret)
+
+        def fn_packed(x, *_):
+            return inner(x[..., :E], x[..., E:2 * E], x[..., 2 * E:])
+        return fn_packed
     if key.heads:
         # token-layout kernel pays off when per-program work is real;
         # at tiny seq (s=32 benchmark regime) the head-grouped flat kernel
@@ -1214,14 +1230,29 @@ def _build_flash_mha_tokens(key, interpret: bool):
     nq = S // bq
     grid = (B, H // hp, nq)
 
-    in_specs = [
-        pl.BlockSpec((1, bq, W), lambda b, g, i: (b, i, g),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Skv, W), lambda b, g, i: (b, 0, g),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Skv, W), lambda b, g, i: (b, 0, g),
-                     memory_space=pltpu.VMEM),
-    ]
+    if key.qkv_packed:
+        # one (B, S, 3E) operand, [Q | K | V] column groups: K/V blocks
+        # live at group offsets H//hp and 2*H//hp of the SAME array — the
+        # merged QKV projection output feeds the kernel with no slice ever
+        # materialized (the packed array is passed for all three specs)
+        goff = H // hp
+        in_specs = [
+            pl.BlockSpec((1, bq, W), lambda b, g, i: (b, i, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Skv, W), lambda b, g, i: (b, 0, g + goff),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Skv, W), lambda b, g, i: (b, 0, g + 2 * goff),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec((1, bq, W), lambda b, g, i: (b, i, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Skv, W), lambda b, g, i: (b, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Skv, W), lambda b, g, i: (b, 0, g),
+                         memory_space=pltpu.VMEM),
+        ]
     out_spec = pl.BlockSpec((1, bq, W), lambda b, g, i: (b, i, g),
                             memory_space=pltpu.VMEM)
 
