@@ -200,7 +200,8 @@ def test_torch_transformer_bf16_import():
                                 dtype="bf16")
     run_pipeline(m, "default-tpp-passes")
     s = str(m)
-    assert "xsmm.attention" in s and "xsmm.layer_norm" in s
+    # LayerNorms fuse into their consumer GEMMs as prologues (r3)
+    assert "xsmm.attention" in s and 'prologue = "layer_norm"' in s
     x = jnp.asarray(tensor_init("rand", (1, 32, 64), "bf16", seed=1))
     fn = tpp_compile(m, jit=False)
     out = fn(x)

@@ -75,10 +75,10 @@ def test_fold_residual_acc_keeps_unary_barrier():
 
 
 def test_transformer_block_fuses_completely():
-    """The imported torch transformer block lowers to exactly 4 GEMMs
-    (merged QKV + out-proj/residual + fc1/gelu + fc2/residual), 2 fused
-    LayerNorms, and one qkv_packed attention — no standalone elementwise
-    kernel survives."""
+    """The imported torch transformer block lowers to exactly FIVE kernels:
+    4 GEMMs (merged QKV with LN prologue + out-proj/residual + fc1 with LN
+    prologue and gelu + fc2/residual) and one qkv_packed attention — no
+    standalone LayerNorm or elementwise kernel survives."""
     from tpp_mlir_tpu.models.transformer_block import build_transformer_block
 
     ref = build_transformer_block(batch=2, seq=128, embed=256, heads=4)
@@ -86,7 +86,8 @@ def test_transformer_block_fuses_completely():
     run_pipeline(low, "default-tpp-passes")
     s = print_module(low)
     assert s.count("xsmm.fused_brgemm ") == 4
-    assert s.count("xsmm.layer_norm ") == 2
+    assert s.count('prologue = "layer_norm"') == 2
+    assert s.count("xsmm.layer_norm ") == 0
     assert s.count("xsmm.attention ") == 1
     assert "qkv_packed = true" in s
     assert "xsmm.binary" not in s and "xsmm.unary" not in s

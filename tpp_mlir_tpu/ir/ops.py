@@ -696,13 +696,24 @@ def _v_xsmm_brgemm(op):
 
 @_op("xsmm.fused_brgemm")
 def _v_xsmm_fused_brgemm(op):
-    # (dispatch, A, B, C, D) where D is the binary rhs (e.g. bias)
-    if len(op.operands) != 5:
-        _fail(op, "expects (dispatch, A, B, C, D)")
+    # (dispatch, A, B, C, D[, gamma, beta]) where D is the binary rhs
+    # (e.g. bias) and gamma/beta trail when the dispatch carries an affine
+    # layer_norm prologue
     d = _dispatch_of(op)
     if d is None or d.opname != "xsmm.fused_brgemm_dispatch":
         _fail(op, "first operand must be a fused_brgemm_dispatch result")
-    a, b, c, bias = (_t(x) for x in op.operands[1:])
+    want = 5
+    if d.attrs.get("prologue") == "layer_norm" \
+            and d.attrs.get("prologue_affine", True):
+        want = 7
+    if len(op.operands) != want:
+        _fail(op, f"expects {want} operands (dispatch, A, B, C, D"
+                  f"{', gamma, beta' if want == 7 else ''})")
+    if want == 7:
+        g, be = (_t(x) for x in op.operands[5:7])
+        if g.num_elements != d.attrs["k"] or be.num_elements != d.attrs["k"]:
+            _fail(op, "layer_norm gamma/beta must have k elements")
+    a, b, c, bias = (_t(x) for x in op.operands[1:5])
     ea, eb, ec = _brgemm_shapes(d)
     if a.shape != ea or b.shape != eb:
         _fail(op, f"dispatch expects A{ea} B{eb}, got {a.shape},{b.shape}")

@@ -66,6 +66,10 @@ def linalg_lowering(**opts):
         "fold-xsmm-flags",
         "chain-fusion",
         "cleanup",
+        # after cleanup: dead A-operand reshapes from qkv-merge are gone,
+        # so the LN's remaining single consumer is visible
+        "fuse-ln-gemm",
+        "cleanup",
         "verify-xsmm",
     ]
 

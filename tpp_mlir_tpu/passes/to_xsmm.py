@@ -976,3 +976,95 @@ class QkvMergePass(Pass):
                 func.erase(ad)
             changed = True
         return changed
+
+
+@register
+class FuseLnGemmPass(Pass):
+    """A fused LayerNorm whose ONLY consumer is one flat GEMM becomes that
+    GEMM's in-kernel prologue: the kernel normalizes each A row in f32
+    right after the VMEM fetch and contracts immediately.
+
+    The standalone LN kernel pays one read + one write of the activation
+    and the GEMM re-reads it — fusing deletes a full round trip (m*k*2
+    elements of HBM traffic) at the price of recomputing the row statistics
+    per n-block on the VPU, which idles next to the MXU in these shapes
+    anyway. This is fusion ACROSS kernel boundaries that neither XLA (the
+    producer and consumer are separate pallas_calls) nor the reference
+    (TileConsumerAndFuseProducers fuses eltwise, not normalizations, into
+    contractions) performs. Legal when one program sees the whole row:
+    batch == 1, single k block (the kernel forces bk = k)."""
+
+    name = "fuse-ln-gemm"
+
+    def run_on_function(self, func: Function, module: Module) -> bool:
+        changed = False
+        b = TppBuilder(func)
+        for op in list(func.ops):
+            if op.parent is None or op.opname != "xsmm.layer_norm":
+                continue
+            ld = op.operands[0].owner
+            user = _single_user(op)
+            if user is None:
+                continue
+            reshape = None
+            if user.opname == "tl.reshape":
+                reshape = user
+                user = _single_user(user)
+                if user is None:
+                    continue
+            if user.opname != "xsmm.fused_brgemm":
+                continue
+            gd = user.operands[0].owner
+            a_val = reshape.result if reshape is not None else op.result
+            if user.operands[1] is not a_val:
+                continue  # LN feeds B/C/D, not the contraction input
+            if gd.attrs.get("layout", "flat") != "flat" \
+                    or gd.attrs.get("batch") != 1 \
+                    or gd.attrs.get("vnni") \
+                    or gd.attrs.get("prologue") \
+                    or "transpose_b" in gd.attrs.get("flags", ()):
+                continue
+            if gd.attrs["k"] != ld.attrs["n"] or gd.attrs["m"] != ld.attrs["m"]:
+                continue
+            if gd.attrs["k"] > 8192:
+                continue  # whole-row blocks must stay VMEM-friendly
+            affine = bool(ld.attrs.get("affine", True))
+            x_in = op.operands[1]
+            gamma_beta = list(op.operands[2:4]) if affine else []
+
+            attrs = dict(gd.attrs)
+            attrs["prologue"] = "layer_norm"
+            attrs["prologue_affine"] = affine
+            attrs["prologue_eps"] = float(ld.attrs.get("eps", 1e-5))
+            attrs.pop("tile_k", None)   # the kernel runs a single k block
+
+            def emit():
+                nd = b.create(gd.opname, [], [I64], attrs).result
+                a_new = x_in
+                if a_new.type.shape != a_val.type.shape:
+                    a_new = b.reshape(a_new, a_val.type.shape)
+                inv = b.create(
+                    user.opname,
+                    [nd, a_new, *user.operands[2:], *gamma_beta],
+                    [user.result.type])
+                return inv.result
+
+            start = len(func.ops)
+            res = emit()
+            new_ops = func.ops[start:]
+            del func.ops[start:]
+            i = func.ops.index(user)
+            func.ops[i:i] = new_ops
+
+            func.replace_all_uses(user.result, res)
+            func.erase(user)
+            if gd.parent is not None and not gd.result.uses:
+                func.erase(gd)
+            if reshape is not None and not reshape.result.uses:
+                func.erase(reshape)
+            if not op.result.uses:
+                func.erase(op)
+                if ld.parent is not None and not ld.result.uses:
+                    func.erase(ld)
+            changed = True
+        return changed

@@ -353,7 +353,10 @@ def _dispatch_key(d: Operation, invoke: Operation):
                          binary_bcast=a.get("binary_bcast", "bcast_col"),
                          unary_kind=un_kind, precision=prec,
                          bm=a.get("tile_m", 0), bn=a.get("tile_n", 0),
-                         bk=a.get("tile_k", 0))
+                         bk=a.get("tile_k", 0),
+                         prologue=a.get("prologue"),
+                         prologue_affine=bool(a.get("prologue_affine", True)),
+                         prologue_eps=float(a.get("prologue_eps", 1e-5)))
     if name == "xsmm.fused_chain_dispatch":
         from ..xsmm.flags import ChainKey
 
@@ -437,8 +440,12 @@ def _eval_xsmm(op: Operation, vals: list,
         _, a, b, c = vals
         return fn(a, b, None if key.beta0 else c)
     if name == "xsmm.fused_brgemm":
-        _, a, b, c, bias = vals
+        _, a, b, c, bias = vals[:5]
         bias = _normalize_bias(key, bias) if key.binary_kind else None
+        if getattr(key, "prologue", None) and key.prologue_affine:
+            gamma, beta = vals[5], vals[6]   # trailing LN operands
+            return fn(a, b, None if key.beta0 else c, bias,
+                      gamma=gamma, beta=beta)
         return fn(a, b, None if key.beta0 else c, bias)
     if name == "xsmm.attention":
         if len(vals) == 2:          # qkv_packed: one [Q|K|V] operand

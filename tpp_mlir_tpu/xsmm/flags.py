@@ -40,6 +40,15 @@ class BrgemmKey:
     bm: int = 0
     bn: int = 0
     bk: int = 0
+    # "layer_norm": normalize each A row in-kernel before the contraction
+    # (gamma/beta trail the operand list when prologue_affine). Legal only
+    # when one program sees the full row (batch == 1, single k block): the
+    # LN recomputes per n-block on the VPU instead of round-tripping its
+    # result through HBM — a net win because the MXU, not the VPU, is the
+    # bottleneck in these GEMMs.
+    prologue: str | None = None
+    prologue_affine: bool = True
+    prologue_eps: float = 1e-5
 
 
 @dataclass(frozen=True)

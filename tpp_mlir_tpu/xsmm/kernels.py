@@ -54,6 +54,19 @@ def interpret_default() -> bool:
 # Epilogues (VPU)
 # ---------------------------------------------------------------------------
 
+def _erf_poly(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7), in f32.
+
+    Exists because Mosaic has no TPU lowering for erf/erfc primitives
+    (measured on v5e, jax 0.9); exp lowers fine. Odd extension via sign."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741)
+                * t - 0.284496736) * t + 0.254829592) * t * jnp.exp(-a * a)
+    return s * y
+
+
 _UNARY_FNS = {
     "relu": lambda x: jnp.maximum(x, 0.0),
     "identity": lambda x: x,
@@ -64,13 +77,15 @@ _UNARY_FNS = {
     "tanh": jnp.tanh,
     # "gelu" = EXACT erf gelu (torch nn.GELU default; libxsmm GELU);
     # "gelu_tanh" = the tanh approximation (torch approximate='tanh').
-    # Exact gelu is spelled with lax.erf directly: jax.nn.gelu(exact) lowers
-    # through erfc, which Mosaic cannot lower inside a TPU kernel (measured:
-    # "Unimplemented primitive ... erfc"); erf itself lowers fine. The
-    # 0.5*(1+erf) form loses nothing here: for x < -5 where cancellation
-    # could bite, gelu underflows to 0 in bf16/f32 epilogues anyway.
-    "gelu": lambda x: 0.5 * x * (1.0 + jax.lax.erf(
-        x.astype(jnp.float32) * 0.7071067811865476).astype(x.dtype)),
+    # Mosaic lowers NEITHER erfc (what jax.nn.gelu(exact) uses) NOR erf
+    # (both measured on v5e: "Unimplemented primitive ... erf[c]"), so
+    # exact gelu runs an in-kernel polynomial erf (see _erf_poly): max
+    # abs error 1.5e-7 on erf -> ~1e-7 relative on gelu, far inside the
+    # bf16/f32 epilogue tolerance, built from exp which does lower.
+    "gelu": lambda x: (0.5 * x.astype(jnp.float32)
+                       * (1.0 + _erf_poly(x.astype(jnp.float32)
+                                          * 0.7071067811865476))
+                       ).astype(x.dtype),
     "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
     "negate": lambda x: -x,
     "zero": lambda x: jnp.zeros_like(x),
@@ -180,6 +195,8 @@ def _build_brgemm(key: BrgemmKey, interpret: bool):
             return inner(a, _unvnni(b), c, d)
         return vnni_fn
     bm, bn, bk = pick_blocks(m, n, k, key.dtype, key.bm, key.bn, key.bk)
+    if key.prologue:
+        bk = k  # the prologue normalizes whole rows: single K block
     kb_steps = max(1, k // bk) if k % bk == 0 else 1
     if k % bk != 0:
         bk = k  # no aligned divisor: single K block
@@ -188,6 +205,9 @@ def _build_brgemm(key: BrgemmKey, interpret: bool):
 
     has_c = not key.beta0
     has_d = key.binary_kind is not None
+    has_ln = key.prologue == "layer_norm"
+    assert not has_ln or (B == 1 and red_steps == 1), \
+        "layer_norm prologue needs the full A row per program"
 
     in_specs = [
         pl.BlockSpec((1, bm, bk),
@@ -221,6 +241,11 @@ def _build_brgemm(key: BrgemmKey, interpret: bool):
         else:                                     # full (m, n)
             in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, r: (i, j),
                                          memory_space=pltpu.VMEM))
+    if has_ln and key.prologue_affine:
+        # gamma / beta, canonicalized to (1, k) by the wrapper
+        for _ in range(2):
+            in_specs.append(pl.BlockSpec((1, k), lambda i, j, r: (0, 0),
+                                         memory_space=pltpu.VMEM))
 
     out_spec = pl.BlockSpec((bm, bn), lambda i, j, r: (i, j),
                             memory_space=pltpu.VMEM)
@@ -233,6 +258,10 @@ def _build_brgemm(key: BrgemmKey, interpret: bool):
         idx += has_c
         d_ref = refs[idx] if has_d else None
         idx += has_d
+        g_ref = be_ref = None
+        if has_ln and key.prologue_affine:
+            g_ref, be_ref = refs[idx], refs[idx + 1]
+            idx += 2
         o_ref = refs[idx]
         acc_ref = refs[idx + 1]
 
@@ -246,6 +275,18 @@ def _build_brgemm(key: BrgemmKey, interpret: bool):
                 acc_ref[:] = jnp.zeros_like(acc_ref)
 
         a = a_ref[0]
+        if has_ln:
+            af = a.astype(jnp.float32)
+            mu = jnp.mean(af, axis=1, keepdims=True)
+            var = jnp.mean(af * af, axis=1, keepdims=True) - mu * mu
+            af = (af - mu) * jax.lax.rsqrt(var + key.prologue_eps)
+            if key.prologue_affine:
+                af = af * g_ref[0] + be_ref[0]
+            # normalize in f32, then drop to the MXU input dtype for the
+            # contraction (the outside-the-kernel downcast the flat path
+            # does, moved after the LN so mean/variance keep f32)
+            a = af.astype(_mxu_input_dtype(key.dtype, interpret,
+                                           key.precision))
         if key.transpose_b:
             update = jax.lax.dot_general(
                 a, b_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
@@ -282,8 +323,12 @@ def _build_brgemm(key: BrgemmKey, interpret: bool):
 
     mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
 
-    def fn(a, b, c=None, d=None):
-        args = [a.astype(mxu_dt), b.astype(mxu_dt)]
+    def fn(a, b, c=None, d=None, gamma=None, beta=None):
+        # the LN prologue normalizes in f32 inside the kernel; feed the raw
+        # rows at input dtype (a bf16 MXU downcast before normalization
+        # would lose the mean/variance precision the fused LN kernel keeps)
+        args = [a.astype(mxu_dt) if not has_ln else a,
+                b.astype(mxu_dt)]
         if has_c:
             assert c is not None, "kernel dispatched without beta_0 needs C"
             args.append(c)
@@ -295,6 +340,10 @@ def _build_brgemm(key: BrgemmKey, interpret: bool):
                 d = d.reshape(1, -1) if key.binary_bcast == "bcast_col" \
                     else d.reshape(-1, 1)
             args.append(d)
+        if has_ln and key.prologue_affine:
+            assert gamma is not None and beta is not None
+            args += [gamma.reshape(1, -1).astype(jnp.float32),
+                     beta.reshape(1, -1).astype(jnp.float32)]
         return call(*args)
 
     return fn
