@@ -279,3 +279,50 @@ def test_layer_norm_kernel_differential():
     got2 = np.asarray(build_kernel(key2, interpret=True)(x), np.float32)
     want2 = np.asarray(reference_kernel(key2)(x), np.float32)
     np.testing.assert_allclose(got2, want2, atol=1e-5, rtol=1e-5)
+
+
+def test_brgemm_weights_resident_large_m():
+    """The weights-resident flat GEMM variant (large m: weights DMA'd into
+    persistent scratch once, grid over m-blocks only) — numerics vs jnp,
+    with LN prologue + residual accumulator + bias epilogue composed."""
+    import jax
+
+    from tpp_mlir_tpu.xsmm.flags import BrgemmKey
+    from tpp_mlir_tpu.xsmm.kernels import _build_brgemm_wres
+
+    key = BrgemmKey(batch=1, m=1024, n=256, k=256, dtype="f32", beta0=False,
+                    binary_kind="add", binary_bcast="bcast_col",
+                    unary_kind="relu", prologue="layer_norm")
+    fn = _build_brgemm_wres(key, True)
+    assert fn is not None, "wres must apply at m=1024 with 256KB weights"
+    a = jax.random.normal(jax.random.PRNGKey(0), (1, 1024, 256))
+    b = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 256)) * 0.05
+    c = jax.random.normal(jax.random.PRNGKey(2), (1024, 256))
+    d = jax.random.normal(jax.random.PRNGKey(3), (256,))
+    g = jax.random.normal(jax.random.PRNGKey(4), (256,)) * 0.1 + 1.0
+    be = jax.random.normal(jax.random.PRNGKey(5), (256,)) * 0.1
+    out = fn(a, b, c, d, gamma=g, beta=be)
+    x = a[0]
+    mu = x.mean(1, keepdims=True)
+    ln = (x - mu) * jax.lax.rsqrt(x.var(1, keepdims=True) + 1e-5) * g + be
+    want = jnp.maximum(c + ln @ b[0] + d, 0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_brgemm_weights_resident_gating():
+    """wres declines: explicit register blocking, batch>1, single m block,
+    oversized weights — the blocked path serves those."""
+    from tpp_mlir_tpu.xsmm.flags import BrgemmKey
+    from tpp_mlir_tpu.xsmm.kernels import _build_brgemm_wres
+
+    base = dict(batch=1, m=1024, n=256, k=256, dtype="f32", beta0=True)
+    assert _build_brgemm_wres(BrgemmKey(**base), True) is not None
+    assert _build_brgemm_wres(
+        BrgemmKey(**{**base, "bm": 256}), True) is None
+    assert _build_brgemm_wres(
+        BrgemmKey(**{**base, "batch": 4}), True) is None
+    assert _build_brgemm_wres(
+        BrgemmKey(**{**base, "m": 256}), True) is None
+    assert _build_brgemm_wres(
+        BrgemmKey(**{**base, "k": 4096, "n": 4096}), True) is None

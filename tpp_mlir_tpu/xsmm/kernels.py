@@ -181,6 +181,176 @@ def pick_blocks(m: int, n: int, k: int, dtype: str,
 # BRGEMM family
 # ---------------------------------------------------------------------------
 
+def _build_brgemm_wres(key, interpret: bool):
+    """Weights-RESIDENT flat GEMM for the large-m streamed regime.
+
+    The blocked path re-streams the weight matrix once per m-block
+    (grid (i, j, r): the B block index depends on (j, r), so every i step
+    re-fetches all of B) — at m=2048/bm=512 that is 4x the weight bytes,
+    and it measurably capped the imported transformer block's GEMMs. Here
+    the weights are DMA'd from HBM into a persistent VMEM scratch ONCE on
+    the first grid step (grid is m-blocks only; TPU grids are sequential,
+    scratch persists) at the MXU input dtype — under default precision an
+    f32 GEMM's weights live in VMEM at bf16, so a 1024x4096 layer costs
+    8MB, not 16. Single k block per program, so no accumulator scratch and
+    the layer_norm prologue composes. Returns None when the shape does not
+    fit (the blocked path then applies)."""
+    from .flags import BrgemmKey
+    assert isinstance(key, BrgemmKey)
+    B, m, n, k = key.batch, key.m, key.n, key.k
+    if B != 1 or key.vnni or key.transpose_b:
+        return None
+    if key.bm or key.bn or key.bk:
+        return None  # explicit register blocking: honor the blocked path
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    wsz = jnp.dtype(mxu_dt).itemsize
+    osz = jnp.dtype(out_dtype).itemsize
+    sub, lane = current_target().min_tile(key.dtype)
+    if k % lane or n % lane or m % sub:
+        return None
+    wbytes = k * n * wsz
+    budget = int(current_target().vmem_bytes * 0.75)
+    if wbytes > min(budget - 2 * 1024 * 1024, 8 * 1024 * 1024):
+        return None
+    has_ln = key.prologue == "layer_norm"
+    has_c = not key.beta0
+    has_d = key.binary_kind is not None
+    full_d = has_d and key.binary_bcast == "none"
+    asz = jnp.dtype(_jdt(key.dtype)).itemsize if has_ln else wsz
+
+    def need(bm_):
+        per_row = 2 * (bm_ * k * asz + bm_ * n * osz)
+        if has_c:
+            per_row += 2 * bm_ * n * 4
+        if full_d:
+            per_row += 2 * bm_ * n * 4
+        return wbytes + per_row
+
+    bm = 0
+    cand = min(m, 512)
+    while cand >= sub:
+        if m % cand == 0 and cand % sub == 0 and need(cand) <= budget:
+            bm = cand
+            break
+        cand //= 2
+    if not bm or m // bm < 2:
+        return None  # single m block: the blocked path already fetches
+                     # weights exactly once
+
+    grid = (m // bm,)
+    in_specs = [
+        pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),          # weights: manual DMA
+    ]
+    if has_c:
+        in_specs.append(pl.BlockSpec((bm, n), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    if has_d:
+        if key.binary_bcast == "bcast_col":
+            in_specs.append(pl.BlockSpec((1, n), lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        elif key.binary_bcast == "bcast_row":
+            in_specs.append(pl.BlockSpec((bm, 1), lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM))
+        elif key.binary_bcast == "bcast_scalar":
+            in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(pl.BlockSpec((bm, n), lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM))
+    if has_ln and key.prologue_affine:
+        for _ in range(2):
+            in_specs.append(pl.BlockSpec((1, k), lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((bm, n), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        idx = 0
+        a_ref = refs[idx]; idx += 1
+        w_ref = refs[idx]; idx += 1
+        c_ref = refs[idx] if has_c else None
+        idx += has_c
+        d_ref = refs[idx] if has_d else None
+        idx += has_d
+        g_ref = be_ref = None
+        if has_ln and key.prologue_affine:
+            g_ref, be_ref = refs[idx], refs[idx + 1]
+            idx += 2
+        o_ref = refs[idx]
+        wbuf = refs[idx + 1]
+        sem = refs[idx + 2]
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _load_weights():
+            cp = pltpu.make_async_copy(w_ref, wbuf, sem)
+            cp.start()
+            cp.wait()
+
+        a = a_ref[:]
+        if has_ln:
+            af = a.astype(jnp.float32)
+            mu = jnp.mean(af, axis=1, keepdims=True)
+            var = jnp.mean(af * af, axis=1, keepdims=True) - mu * mu
+            af = (af - mu) * jax.lax.rsqrt(var + key.prologue_eps)
+            if key.prologue_affine:
+                af = af * g_ref[0] + be_ref[0]
+            a = af.astype(mxu_dt)
+        res = jnp.dot(a, wbuf[:], preferred_element_type=jnp.float32)
+        if has_c:
+            res += c_ref[:].astype(jnp.float32)
+        d_blk = d_ref[:] if has_d else None
+        res = _apply_epilogue(res, d_blk, key.binary_kind, key.unary_kind)
+        o_ref[:] = res.astype(out_dtype)
+
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k,
+        bytes_accessed=m * k * asz + wbytes + m * n * osz
+        + (m * n * 4 if has_c else 0) + (m * n * 4 if full_d else 0),
+        transcendentals=m * n if key.unary_kind in ("exp", "tanh", "gelu")
+        else 0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((k, n), mxu_dt),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+
+    def fn(a, b, c=None, d=None, gamma=None, beta=None):
+        a = a.reshape(m, k)          # invoke operands carry a leading
+        b = b.reshape(k, n)          # batch-1 dim
+        args = [a if has_ln else a.astype(mxu_dt), b.astype(mxu_dt)]
+        if has_c:
+            assert c is not None
+            args.append(c)
+        if has_d:
+            assert d is not None
+            if d.ndim == 0:
+                d = d.reshape(1, 1)
+            elif d.ndim == 1:
+                d = d.reshape(1, -1) if key.binary_bcast == "bcast_col" \
+                    else d.reshape(-1, 1)
+            args.append(d)
+        if has_ln and key.prologue_affine:
+            assert gamma is not None and beta is not None
+            args += [gamma.reshape(1, -1).astype(jnp.float32),
+                     beta.reshape(1, -1).astype(jnp.float32)]
+        return call(*args)
+
+    return fn
+
+
 def _build_brgemm(key: BrgemmKey, interpret: bool):
     B, m, n, k = key.batch, key.m, key.n, key.k
     dtype = _jdt(key.dtype)
@@ -194,6 +364,9 @@ def _build_brgemm(key: BrgemmKey, interpret: bool):
         def vnni_fn(a, b, c=None, d=None):
             return inner(a, _unvnni(b), c, d)
         return vnni_fn
+    wres = _build_brgemm_wres(key, interpret)
+    if wres is not None:
+        return wres
     bm, bn, bk = pick_blocks(m, n, k, key.dtype, key.bm, key.bn, key.bk)
     if key.prologue:
         bk = k  # the prologue normalizes whole rows: single K block
