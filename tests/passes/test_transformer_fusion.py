@@ -96,3 +96,27 @@ def test_transformer_block_fuses_completely():
     l = tpp_compile(low, jit=True)(x)
     np.testing.assert_allclose(np.asarray(l), np.asarray(r),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_multilayer_encoder_fuses_per_layer():
+    """A 2-layer stacked encoder fuses layer by layer — 4 GEMM invokes +
+    1 packed attention per layer, dispatches CSE-shared across layers, no
+    standalone LN/eltwise kernel anywhere. The cross-layer residual feeds
+    the next layer's LN-prologue GEMM directly."""
+    from tpp_mlir_tpu.models.transformer_block import build_transformer_block
+
+    ref = build_transformer_block(batch=2, seq=128, embed=256, heads=4,
+                                  layers=2)
+    low = build_transformer_block(batch=2, seq=128, embed=256, heads=4,
+                                  layers=2)
+    run_pipeline(low, "default-tpp-passes")
+    s = print_module(low)
+    assert s.count("xsmm.fused_brgemm ") == 8
+    assert s.count("xsmm.attention ") == 2
+    assert s.count("xsmm.layer_norm ") == 0
+    assert "xsmm.binary" not in s and "xsmm.unary" not in s
+    x = jnp.asarray(tensor_init("rand", (2, 128, 256), "f32", seed=0))
+    r = tpp_compile(ref, jit=True)(x)
+    l = tpp_compile(low, jit=True)(x)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(r),
+                               atol=1e-4, rtol=1e-4)

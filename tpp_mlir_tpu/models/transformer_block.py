@@ -10,7 +10,7 @@ from __future__ import annotations
 def build_transformer_block(batch: int = 8, seq: int = 256,
                             embed: int = 1024, heads: int = 16,
                             mlp_ratio: int = 4, seed: int = 0,
-                            dtype: str = "f32"):
+                            dtype: str = "f32", layers: int = 1):
     import torch
     import torch.nn as nn
 
@@ -34,6 +34,21 @@ def build_transformer_block(batch: int = 8, seq: int = 256,
             h = self.ln2(x)
             return x + self.fc2(self.act(self.fc1(h)))
 
+    class Encoder(nn.Module):
+        """`layers` stacked blocks — the multi-layer import exercises
+        residual-accumulator + LN-prologue + QKV-merge fusion ACROSS block
+        boundaries (each block's output residual feeds the next block's
+        LN-prologue GEMM)."""
+
+        def __init__(self):
+            super().__init__()
+            self.blocks = nn.ModuleList(Block() for _ in range(layers))
+
+        def forward(self, x):
+            for blk in self.blocks:
+                x = blk(x)
+            return x
+
     torch.manual_seed(seed)
-    model = Block().eval()
+    model = (Block() if layers == 1 else Encoder()).eval()
     return import_torch_fx(model, (batch, seq, embed), dtype=dtype)
