@@ -962,6 +962,16 @@ def _build_flash_mha(key, interpret: bool):
     against the two MXU contractions per step."""
     from .flags import FlashMhaKey
     assert isinstance(key, FlashMhaKey)
+    if key.heads and not key.repeats and (
+            key.strategy == "xla"
+            or (key.strategy == "auto" and key.head_dim < 128)):
+        # Measured head-to-head on v5e (r3, b8 s256 E1024): at D=64 the
+        # token-layout Pallas kernel pays per-head 64-wide LANE slices
+        # (vreg relayouts; 65.8us = 17%) while XLA's own composed attention
+        # runs 32.6us = 34% — delegate, exactly as the conv path does. At
+        # D=128 the Pallas kernel wins (25.1us vs 34.6us) and keeps the
+        # job. Override with strategy="tokens"/"xla" to force either.
+        return _build_attn_xla_tokens(key)
     if key.qkv_packed:
         import dataclasses
         assert key.heads and key.seq == key.seq_kv, key
@@ -1405,6 +1415,40 @@ def _build_flash_bench(key, interpret: bool):
     )
     return lambda q, k, v: call(q.astype(mxu_dt), k.astype(mxu_dt),
                                 v.astype(mxu_dt))
+
+
+def _build_attn_xla_tokens(key):
+    """Token-layout attention COMPOSED IN XLA (head split -> batched
+    softmax attention -> merge), the delegation target for head widths the
+    Pallas tokens kernel handles badly (D < 128: per-head lane slices are
+    vreg relayouts; measured 2x slower than this path on v5e — see
+    _build_flash_mha). Plays the same role as the conv path's strategy
+    "xla": the platform engine where it wins, Pallas where we win."""
+    from .flags import FlashMhaKey
+    assert isinstance(key, FlashMhaKey)
+    B, S, Skv, D, H = (key.batch, key.seq, key.seq_kv, key.head_dim,
+                       key.heads)
+    E = H * D
+
+    def split(t, s):
+        return t.reshape(B, s, H, D).transpose(0, 2, 1, 3)
+
+    def core(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", split(q, S), split(k, Skv),
+                       preferred_element_type=jnp.float32) * key.scale
+        if key.causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (S, Skv), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (S, Skv), 1)
+            s = jnp.where(rows >= cols, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, split(v, Skv),
+                       preferred_element_type=jnp.float32)
+        return o.transpose(0, 2, 1, 3).reshape(B, S, E).astype(q.dtype)
+
+    if key.qkv_packed:
+        return lambda x, *_: core(x[..., :E], x[..., E:2 * E],
+                                  x[..., 2 * E:])
+    return core
 
 
 def _build_flash_mha_tokens(key, interpret: bool):
