@@ -208,3 +208,39 @@ def test_torch_transformer_bf16_import():
     out = out[0] if isinstance(out, tuple) else out
     assert str(out.dtype) == "bfloat16"
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_torch_resnet_downsample_block():
+    """Stride-2 downsampling residual block with a 1x1 projection shortcut
+    (the torchvision ResNet stage-transition pattern): strided convs ride
+    the XLA conv path (reference also limits conv->BRGEMM to stride 1,
+    docs/ConvMapping.md), BN folds, and the projection shortcut joins the
+    residual add — exact vs torch eager."""
+    import torch
+
+    from tpp_mlir_tpu.frontend import import_torch_fx
+
+    class Down(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = torch.nn.Conv2d(32, 64, 3, stride=2, padding=1)
+            self.bn1 = torch.nn.BatchNorm2d(64)
+            self.c2 = torch.nn.Conv2d(64, 64, 3, padding=1)
+            self.bn2 = torch.nn.BatchNorm2d(64)
+            self.sc = torch.nn.Conv2d(32, 64, 1, stride=2)
+            self.bns = torch.nn.BatchNorm2d(64)
+
+        def forward(self, x):
+            y = torch.relu(self.bn1(self.c1(x)))
+            y = self.bn2(self.c2(y))
+            return torch.relu(y + self.bns(self.sc(x)))
+
+    torch.manual_seed(0)
+    m = Down().eval()
+    mod = import_torch_fx(m, (2, 32, 16, 16))
+    run_pipeline(mod, "default-tpp-passes")
+    fn = tpp_compile(mod, jit=True)
+    x = np.random.RandomState(0).randn(2, 32, 16, 16).astype(np.float32)
+    got = np.asarray(fn(jnp.asarray(x)))
+    want = m(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
