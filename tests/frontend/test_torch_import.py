@@ -244,3 +244,38 @@ def test_torch_resnet_downsample_block():
     got = np.asarray(fn(jnp.asarray(x)))
     want = m(torch.from_numpy(x)).detach().numpy()
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("norm_first", [False, True])
+def test_stock_transformer_encoder_layer(norm_first):
+    """torch.nn.TransformerEncoderLayer — the STOCK module, both post-LN
+    (torch default) and pre-LN. Its forward is not fx-traceable (mask
+    dtype checks on proxies), so the importer decomposes it module-level
+    into the LN/MHA/Linear handlers. Exact vs torch eager."""
+    torch.manual_seed(0)
+    m = torch.nn.TransformerEncoderLayer(
+        d_model=64, nhead=4, dim_feedforward=256, batch_first=True,
+        norm_first=norm_first, activation="gelu").eval()
+    x = torch.randn(2, 16, 64)
+    with torch.no_grad():
+        want = m(x).numpy()
+    mod = import_torch(m, (2, 16, 64))
+    run_pipeline(mod, "default-tpp-passes")
+    got = np.asarray(tpp_compile(mod, jit=True)(jnp.asarray(x.numpy())))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_stock_transformer_encoder_stack():
+    """torch.nn.TransformerEncoder: N stacked stock layers + final norm."""
+    torch.manual_seed(1)
+    enc = torch.nn.TransformerEncoder(
+        torch.nn.TransformerEncoderLayer(64, 4, 256, batch_first=True,
+                                         norm_first=True),
+        num_layers=2, norm=torch.nn.LayerNorm(64)).eval()
+    x = torch.randn(2, 16, 64)
+    with torch.no_grad():
+        want = enc(x).numpy()
+    mod = import_torch(enc, (2, 16, 64))
+    run_pipeline(mod, "default-tpp-passes")
+    got = np.asarray(tpp_compile(mod, jit=True)(jnp.asarray(x.numpy())))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

@@ -149,6 +149,44 @@ class _LayerLowering:
             return b.reshape(x, (x.type.shape[0], n))
         if isinstance(layer, (nn.Identity, nn.Dropout)):
             return x
+        if isinstance(layer, nn.TransformerEncoderLayer):
+            # Stock torch encoder layer. Its forward is not fx-traceable
+            # (mask dtype checks on proxies), but as a MODULE it decomposes
+            # exactly into handlers we already have; dropouts are identity
+            # in eval. Handles both norm_first (pre-LN) and the post-LN
+            # default.
+            import torch.nn.functional as F
+
+            def sa(h):
+                return self.multihead_attention(layer.self_attn, h)[0]
+
+            def ff(h):
+                h = self.lower(layer.linear1, h)
+                act = layer.activation
+                if act is F.relu or isinstance(act, nn.ReLU):
+                    h = b.relu(h)
+                elif act is F.gelu or isinstance(act, nn.GELU):
+                    kind = ("tl.gelu_tanh"
+                            if getattr(act, "approximate", "none") == "tanh"
+                            else "tl.gelu")
+                    h = b.unary(kind, h)
+                else:
+                    raise NotImplementedError(
+                        f"torch import: TransformerEncoderLayer activation "
+                        f"{act} is not supported (relu/gelu)")
+                return self.lower(layer.linear2, h)
+
+            if layer.norm_first:
+                x = b.add(x, sa(self.layer_norm(layer.norm1, x)))
+                return b.add(x, ff(self.layer_norm(layer.norm2, x)))
+            x = self.layer_norm(layer.norm1, b.add(x, sa(x)))
+            return self.layer_norm(layer.norm2, b.add(x, ff(x)))
+        if isinstance(layer, nn.TransformerEncoder):
+            for blk in layer.layers:
+                x = self.lower(blk, x)
+            if layer.norm is not None:
+                x = self.layer_norm(layer.norm, x)
+            return x
         raise NotImplementedError(
             f"torch import: unsupported layer {type(layer).__name__}")
 
