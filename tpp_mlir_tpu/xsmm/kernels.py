@@ -266,6 +266,18 @@ def _build_brgemm_wres(key, interpret: bool):
     out_spec = pl.BlockSpec((bm, n), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
+    # Column-chunked first-step weight DMA: all chunk copies start up
+    # front, each is waited just before its dot, so the transfer overlaps
+    # the first m-block's MXU work instead of stalling ~10us per call
+    # (times one per GEMM per scan iteration). Later grid steps skip the
+    # waits entirely (scratch persists).
+    CH = 1
+    for cand in (4, 2):
+        if n % cand == 0 and (n // cand) % lane == 0:
+            CH = cand
+            break
+    nc = n // CH
+
     def kernel(*refs):
         idx = 0
         a_ref = refs[idx]; idx += 1
@@ -280,15 +292,20 @@ def _build_brgemm_wres(key, interpret: bool):
             idx += 2
         o_ref = refs[idx]
         wbuf = refs[idx + 1]
-        sem = refs[idx + 2]
+        sems = refs[idx + 2]
 
         i = pl.program_id(0)
 
+        def chunk_copy(c):
+            return pltpu.make_async_copy(
+                w_ref.at[:, pl.ds(c * nc, nc)],
+                wbuf.at[:, pl.ds(c * nc, nc)],
+                sems.at[c])
+
         @pl.when(i == 0)
-        def _load_weights():
-            cp = pltpu.make_async_copy(w_ref, wbuf, sem)
-            cp.start()
-            cp.wait()
+        def _start_all():
+            for c in range(CH):
+                chunk_copy(c).start()
 
         a = a_ref[:]
         if has_ln:
@@ -299,12 +316,26 @@ def _build_brgemm_wres(key, interpret: bool):
             if key.prologue_affine:
                 af = af * g_ref[0] + be_ref[0]
             a = af.astype(mxu_dt)
-        res = jnp.dot(a, wbuf[:], preferred_element_type=jnp.float32)
-        if has_c:
-            res += c_ref[:].astype(jnp.float32)
-        d_blk = d_ref[:] if has_d else None
-        res = _apply_epilogue(res, d_blk, key.binary_kind, key.unary_kind)
-        o_ref[:] = res.astype(out_dtype)
+        for c in range(CH):
+            @pl.when(i == 0)
+            def _wait_chunk(c=c):
+                chunk_copy(c).wait()
+            res = jnp.dot(a, wbuf[:, c * nc:(c + 1) * nc],
+                          preferred_element_type=jnp.float32)
+            if has_c:
+                res += c_ref[:, c * nc:(c + 1) * nc].astype(jnp.float32)
+            if has_d:
+                if full_d:
+                    d_blk = d_ref[:, c * nc:(c + 1) * nc]
+                elif key.binary_bcast == "bcast_col":
+                    d_blk = d_ref[:, c * nc:(c + 1) * nc]
+                else:                       # bcast_row / bcast_scalar
+                    d_blk = d_ref[:]
+            else:
+                d_blk = None
+            res = _apply_epilogue(res, d_blk, key.binary_kind,
+                                  key.unary_kind)
+            o_ref[:, c * nc:(c + 1) * nc] = res.astype(out_dtype)
 
     cost = pl.CostEstimate(
         flops=2 * m * n * k,
@@ -320,7 +351,7 @@ def _build_brgemm_wres(key, interpret: bool):
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((k, n), mxu_dt),
-                        pltpu.SemaphoreType.DMA],
+                        pltpu.SemaphoreType.DMA((CH,))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         cost_estimate=cost,
