@@ -147,6 +147,11 @@ class TileAndFusePass(Pass):
             rb = anchor.parent.module.attrs.get("register_blocking")
         if rb:
             bm, bn, bk = rb
+            # user-explicit register blocking BINDS the kernel (the
+            # reference's --registerBlocking contract); heuristic tiles
+            # below are hints the kernel may recompute or ignore (e.g. the
+            # weights-resident variant picks its own m block)
+            anchor.attrs["register_blocked"] = True
         else:
             bm, bn, bk = pick_blocks(m, n, k, a.dtype)
         anchor.attrs.setdefault("tile_m", bm)

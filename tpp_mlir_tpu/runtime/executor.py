@@ -297,13 +297,21 @@ def _dispatch_key(d: Operation, invoke: Operation):
     beta0 = "beta_0" in a.get("flags", ())
     prec = a.get("precision", "default")
     name = d.opname
+    # tile_* attrs are binding only under user --register-blocking; the
+    # heuristic hints from tile-and-fuse equal what pick_blocks recomputes,
+    # and leaving them out of the key lets the kernel builder choose
+    # variants (e.g. the weights-resident path) freely
+    rb = bool(a.get("register_blocked"))
+
+    def _tile(x):
+        return a.get(f"tile_{x}", 0) if rb else 0
+
     if name == "xsmm.gemm_dispatch":
         return BrgemmKey(batch=1, m=a["m"], n=a["n"], k=a["k"],
                          dtype=a["dtype"], out_dtype=out_dtype, beta0=beta0,
                          transpose_b="transpose_b" in a.get("flags", ()),
                          precision=prec,
-                         bm=a.get("tile_m", 0), bn=a.get("tile_n", 0),
-                         bk=a.get("tile_k", 0))
+                         bm=_tile("m"), bn=_tile("n"), bk=_tile("k"))
     if name in ("xsmm.brgemm_dispatch", "xsmm.fused_brgemm_dispatch"):
         fused = name == "xsmm.fused_brgemm_dispatch"
         bk_kind = a.get("binary_kind") if fused else None
@@ -352,8 +360,7 @@ def _dispatch_key(d: Operation, invoke: Operation):
                          binary_kind=bk_kind,
                          binary_bcast=a.get("binary_bcast", "bcast_col"),
                          unary_kind=un_kind, precision=prec,
-                         bm=a.get("tile_m", 0), bn=a.get("tile_n", 0),
-                         bk=a.get("tile_k", 0),
+                         bm=_tile("m"), bn=_tile("n"), bk=_tile("k"),
                          prologue=a.get("prologue"),
                          prologue_affine=bool(a.get("prologue_affine", True)),
                          prologue_eps=float(a.get("prologue_eps", 1e-5)))
