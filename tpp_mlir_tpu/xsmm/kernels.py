@@ -210,7 +210,11 @@ def _build_brgemm_wres(key, interpret: bool):
     if k % lane or n % lane or m % sub:
         return None
     wbytes = k * n * wsz
-    budget = int(current_target().vmem_bytes * 0.75)
+    # 0.82: measured headroom on v5e — fc1-class shapes (8MB weights,
+    # bm=128 -> ~13MB accounted) compile fine and run 5% faster than the
+    # bm=64 the old 0.75 budget forced; Mosaic's own overhead stays inside
+    # the remaining ~2.5MB
+    budget = int(current_target().vmem_bytes * 0.82)
     if wbytes > min(budget - 2 * 1024 * 1024, 8 * 1024 * 1024):
         return None
     has_ln = key.prologue == "layer_norm"
