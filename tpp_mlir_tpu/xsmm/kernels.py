@@ -1542,7 +1542,16 @@ def _build_flash_mha_tokens(key, interpret: bool):
         return None
     W = hp * D
     nq = S // bq
-    grid = (B, H // hp, nq)
+    # aggregate G batch elements per program when VMEM allows: one chip has
+    # one TensorCore, so grid parallelism is free while per-program fixed
+    # cost (setup + DMA issue latency) is not — G-wide blocks also make the
+    # K/V fetches G-fold longer contiguous transfers
+    G = 1
+    for cand in (4, 2):
+        if B % cand == 0 and cand * need(bq, W) <= budget:
+            G = cand
+            break
+    grid = (B // G, H // hp, nq)
 
     if key.qkv_packed:
         # one (B, S, 3E) operand, [Q | K | V] column groups: K/V blocks
@@ -1551,47 +1560,48 @@ def _build_flash_mha_tokens(key, interpret: bool):
         # materialized (the packed array is passed for all three specs)
         goff = H // hp
         in_specs = [
-            pl.BlockSpec((1, bq, W), lambda b, g, i: (b, i, g),
+            pl.BlockSpec((G, bq, W), lambda b, g, i: (b, i, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Skv, W), lambda b, g, i: (b, 0, g + goff),
+            pl.BlockSpec((G, Skv, W), lambda b, g, i: (b, 0, g + goff),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Skv, W), lambda b, g, i: (b, 0, g + 2 * goff),
+            pl.BlockSpec((G, Skv, W), lambda b, g, i: (b, 0, g + 2 * goff),
                          memory_space=pltpu.VMEM),
         ]
     else:
         in_specs = [
-            pl.BlockSpec((1, bq, W), lambda b, g, i: (b, i, g),
+            pl.BlockSpec((G, bq, W), lambda b, g, i: (b, i, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Skv, W), lambda b, g, i: (b, 0, g),
+            pl.BlockSpec((G, Skv, W), lambda b, g, i: (b, 0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Skv, W), lambda b, g, i: (b, 0, g),
+            pl.BlockSpec((G, Skv, W), lambda b, g, i: (b, 0, g),
                          memory_space=pltpu.VMEM),
         ]
-    out_spec = pl.BlockSpec((1, bq, W), lambda b, g, i: (b, i, g),
+    out_spec = pl.BlockSpec((G, bq, W), lambda b, g, i: (b, i, g),
                             memory_space=pltpu.VMEM)
 
     def kernel(q_ref, k_ref, v_ref, o_ref):
         i = pl.program_id(2)
-        outs = []
-        for t in range(hp):
-            q = (q_ref[0, :, t * D:(t + 1) * D].astype(jnp.float32)
-                 * (key.scale * _LOG2E)).astype(dtype)
-            s = jax.lax.dot_general(
-                q, k_ref[0, :, t * D:(t + 1) * D],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (bq, Skv)
-            if key.causal:
-                rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (bq, Skv), 0) + i * bq
-                cols = jax.lax.broadcasted_iota(jnp.int32, (bq, Skv), 1)
-                s = jnp.where(rows >= cols, s, -1e30)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp2(s - m)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            outs.append(jnp.dot(p.astype(dtype),
-                                v_ref[0, :, t * D:(t + 1) * D],
-                                preferred_element_type=jnp.float32) / l)
-        o_ref[0] = jnp.concatenate(outs, axis=-1).astype(out_dtype)
+        for bb in range(G):
+            outs = []
+            for t in range(hp):
+                q = (q_ref[bb, :, t * D:(t + 1) * D].astype(jnp.float32)
+                     * (key.scale * _LOG2E)).astype(dtype)
+                s = jax.lax.dot_general(
+                    q, k_ref[bb, :, t * D:(t + 1) * D],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # (bq, Skv)
+                if key.causal:
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (bq, Skv), 0) + i * bq
+                    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, Skv), 1)
+                    s = jnp.where(rows >= cols, s, -1e30)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp2(s - m)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                outs.append(jnp.dot(p.astype(dtype),
+                                    v_ref[bb, :, t * D:(t + 1) * D],
+                                    preferred_element_type=jnp.float32) / l)
+            o_ref[bb] = jnp.concatenate(outs, axis=-1).astype(out_dtype)
 
     flops = 4 * B * S * Skv * E
     if key.causal:
