@@ -1546,9 +1546,12 @@ def _build_flash_mha_tokens(key, interpret: bool):
     # one TensorCore, so grid parallelism is free while per-program fixed
     # cost (setup + DMA issue latency) is not — G-wide blocks also make the
     # K/V fetches G-fold longer contiguous transfers
+    # 2x on the estimate: pallas double-buffers every changing block
+    # (measured: G=4 at d128/s256 allocated 16.7MB against a 3MB
+    # single-buffer estimate and OOM'd the 16MB scoped vmem)
     G = 1
     for cand in (4, 2):
-        if B % cand == 0 and cand * need(bq, W) <= budget:
+        if B % cand == 0 and cand * 2 * need(bq, W) <= budget:
             G = cand
             break
     grid = (B // G, H // hp, nq)
