@@ -120,3 +120,56 @@ def test_multilayer_encoder_fuses_per_layer():
     l = tpp_compile(low, jit=True)(x)
     np.testing.assert_allclose(np.asarray(l), np.asarray(r),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_qkv_merge_requires_constant_weights():
+    """qkv-merge must NOT fire when the projection weights are function
+    arguments (no compile-time concat is possible) — the attention stays in
+    its 3-operand form and numerics still hold."""
+    text = """func @entry(%x: tensor<2x128x64xf32>, %wq: tensor<64x64xf32>, %wk: tensor<64x64xf32>, %wv: tensor<64x64xf32>, %b: tensor<64xf32>) {
+  %f = tl.reshape %x : tensor<256x64xf32>
+  %z = tl.constant {init = "zero"} : tensor<256x64xf32>
+  %q0 = tl.matmul %f, %wq, %z : tensor<256x64xf32>
+  %q1 = tl.add %q0, %b : tensor<256x64xf32>
+  %q = tl.reshape %q1 : tensor<2x128x64xf32>
+  %k0 = tl.matmul %f, %wk, %z : tensor<256x64xf32>
+  %k1 = tl.add %k0, %b : tensor<256x64xf32>
+  %k = tl.reshape %k1 : tensor<2x128x64xf32>
+  %v0 = tl.matmul %f, %wv, %z : tensor<256x64xf32>
+  %v1 = tl.add %v0, %b : tensor<256x64xf32>
+  %v = tl.reshape %v1 : tensor<2x128x64xf32>
+  %a = tl.attention %q, %k, %v {scale = 0.125, heads = 1} : tensor<2x128x64xf32>
+  return %a : tensor<2x128x64xf32>
+}
+"""
+    ref = parse_module(text)
+    low = parse_module(text)
+    run_pipeline(low, "default-tpp-passes")
+    s = print_module(low)
+    assert "qkv_packed" not in s
+    args = (_rng(2, 128, 64), _rng(64, 64, seed=1, scale=0.05),
+            _rng(64, 64, seed=2, scale=0.05),
+            _rng(64, 64, seed=3, scale=0.05), _rng(64, seed=4, scale=0.1))
+    r = tpp_compile(ref, jit=False)(*args)
+    l = tpp_compile(low, jit=False)(*args)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_xla_delegated_attention_causal():
+    """The D<128 XLA-composed attention path handles causal masking —
+    differential vs the reference attention semantics."""
+    text = """func @entry(%q: tensor<2x128x128xf32>, %k: tensor<2x128x128xf32>, %v: tensor<2x128x128xf32>) {
+  %a = tl.attention %q, %k, %v {scale = 0.0883883, heads = 2, causal = true} : tensor<2x128x128xf32>
+  return %a : tensor<2x128x128xf32>
+}
+"""
+    ref = parse_module(text)
+    low = parse_module(text)
+    run_pipeline(low, "default-tpp-passes")
+    args = (_rng(2, 128, 128), _rng(2, 128, 128, seed=1),
+            _rng(2, 128, 128, seed=2))
+    r = tpp_compile(ref, jit=False)(*args)   # interpret-mode reference
+    l = tpp_compile(low, jit=True)(*args)    # compiled: D=64 -> XLA path
+    np.testing.assert_allclose(np.asarray(l), np.asarray(r),
+                               atol=1e-4, rtol=1e-4)
