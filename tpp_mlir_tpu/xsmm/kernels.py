@@ -1516,9 +1516,14 @@ def _build_flash_mha_tokens(key, interpret: bool):
     # make the per-row chunks contiguous-KB-sized and amortize per-program
     # overhead over hp head-loops.
     def need(bq_, W_):
-        return (2 * Skv * W_ * dsz                 # resident K + V columns
-                + bq_ * W_ * (dsz + jnp.dtype(out_dtype).itemsize)
-                + 8 * bq_ * Skv)
+        # honest accounting: pallas double-buffers every changing block
+        # (q, K, V, out), and the per-head f32 score row plus its exp2
+        # temporary live alongside (measured: the single-buffer estimate
+        # accepted hp=8/bq=512 at s=1024 and allocated 24.9MB against the
+        # 16MB scoped-vmem limit)
+        return (2 * (2 * Skv * W_ * dsz            # K + V, double-buffered
+                     + bq_ * W_ * (dsz + jnp.dtype(out_dtype).itemsize))
+                + 12 * bq_ * Skv)
 
     def pick_bq(W_):
         cand = S
@@ -1546,12 +1551,9 @@ def _build_flash_mha_tokens(key, interpret: bool):
     # one TensorCore, so grid parallelism is free while per-program fixed
     # cost (setup + DMA issue latency) is not — G-wide blocks also make the
     # K/V fetches G-fold longer contiguous transfers
-    # 2x on the estimate: pallas double-buffers every changing block
-    # (measured: G=4 at d128/s256 allocated 16.7MB against a 3MB
-    # single-buffer estimate and OOM'd the 16MB scoped vmem)
     G = 1
     for cand in (4, 2):
-        if B % cand == 0 and cand * 2 * need(bq, W) <= budget:
+        if B % cand == 0 and cand * need(bq, W) <= budget:
             G = cand
             break
     grid = (B // G, H // hp, nq)
