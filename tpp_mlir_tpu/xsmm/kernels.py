@@ -1517,13 +1517,14 @@ def _build_flash_mha_tokens(key, interpret: bool):
     # overhead over hp head-loops.
     def need(bq_, W_):
         # honest accounting: pallas double-buffers every changing block
-        # (q, K, V, out), and the per-head f32 score row plus its exp2
-        # temporary live alongside (measured: the single-buffer estimate
-        # accepted hp=8/bq=512 at s=1024 and allocated 24.9MB against the
-        # 16MB scoped-vmem limit)
+        # (q, K, V, out); the f32 score row, its exp2 temporary, AND the
+        # per-head output blocks accumulating until the final concat all
+        # live alongside (measured: a 13.1MB estimate at s=1024/bf16
+        # allocated 16.2MB and OOM'd scoped vmem — the 20x score factor
+        # makes that config downgrade to bq=128, which fits)
         return (2 * (2 * Skv * W_ * dsz            # K + V, double-buffered
                      + bq_ * W_ * (dsz + jnp.dtype(out_dtype).itemsize))
-                + 12 * bq_ * Skv)
+                + 20 * bq_ * Skv)
 
     def pick_bq(W_):
         cand = S
