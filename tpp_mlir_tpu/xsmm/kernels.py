@@ -1515,16 +1515,17 @@ def _build_flash_mha_tokens(key, interpret: bool):
     # measured the attention at 12.4% of roofline (87.9 us); wide groups
     # make the per-row chunks contiguous-KB-sized and amortize per-program
     # overhead over hp head-loops.
+    def blocks(bq_, W_):
+        # pallas double-buffers every changing block (q, K, V, out)
+        return 2 * (2 * Skv * W_ * dsz
+                    + bq_ * W_ * (dsz + jnp.dtype(out_dtype).itemsize))
+
     def need(bq_, W_):
-        # honest accounting: pallas double-buffers every changing block
-        # (q, K, V, out); the f32 score row, its exp2 temporary, AND the
-        # per-head output blocks accumulating until the final concat all
-        # live alongside (measured: a 13.1MB estimate at s=1024/bf16
-        # allocated 16.2MB and OOM'd scoped vmem — the 20x score factor
-        # makes that config downgrade to bq=128, which fits)
-        return (2 * (2 * Skv * W_ * dsz            # K + V, double-buffered
-                     + bq_ * W_ * (dsz + jnp.dtype(out_dtype).itemsize))
-                + 20 * bq_ * Skv)
+        # blocks + the (hp, bq, Skv) f32 scores scratch of the phase-split
+        # kernel + softmax temporaries (measured calibration: a 13.1MB
+        # estimate once allocated 16.2MB and OOM'd scoped vmem)
+        hp_ = W_ // D
+        return blocks(bq_, W_) + 4 * hp_ * bq_ * Skv + 8 * bq_ * Skv
 
     def pick_bq(W_):
         cand = S
@@ -1552,9 +1553,11 @@ def _build_flash_mha_tokens(key, interpret: bool):
     # one TensorCore, so grid parallelism is free while per-program fixed
     # cost (setup + DMA issue latency) is not — G-wide blocks also make the
     # K/V fetches G-fold longer contiguous transfers
+    # batch grouping: G multiplies the per-batch blocks but the scores
+    # scratch is reused across the G loop
     G = 1
     for cand in (4, 2):
-        if B % cand == 0 and cand * need(bq, W) <= budget:
+        if B % cand == 0 and cand * blocks(bq, W)                 + 4 * hp * bq * Skv + 8 * bq * Skv <= budget:
             G = cand
             break
     grid = (B // G, H // hp, nq)
@@ -1585,17 +1588,24 @@ def _build_flash_mha_tokens(key, interpret: bool):
     out_spec = pl.BlockSpec((G, bq, W), lambda b, g, i: (b, i, g),
                             memory_space=pltpu.VMEM)
 
-    def kernel(q_ref, k_ref, v_ref, o_ref):
+    def kernel(q_ref, k_ref, v_ref, o_ref, s_ref):
+        # PHASE-SPLIT per batch element: all hp QK dots into the scores
+        # scratch, then all softmaxes, then all AV dots — consecutive MXU
+        # passes pipeline instead of stalling on the VPU softmax between
+        # every pair of dots (measured: 19.6us vs 23.1us interleaved at
+        # d128/s256)
         i = pl.program_id(2)
         for bb in range(G):
-            outs = []
             for t in range(hp):
                 q = (q_ref[bb, :, t * D:(t + 1) * D].astype(jnp.float32)
                      * (key.scale * _LOG2E)).astype(dtype)
-                s = jax.lax.dot_general(
+                s_ref[t] = jax.lax.dot_general(
                     q, k_ref[bb, :, t * D:(t + 1) * D],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)       # (bq, Skv)
+            ps = []
+            for t in range(hp):
+                s = s_ref[t]
                 if key.causal:
                     rows = jax.lax.broadcasted_iota(
                         jnp.int32, (bq, Skv), 0) + i * bq
@@ -1604,10 +1614,11 @@ def _build_flash_mha_tokens(key, interpret: bool):
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp2(s - m)
                 l = jnp.sum(p, axis=-1, keepdims=True)
-                outs.append(jnp.dot(p.astype(dtype),
-                                    v_ref[bb, :, t * D:(t + 1) * D],
-                                    preferred_element_type=jnp.float32) / l)
-            o_ref[bb] = jnp.concatenate(outs, axis=-1).astype(out_dtype)
+                ps.append((p / l).astype(dtype))
+            for t in range(hp):
+                o_ref[bb, :, t * D:(t + 1) * D] = jnp.dot(
+                    ps[t], v_ref[bb, :, t * D:(t + 1) * D],
+                    preferred_element_type=jnp.float32).astype(out_dtype)
 
     flops = 4 * B * S * Skv * E
     if key.causal:
@@ -1622,6 +1633,7 @@ def _build_flash_mha_tokens(key, interpret: bool):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, S, E), out_dtype),
+        scratch_shapes=[pltpu.VMEM((hp, bq, Skv), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=cost,
