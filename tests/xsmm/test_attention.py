@@ -331,3 +331,37 @@ def test_torch_mha_import_emits_token_layout():
     s = str(m)
     assert "heads = 4" in s
     assert "tl.transpose" not in s
+
+
+def test_tokens_kernel_causal_d128():
+    """Causal masking through the PHASE-SPLIT token-layout kernel at D=128
+    (the Pallas path — D<128 delegates to XLA): mask applies per q-block
+    at its row offset; differential vs dense reference."""
+    import numpy as np
+
+    from tpp_mlir_tpu.xsmm.cache import _GLOBAL
+    from tpp_mlir_tpu.xsmm.flags import FlashMhaKey
+
+    B, S, D, H = 2, 256, 128, 2
+    E = H * D
+    key = FlashMhaKey(batch=B, seq=S, seq_kv=S, head_dim=D, dtype="f32",
+                      scale=D ** -0.5, heads=H, causal=True,
+                      strategy="tokens")
+    fn = _GLOBAL.dispatch(key, interpret=True)
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, S, E).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, S, E).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, S, E).astype(np.float32))
+    got = np.asarray(fn(q, k, v))
+
+    qh = np.asarray(q).reshape(B, S, H, D).transpose(0, 2, 1, 3)
+    kh = np.asarray(k).reshape(B, S, H, D).transpose(0, 2, 1, 3)
+    vh = np.asarray(v).reshape(B, S, H, D).transpose(0, 2, 1, 3)
+    s = np.einsum("bhqd,bhkd->bhqk", qh, kh) * (D ** -0.5)
+    mask = np.tril(np.ones((S, S), bool))
+    s = np.where(mask[None, None], s, -np.inf)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bhkd->bhqd", p, vh).transpose(0, 2, 1, 3) \
+        .reshape(B, S, E)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
