@@ -74,6 +74,40 @@ def test_fold_residual_acc_keeps_unary_barrier():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_fold_residual_acc_plain_brgemm_keeps_unary():
+    """A PLAIN brgemm (no bias -> not fused) behind a reshape, then a
+    full-shape residual add + relu: the residual may fold into the
+    accumulator, but the relu must NOT be absorbed into the dispatch —
+    the plain-brgemm dispatch never reads unary_kind, so absorbing it
+    would erase the activation without executing it (advisor r2 finding,
+    to_xsmm.py FoldResidualAccPass)."""
+    text = """func @entry(%a: tensor<4x64x32xf32>, %b: tensor<4x32x128xf32>, %r: tensor<2x32x128xf32>) {
+  %z = tl.constant {init = "zero"} : tensor<64x128xf32>
+  %0 = tl.brgemm %a, %b, %z : tensor<64x128xf32>
+  %1 = tl.reshape %0 : tensor<2x32x128xf32>
+  %2 = tl.add %1, %r : tensor<2x32x128xf32>
+  %3 = tl.relu %2 : tensor<2x32x128xf32>
+  return %3 : tensor<2x32x128xf32>
+}
+"""
+    ref = parse_module(text)
+    low = parse_module(text)
+    run_pipeline(low, "default-tpp-passes")
+    s = print_module(low)
+    # the activation must survive somewhere executable: either as a
+    # standalone unary or on a FUSED dispatch — never silently dropped
+    if 'unary_kind = "relu"' in s:
+        assert "fused_brgemm_dispatch" in s
+    else:
+        assert 'kind = "relu"' in s
+    args = (_rng(4, 64, 32), _rng(4, 32, 128, seed=1, scale=0.05),
+            _rng(2, 32, 128, seed=2))
+    r = tpp_compile(ref, jit=False)(*args)
+    l = tpp_compile(low, jit=False)(*args)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(r),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_transformer_block_fuses_completely():
     """The imported torch transformer block lowers to exactly FIVE kernels:
     4 GEMMs (merged QKV with LN prologue + out-proj/residual + fc1 with LN

@@ -310,6 +310,39 @@ def test_flash_tokens_layout_causal():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_flash_packed_reference_differential():
+    """qkv_packed keys: reference mirrors the kernel's single-operand
+    (B, S, 3E) call convention, so kernel-vs-reference differentials run
+    on the same argument (advisor r2 finding). D=128 exercises the Pallas
+    tokens kernel; the reference slices [Q | K | V] column groups."""
+    key = FlashMhaKey(batch=2, seq=256, seq_kv=256, head_dim=128, heads=2,
+                      scale=128 ** -0.5, qkv_packed=True)
+    kfn = build_kernel(key, interpret=True)
+    rfn = reference_kernel(key)
+    x = rng(2, 256, 3 * 256)
+    # executor call convention for packed invokes: fn(x, x, x)
+    np.testing.assert_allclose(np.asarray(kfn(x, x, x), np.float32),
+                               np.asarray(rfn(x, x, x), np.float32),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_flash_packed_forced_tokens_small_head_falls_back():
+    """strategy='tokens' at D=64/H=1 packed: the W_ == E lane escape is
+    split-operand-only (packed last dim is 3E) — the tokens builder must
+    refuse (return None) rather than emit a Mosaic-illegal block, and the
+    dispatch must still produce a working kernel via the slice fallback."""
+    from tpp_mlir_tpu.xsmm.kernels import _build_flash_mha_tokens
+    key = FlashMhaKey(batch=1, seq=128, seq_kv=128, head_dim=64, heads=1,
+                      scale=0.125, qkv_packed=True, strategy="tokens")
+    assert _build_flash_mha_tokens(key, True) is None
+    kfn = build_kernel(key, interpret=True)
+    rfn = reference_kernel(key)
+    x = rng(1, 128, 3 * 64)
+    np.testing.assert_allclose(np.asarray(kfn(x), np.float32),
+                               np.asarray(rfn(x), np.float32),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_torch_mha_import_emits_token_layout():
     """The torch MultiheadAttention import emits token-layout tl.attention
     (heads attr) with NO transposes around the core."""

@@ -154,9 +154,10 @@ def build_mha(batch: int = 16, heads: int = 16, seq: int = 256,
     b.ret(out)
     flops = (2 * B * seq * seq * head_dim) * 2 + 4 * B * seq * seq
     if causal:
-        # only the lower triangle is useful work — count it honestly (the
-        # kernel skips above-diagonal kv chunks, so GFLOPS stays comparable
-        # to the non-causal rows instead of double-crediting the skip)
+        # only the lower triangle is useful work — count it honestly
+        # (FlashAttention convention). The kernel itself does FULL-square
+        # masked work on v5e (every work-skipping schedule measured slower,
+        # see PERF.md); halving counts useful flops, not kernel flops.
         flops //= 2
     m.attrs["flops"] = flops
     m.verify()

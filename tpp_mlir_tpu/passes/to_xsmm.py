@@ -791,9 +791,16 @@ class FoldResidualAccPass(Pass):
 
                 attrs = dict(pd.attrs)
                 attrs["flags"] = tuple(f for f in flags if f != "beta_0")
-                # absorb a single trailing unary as the fused epilogue
+                # absorb a single trailing unary as the fused epilogue —
+                # ONLY on fused_brgemm: the plain-brgemm dispatch never
+                # reads unary_kind (executor.py: un_kind gated on fused),
+                # so absorbing there would erase the activation from the
+                # IR without ever executing it. Type must round-trip too.
                 unary_op = _single_user(op)
-                if unary_op is not None and unary_op.opname == "xsmm.unary":
+                if (unary_op is not None
+                        and unary_op.opname == "xsmm.unary"
+                        and prod.opname == "xsmm.fused_brgemm"
+                        and unary_op.result.type == prod.result.type):
                     ud = unary_op.operands[0].owner
                     attrs["unary_kind"] = ud.attrs["kind"]
                 else:

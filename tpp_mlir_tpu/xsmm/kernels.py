@@ -1539,7 +1539,13 @@ def _build_flash_mha_tokens(key, interpret: bool):
     h_cand = H
     while h_cand >= 1:
         W_ = h_cand * D
-        if H % h_cand == 0 and (W_ % 128 == 0 or W_ == E):
+        # the W_ == E escape is only lane-legal for SPLIT q/k/v operands
+        # (block dim == array dim); a packed operand's last dim is 3E, so
+        # a non-128-divisible W_ block would violate the Mosaic last-dim
+        # constraint (advisor r2 finding)
+        lane_ok = (W_ % 128 == 0
+                   or (W_ == E and not key.qkv_packed))
+        if H % h_cand == 0 and lane_ok:
             b_ = pick_bq(W_)
             if b_ >= min(S, 128):
                 hp, bq = h_cand, b_

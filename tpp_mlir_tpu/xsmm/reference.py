@@ -165,6 +165,16 @@ def flash_mha_reference(key):
         B_, S_ = q.shape[0], q.shape[1]
         return o.reshape(B_, H, S_, D).transpose(0, 2, 1, 3).reshape(
             B_, S_, H * D)
+
+    if getattr(key, "qkv_packed", False):
+        # packed keys take ONE (B, S, 3E) operand — mirror the kernel
+        # call convention (_build_attn_xla_tokens) so reference-vs-kernel
+        # differentials run on the same arguments (advisor r2 finding)
+        E = H * D
+
+        def packed(x, *_):
+            return fn(x[..., :E], x[..., E:2 * E], x[..., 2 * E:])
+        return packed
     return fn
 
 
