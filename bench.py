@@ -62,11 +62,19 @@ def main() -> int:
     assert err < 2e-2, f"numerics off: relerr {err}"
 
     # 4. timed region in-kernel; slope over two repeat counts, escalated
-    #    until the signal clears host/tunnel jitter
+    #    until the signal clears host/tunnel jitter. MEDIAN of 3 full
+    #    slope measurements: the shared tunnel shows ±20-40% single-run
+    #    noise (r01->r02 0.987->0.971 was pure noise); the median of three
+    #    independent slopes holds back-to-back runs within a few %.
+    import statistics
+
     from tpp_mlir_tpu.runtime.perf import bench_warm
 
-    per_iter = bench_warm(key, (x, *wb))
+    per_iter = statistics.median(
+        bench_warm(key, (x, *wb)) for _ in range(3))
 
+    # matmul flops only — bias/relu (~0.1% of the chain's work) are
+    # excluded, so the reported rate is marginally conservative
     flops = sum(2 * BATCH * LAYERS[i] * LAYERS[i + 1]
                 for i in range(len(LAYERS) - 1))
     value = flops / per_iter / 1e9

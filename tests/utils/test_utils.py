@@ -47,3 +47,62 @@ def test_logger_levels():
     log.trace("hidden")
     out = buf.getvalue()
     assert "hello" in out and "world" in out and "hidden" not in out
+
+
+def test_count_bytes_compulsory_traffic():
+    from tpp_mlir_tpu.utils.flops import count_bytes
+
+    text = """func @entry(%x: tensor<16x32xf32>) {
+  %w = tl.constant {init = "normal", seed = 1} : tensor<32x64xf32>
+  %z = tl.constant {init = "zero"} : tensor<16x64xf32>
+  %1 = tl.matmul %x, %w, %z : tensor<16x64xf32>
+  return %1 : tensor<16x64xf32>
+}
+"""
+    m = parse_module(text)
+    # arg read + result write + weight const read; the zero accumulator
+    # (beta_0) never touches HBM
+    assert count_bytes(m) == 4 * (16 * 32 + 16 * 64 + 32 * 64)
+    # warm regime: constants live in VMEM across timed iterations
+    assert count_bytes(m, warm=True) == 4 * (16 * 32 + 16 * 64)
+
+
+def test_binding_roof_picks_the_lower_roof():
+    from tpp_mlir_tpu.utils.target import binding_roof
+
+    t = TargetInfo(name="tpu-test", generation=5, hbm_gbps=800.0,
+                   peak_flops={"bf16": 200e12, "f32": 200e12})
+    # high intensity (1000 flops/byte): compute-bound
+    roof, bound = binding_roof("bf16", flops=1_000_000, bytes_moved=1000,
+                               target=t)
+    assert bound == "compute" and roof == 200e12
+    # low intensity (1 flop/byte): bandwidth-bound, roof = bw * intensity
+    roof, bound = binding_roof("bf16", flops=1000, bytes_moved=1000,
+                               target=t)
+    assert bound == "bandwidth" and abs(roof - 800e9) < 1e6
+    # degenerate rows fall back to the compute roof
+    roof, bound = binding_roof("bf16", flops=0, bytes_moved=0, target=t)
+    assert bound == "compute"
+
+
+def test_calibration_file_overrides_nominal(tmp_path, monkeypatch):
+    import json
+    import os
+
+    from tpp_mlir_tpu.utils import target as tgt
+
+    cal = {"targets": [{"device_kind": "TPU v5 lite",
+                        "peak_flops": {"bf16": 222e12, "f32": 222e12}}]}
+    path = os.path.join(os.path.dirname(tgt.__file__), "calibration.json")
+    existed = os.path.exists(path)
+    backup = open(path).read() if existed else None
+    try:
+        json.dump(cal, open(path, "w"))
+        got = tgt._load_calibration("tpu v5 lite")
+        assert got["bf16"] == 222e12
+        assert tgt._load_calibration("tpu v4") == {}
+    finally:
+        if existed:
+            open(path, "w").write(backup)
+        else:
+            os.remove(path)

@@ -80,6 +80,9 @@ def run_benchmark(entry, iters, verbose=False, no_baseline=False):
     if not flops:
         from tpp_mlir_tpu.utils.flops import count_flops
         flops = count_flops(module)
+    from tpp_mlir_tpu.utils.flops import count_bytes
+    bytes_cold = count_bytes(module)
+    bytes_warm = count_bytes(module, warm=True)
     func = module["entry"]
     args = tuple(
         jnp.asarray(tensor_init(entry.get("init", "normal"), a.type.shape,
@@ -118,7 +121,7 @@ def run_benchmark(entry, iters, verbose=False, no_baseline=False):
         fn = data_parallel_run(inner, mesh, batch_arg_indices=[0],
                                num_args=len(args))
         res = bench(fn, args, iters=bench_iters, flops=flops)
-        return res, base, "scan" 
+        return res, base, "scan", bytes_cold
 
     # warm mode: single chain/fc kernel programs time via the in-kernel
     # perf.bench region (weights resident in VMEM across iterations, like
@@ -136,13 +139,13 @@ def run_benchmark(entry, iters, verbose=False, no_baseline=False):
                 res = BenchResult(mean_seconds=per_iter,
                                   total_seconds=per_iter,
                                   iters=2000, flops=flops)
-                return res, base, "warm"
+                return res, base, "warm", bytes_warm
             except Exception:
                 pass  # e.g. VMEM overflow on this target: scan fallback
 
     fn = tpp_compile(module, jit=True)
     res = bench(fn, args, iters=bench_iters, flops=flops)
-    return res, base, "scan" 
+    return res, base, "scan", bytes_cold
 
 
 def target_matches(entry) -> bool:
@@ -183,7 +186,7 @@ def main(argv=None) -> int:
             jax.config.update("jax_num_cpu_devices", args.devices)
 
     from tpp_mlir_tpu.utils.logger import Logger
-    from tpp_mlir_tpu.utils.target import current_target, roofline_flops
+    from tpp_mlir_tpu.utils.target import binding_roof, current_target
 
     log = Logger(args.verbose)
     log.info(f"target: {current_target().name}")
@@ -203,26 +206,31 @@ def main(argv=None) -> int:
             log.debug(f"running {name} (iters={iters})")
             t0 = time.time()
             try:
-                res, base, mode = run_benchmark(entry, iters, args.verbose,
-                                                no_baseline=args.no_baseline)
+                res, base, mode, nbytes = run_benchmark(
+                    entry, iters, args.verbose,
+                    no_baseline=args.no_baseline)
             except Exception as e:
                 print(f"{name}: FAIL ({type(e).__name__}: {e})")
                 results.append({"name": name, "error": str(e)})
                 continue
             dtype = entry.get("dtype", "bf16" if "bf16" in name else "f32")
-            roof = roofline_flops(dtype)
+            # the BINDING roof: min(compute peak, intensity x HBM bw) —
+            # bandwidth-bound rows (pack/unpack, tiny-head MHA) report a
+            # meaningful % instead of a sub-1% compute-% artifact
+            roof, bound = binding_roof(dtype, res.flops or 0, nbytes)
             gflops = res.gflops
             row = {"name": name, "mean_seconds": res.mean_seconds,
-                   "iters": iters, "mode": mode,
+                   "iters": iters, "mode": mode, "bytes": nbytes,
                    "baseline_mean_seconds": base.mean_seconds}
             if gflops is not None:
                 pct = gflops * 1e9 / roof * 100
                 speedup = base.mean_seconds / res.mean_seconds
                 vs = "" if speedup != speedup else f", {speedup:4.2f}x vs XLA"
                 print(f"{name}: {gflops:10.3f} gflops "
-                      f"({pct:5.1f}% roofline{vs}, {mode}) "
+                      f"({pct:5.1f}% of {bound} roof{vs}, {mode}) "
                       f"[{time.time()-t0:.0f}s]")
-                row.update(gflops=gflops, roofline_pct=pct)
+                row.update(gflops=gflops, roofline_pct=pct, roof=bound,
+                           roof_gflops=roof / 1e9)
                 if speedup == speedup:
                     row["vs_xla"] = speedup
             else:

@@ -49,3 +49,39 @@ def count_flops(module: Module, func_name: str = "entry") -> int:
         elif name in ELTWISE_UNARY or name in ELTWISE_BINARY:
             total += op.results[0].type.num_elements
     return total
+
+
+_ITEMSIZE = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2,
+             "i8": 1, "i16": 2, "i32": 4, "i64": 8}
+
+
+def _nbytes(t) -> int:
+    return t.num_elements * _ITEMSIZE.get(t.dtype, 4)
+
+
+def count_bytes(module: Module, func_name: str = "entry",
+                warm: bool = False) -> int:
+    """Compulsory HBM traffic of ONE model application: every function
+    argument read once, every result written once, every non-zero constant
+    (weights/biases) read once. This is the bandwidth-roofline numerator —
+    the minimum bytes any schedule must move, ignoring intermediates a
+    perfect fusion would keep on chip (the convention of the roofline
+    model; the reference reports raw GFLOPS only,
+    benchmarks/harness/controller.py:186-195, so the honest-bandwidth roof
+    is our extension).
+
+    warm=True models the in-kernel perf.bench regime (ChainKey.repeats):
+    constants are VMEM-resident across timed iterations, so per-iteration
+    traffic is the activations only."""
+    func = module[func_name]
+    total = 0
+    for a in func.args:
+        total += _nbytes(a.type)
+    for v in func.returns:
+        total += _nbytes(v.type)
+    if not warm:
+        for op in func.ops:
+            if op.opname == "tl.constant" \
+                    and op.attrs.get("init") != "zero":
+                total += _nbytes(op.results[0].type)
+    return total
