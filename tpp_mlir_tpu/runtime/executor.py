@@ -708,13 +708,56 @@ def extract_bench_kernel(module: Module, func_name: str = "entry"):
     if len(invokes) != 1 or len(func.returns) != 1:
         return None
     inv = invokes[0]
-    if func.returns[0] is not inv.result:
+    # allow a pure-layout epilogue (unpack/reshape) between invoke and
+    # return: boundary relayout is one-time teardown, excluded from the
+    # warm timed region exactly like the input packs are
+    tail = func.returns[0].owner
+    while tail is not None and tail is not inv \
+            and tail.opname in ("tl.unpack", "tl.reshape"):
+        tail = tail.operands[0].owner
+    if tail is not inv:
         return None
     d = inv.operands[0].owner
 
     if inv.opname == "xsmm.fused_chain":
         key = _dispatch_key(d, inv)
         wb_ops = inv.operands[1:]
+    elif inv.opname in ("xsmm.fused_brgemm", "xsmm.brgemm", "xsmm.gemm") \
+            and d.attrs.get("layout") == "blocked":
+        # packed-parity warm bench (BlockedMatmulKey.repeats): the packed
+        # weight stays VMEM-resident, output feeds back as the packed
+        # activation — legal for square feedback only
+        a = d.attrs
+        key = _dispatch_key(d, inv)
+        if key.Nb != key.Kb or key.nb != key.kb:
+            return None
+        if key.binary_kind not in (None, "add") \
+                or key.binary_bcast != "bcast_col":
+            return None
+        if not key.beta0:
+            return None
+        from ..utils.target import current_target
+        io_dsize = 2 if key.dtype in ("bf16", "f16") else 4
+        mxu_dsize = 2 if (key.dtype in ("bf16", "f16")
+                          or key.precision == "default") else 4
+        need = (key.Nb * key.Kb * key.kb * key.nb * mxu_dsize   # weight
+                + 2 * key.Mb * key.Kb * key.mb * key.kb * mxu_dsize  # a+act
+                + key.Mb * key.Nb * key.mb * key.nb * io_dsize  # out
+                + key.Nb * key.nb * io_dsize)                   # bias
+        if need > int(current_target().vmem_bytes * 0.9):
+            return None
+        has_bias = key.binary_kind == "add"
+        wb = [inv.operands[1], inv.operands[2]]
+        if has_bias:
+            wb.append(inv.operands[4])
+        base_eval = _make_operand_eval(func, inv, wb, reshape2d=False)
+
+        def get_operands(args, _ev=base_eval, _bias=has_bias):
+            vals = _ev(args)
+            # kernel signature is fn(a, b, c=None, d=None); beta_0 -> no c
+            return ((vals[0], vals[1], None, vals[2]) if _bias
+                    else (vals[0], vals[1]))
+        return key, get_operands
     elif inv.opname in ("xsmm.fused_brgemm", "xsmm.gemm"):
         a = d.attrs
         if a.get("layout", "flat") != "flat" or a.get("batch", 1) != 1:

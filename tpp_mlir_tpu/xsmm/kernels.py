@@ -181,6 +181,31 @@ def pick_blocks(m: int, n: int, k: int, dtype: str,
 # BRGEMM family
 # ---------------------------------------------------------------------------
 
+#: experiment hook for the wres epilogue schedule; policy lives in
+#: _wres_sched (None = policy decides)
+_WRES_SCHED_OVERRIDE = [None]
+
+
+def _wres_sched(key) -> str:
+    """Epilogue schedule of the weights-resident GEMM:
+    - "interleave": dot chunk c, then its epilogue, then chunk c+1 (the
+      r3 baseline; fine for cheap epilogues).
+    - "split": ALL chunk dots into an f32 scratch, then ONE full-width
+      epilogue pass — consecutive MXU passes pipeline instead of
+      stalling on the VPU between chunks (the schedule that won the
+      attention kernel +15%, commit a2f559b).
+    - "lag": cross-m-block software pipeline — epilogue of block i-1 is
+      issued in the same program as the dots of block i (independent MXU/
+      VPU work, parity-double scratch, out specs lag one step).
+    Measured r4 on v5e (fc1-class LN+gelu m2048 k1024 n4096, see
+    PERF.md): split/lag only pay for transcendental epilogues."""
+    if _WRES_SCHED_OVERRIDE[0]:
+        return _WRES_SCHED_OVERRIDE[0]
+    if key.unary_kind in ("gelu", "gelu_tanh", "exp", "tanh"):
+        return "split"
+    return "interleave"
+
+
 def _build_brgemm_wres(key, interpret: bool):
     """Weights-RESIDENT flat GEMM for the large-m streamed regime.
 
@@ -223,13 +248,16 @@ def _build_brgemm_wres(key, interpret: bool):
     full_d = has_d and key.binary_bcast == "none"
     asz = jnp.dtype(_jdt(key.dtype)).itemsize if has_ln else wsz
 
+    sched = _wres_sched(key)
+    nscr = {"interleave": 0, "split": 1, "lag": 2}[sched]
+
     def need(bm_):
         per_row = 2 * (bm_ * k * asz + bm_ * n * osz)
         if has_c:
             per_row += 2 * bm_ * n * 4
         if full_d:
             per_row += 2 * bm_ * n * 4
-        return wbytes + per_row
+        return wbytes + per_row + nscr * bm_ * n * 4
 
     bm = 0
     cand = min(m, 512)
@@ -242,33 +270,42 @@ def _build_brgemm_wres(key, interpret: bool):
         return None  # single m block: the blocked path already fetches
                      # weights exactly once
 
-    grid = (m // bm,)
+    nm = m // bm
+    lagged = sched == "lag"
+    grid = (nm + 1,) if lagged else (nm,)
+    # "lag" runs one extra step and shifts every epilogue-phase block
+    # (out, c, full/row d) back by one: program i computes dots for
+    # m-block i while finishing block i-1's epilogue
+    if lagged:
+        cur = lambda i: (jnp.minimum(i, nm - 1), 0)    # dot-phase blocks
+        lag = lambda i: (jnp.maximum(i - 1, 0), 0)     # epilogue blocks
+    else:
+        cur = lag = lambda i: (i, 0)
     in_specs = [
-        pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, k), cur, memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),          # weights: manual DMA
     ]
     if has_c:
-        in_specs.append(pl.BlockSpec((bm, n), lambda i: (i, 0),
+        in_specs.append(pl.BlockSpec((bm, n), lag,
                                      memory_space=pltpu.VMEM))
     if has_d:
         if key.binary_bcast == "bcast_col":
             in_specs.append(pl.BlockSpec((1, n), lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
         elif key.binary_bcast == "bcast_row":
-            in_specs.append(pl.BlockSpec((bm, 1), lambda i: (i, 0),
+            in_specs.append(pl.BlockSpec((bm, 1), lag,
                                          memory_space=pltpu.VMEM))
         elif key.binary_bcast == "bcast_scalar":
             in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
         else:
-            in_specs.append(pl.BlockSpec((bm, n), lambda i: (i, 0),
+            in_specs.append(pl.BlockSpec((bm, n), lag,
                                          memory_space=pltpu.VMEM))
     if has_ln and key.prologue_affine:
         for _ in range(2):
             in_specs.append(pl.BlockSpec((1, k), lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
-    out_spec = pl.BlockSpec((bm, n), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bm, n), lag, memory_space=pltpu.VMEM)
 
     # Column-chunked first-step weight DMA: all chunk copies start up
     # front, each is waited just before its dot, so the transfer overlaps
@@ -297,6 +334,7 @@ def _build_brgemm_wres(key, interpret: bool):
         o_ref = refs[idx]
         wbuf = refs[idx + 1]
         sems = refs[idx + 2]
+        s_refs = refs[idx + 3:idx + 3 + nscr]
 
         i = pl.program_id(0)
 
@@ -311,35 +349,80 @@ def _build_brgemm_wres(key, interpret: bool):
             for c in range(CH):
                 chunk_copy(c).start()
 
-        a = a_ref[:]
-        if has_ln:
+        def normalize(a):
+            if not has_ln:
+                return a
             af = a.astype(jnp.float32)
             mu = jnp.mean(af, axis=1, keepdims=True)
             var = jnp.mean(af * af, axis=1, keepdims=True) - mu * mu
             af = (af - mu) * jax.lax.rsqrt(var + key.prologue_eps)
             if key.prologue_affine:
                 af = af * g_ref[0] + be_ref[0]
-            a = af.astype(mxu_dt)
-        for c in range(CH):
-            @pl.when(i == 0)
-            def _wait_chunk(c=c):
-                chunk_copy(c).wait()
-            res = jnp.dot(a, wbuf[:, c * nc:(c + 1) * nc],
-                          preferred_element_type=jnp.float32)
+            return af.astype(mxu_dt)
+
+        def epilogue_chunk(res, c):
             if has_c:
                 res += c_ref[:, c * nc:(c + 1) * nc].astype(jnp.float32)
             if has_d:
-                if full_d:
-                    d_blk = d_ref[:, c * nc:(c + 1) * nc]
-                elif key.binary_bcast == "bcast_col":
+                if key.binary_bcast in ("bcast_col", "none"):
                     d_blk = d_ref[:, c * nc:(c + 1) * nc]
                 else:                       # bcast_row / bcast_scalar
                     d_blk = d_ref[:]
             else:
                 d_blk = None
-            res = _apply_epilogue(res, d_blk, key.binary_kind,
-                                  key.unary_kind)
-            o_ref[:, c * nc:(c + 1) * nc] = res.astype(out_dtype)
+            return _apply_epilogue(res, d_blk, key.binary_kind,
+                                   key.unary_kind).astype(out_dtype)
+
+        def dots_into(s_ref, a):
+            for c in range(CH):
+                @pl.when(i == 0)
+                def _wait_chunk(c=c):
+                    chunk_copy(c).wait()
+                s_ref[:, c * nc:(c + 1) * nc] = jnp.dot(
+                    a, wbuf[:, c * nc:(c + 1) * nc],
+                    preferred_element_type=jnp.float32)
+
+        def epilogue_from(s_ref):
+            # ONE full-width VPU pass over the scratch: no MXU stalls
+            # between chunk dots, and the epilogue vectorizes over the
+            # whole (bm, n) block
+            for c in range(CH):
+                o_ref[:, c * nc:(c + 1) * nc] = epilogue_chunk(
+                    s_ref[:, c * nc:(c + 1) * nc], c)
+
+        if sched == "interleave":
+            a = normalize(a_ref[:])
+            for c in range(CH):
+                @pl.when(i == 0)
+                def _wait_chunk(c=c):
+                    chunk_copy(c).wait()
+                res = jnp.dot(a, wbuf[:, c * nc:(c + 1) * nc],
+                              preferred_element_type=jnp.float32)
+                o_ref[:, c * nc:(c + 1) * nc] = epilogue_chunk(res, c)
+        elif sched == "split":
+            a = normalize(a_ref[:])
+            dots_into(s_refs[0], a)
+            epilogue_from(s_refs[0])
+        else:                               # "lag": cross-block pipeline
+            par = jax.lax.rem(i, 2)
+
+            @pl.when((i < nm) & (par == 0))
+            def _dots_even():
+                dots_into(s_refs[0], normalize(a_ref[:]))
+
+            @pl.when((i < nm) & (par == 1))
+            def _dots_odd():
+                dots_into(s_refs[1], normalize(a_ref[:]))
+
+            # epilogue of the PREVIOUS block: independent of this step's
+            # dots, so Mosaic can overlap the VPU pass with the MXU work
+            @pl.when((i > 0) & (par == 1))
+            def _epi_even():
+                epilogue_from(s_refs[0])
+
+            @pl.when((i > 0) & (par == 0))
+            def _epi_odd():
+                epilogue_from(s_refs[1])
 
     cost = pl.CostEstimate(
         flops=2 * m * n * k,
@@ -355,7 +438,8 @@ def _build_brgemm_wres(key, interpret: bool):
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((k, n), mxu_dt),
-                        pltpu.SemaphoreType.DMA((CH,))],
+                        pltpu.SemaphoreType.DMA((CH,))]
+        + [pltpu.VMEM((bm, n), jnp.float32) for _ in range(nscr)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         cost_estimate=cost,
@@ -576,6 +660,8 @@ def _build_blocked_matmul(key: BlockedMatmulKey, interpret: bool):
         return vnni_fn
     has_c = not key.beta0
     has_d = key.binary_kind is not None
+    if key.repeats:
+        return _build_blocked_matmul_warm(key, interpret)
 
     grid = (Mb, Nb, Kb)
     in_specs = [
@@ -655,6 +741,99 @@ def _build_blocked_matmul(key: BlockedMatmulKey, interpret: bool):
         args = [a.astype(mxu_dt), b.astype(mxu_dt)]
         if has_c:
             args.append(c)
+        if has_d:
+            args.append(d.reshape(1, -1))
+        return call(*args)
+
+    return fn
+
+
+def _build_blocked_matmul_warm(key: BlockedMatmulKey, interpret: bool):
+    """perf.bench-in-kernel for the PACKED layout (key.repeats > 0): the
+    packed weight + bias stay VMEM-resident, the timed loop runs as an
+    'arbitrary' grid dimension, and each step's output feeds back as the
+    next step's packed activation (requires Nb==Kb, nb==kb — square
+    feedback, same rule as ChainKey). This is the packed-parity analogue
+    of the flat chain's warm bench, so default-tpp-passes-packed rows can
+    be measured warm-vs-warm against the flat default (the reference
+    times its packed path hot: MLIRBench.cpp:265-295)."""
+    Mb, Nb, Kb = key.Mb, key.Nb, key.Kb
+    mb, nb, kb = key.mb, key.nb, key.kb
+    assert Nb == Kb and nb == kb, (
+        f"blocked warm bench needs square feedback, got "
+        f"Nb={Nb} Kb={Kb} nb={nb} kb={kb}")
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
+    has_d = key.binary_kind is not None
+    reps = key.repeats
+
+    in_specs = [
+        pl.BlockSpec((Mb, Kb, mb, kb), lambda t: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Nb, Kb, kb, nb), lambda t: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_d:
+        in_specs.append(pl.BlockSpec((1, Nb * nb), lambda t: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((Mb, Nb, mb, nb), lambda t: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        idx = 0
+        a_ref = refs[idx]; idx += 1
+        b_ref = refs[idx]; idx += 1
+        d_ref = refs[idx] if has_d else None
+        idx += has_d
+        o_ref = refs[idx]
+        act_ref = refs[idx + 1]
+
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _init():
+            act_ref[:] = a_ref[:]
+
+        for i in range(Mb):
+            # read the full activation row BEFORE writing any of its
+            # replacement tiles (next[i, j] depends on act[i, :])
+            arow = [act_ref[i, r] for r in range(Kb)]
+            for j in range(Nb):
+                acc = jnp.zeros((mb, nb), jnp.float32)
+                for r in range(Kb):
+                    acc += jnp.dot(arow[r], b_ref[j, r],
+                                   preferred_element_type=jnp.float32)
+                d_blk = (d_ref[0, j * nb:(j + 1) * nb].reshape(1, nb)
+                         if has_d else None)
+                res = _apply_epilogue(acc, d_blk, key.binary_kind,
+                                      key.unary_kind)
+                act_ref[i, j] = res.astype(mxu_dt)
+
+        @pl.when(t == reps - 1)
+        def _finish():
+            o_ref[:] = act_ref[:].astype(out_dtype)
+
+    cost = pl.CostEstimate(
+        flops=2 * reps * Mb * Nb * Kb * mb * nb * kb,
+        bytes_accessed=(Mb * Kb * mb * kb + Nb * Kb * kb * nb
+                        + Mb * Nb * mb * nb) * jnp.dtype(mxu_dt).itemsize,
+        transcendentals=0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(reps,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((Mb, Nb, mb, nb), out_dtype),
+        scratch_shapes=[pltpu.VMEM((Mb, Kb, mb, kb), mxu_dt)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+
+    def fn(a, b, c=None, d=None):
+        args = [a.astype(mxu_dt), b.astype(mxu_dt)]
         if has_d:
             args.append(d.reshape(1, -1))
         return call(*args)
