@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""r4 experiment: D=64 head-PAIR attention via the +/- trick (judge r2 #5).
+
+The D=64 token-layout Pallas kernel loses 2x to XLA because per-head
+64-wide LANE slices force vreg relayouts (PERF.md r3). This kernel never
+slices below 128 lanes: for a head pair [h1|h2] occupying one 128-lane
+block,
+    s_sum = Qp @ Kp^T          (128-wide contraction)
+    s_dif = Qp @ (Kp * sgn)^T  (sgn = [+1]*64 ++ [-1]*64 per lane)
+    s1 = (s_sum + s_dif)/2,  s2 = (s_sum - s_dif)/2
+recovers both heads' scores from two FULL-contraction dots (the same MXU
+time as two half-fill dots — the 50% useful-fill ceiling is fundamental
+at D=64 — but with ZERO relayouts), and the AV dot runs
+    [p1 | p2] (S,2S) @ [[V1|0];[0|V2]] (2S,128)
+— full-lane output, the block-diagonal V built in-kernel by two cheap
+full-lane masks. Useful-work ceiling stays ~50%; the question is whether
+killing the relayouts beats the delegated XLA-composed path (34% at the
+transformer shape).
+
+Compares, one coherent run: xla-composed / tokens-Pallas(forced) / pair.
+"""
+
+import functools
+import json
+import sys
+
+
+def build_pair_kernel(B, S, E, H, scale, dtype_name, interpret=False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpp_mlir_tpu.xsmm.kernels import _LOG2E, _jdt, _mxu_input_dtype
+
+    D = 64
+    assert E == H * D and H % 2 == 0
+    dtype = _jdt(dtype_name)
+    mxu_dt = _mxu_input_dtype(dtype_name, interpret, "default")
+    grid = (B, H // 2)
+
+    specs = [pl.BlockSpec((1, S, 128), lambda b, t: (b, 0, t),
+                          memory_space=pltpu.VMEM) for _ in range(3)]
+    out_spec = pl.BlockSpec((1, S, 128), lambda b, t: (b, 0, t),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        sgn = jnp.where(lane < 64, 1.0, -1.0).astype(jnp.float32)
+        qp = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(mxu_dt)
+        kp = k_ref[0]
+        dn = (((1,), (1,)), ((), ()))
+        s_sum = jax.lax.dot_general(qp, kp, dimension_numbers=dn,
+                                    preferred_element_type=jnp.float32)
+        kn = (kp.astype(jnp.float32) * sgn).astype(mxu_dt)
+        s_dif = jax.lax.dot_general(qp, kn, dimension_numbers=dn,
+                                    preferred_element_type=jnp.float32)
+        ps = []
+        for s in (0.5 * (s_sum + s_dif), 0.5 * (s_sum - s_dif)):
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            ps.append((p / l).astype(mxu_dt))
+        pcat = jnp.concatenate(ps, axis=1)              # (S, 2S)
+        vp = v_ref[0].astype(jnp.float32)
+        mask_l = jnp.where(lane < 64, 1.0, 0.0).astype(jnp.float32)
+        vd = jnp.concatenate([vp * mask_l, vp * (1.0 - mask_l)],
+                             axis=0).astype(mxu_dt)     # (2S, 128)
+        o = jnp.dot(pcat, vd, preferred_element_type=jnp.float32)
+        o_ref[0] = o.astype(dtype)
+
+    cost = pl.CostEstimate(flops=4 * B * S * S * E,
+                           bytes_accessed=4 * B * S * E * 2,
+                           transcendentals=B * H * S * S)
+    call = pl.pallas_call(
+        kernel, grid=grid, in_specs=specs, out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, S, E), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=cost, interpret=interpret)
+
+    def fn(q, k, v):
+        return call(q.astype(mxu_dt), k.astype(mxu_dt), v.astype(mxu_dt))
+    return fn
+
+
+def main() -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpp_mlir_tpu.runtime.perf import bench
+    from tpp_mlir_tpu.runtime.tensor_init import tensor_init
+    from tpp_mlir_tpu.utils.target import roofline_flops
+    from tpp_mlir_tpu.xsmm.flags import FlashMhaKey
+    from tpp_mlir_tpu.xsmm.kernels import (_build_attn_xla_tokens,
+                                           _build_flash_mha_tokens)
+
+    rows = []
+    for (B, S, E, H), dtype in [((8, 256, 1024, 16), "f32"),
+                                ((8, 256, 1024, 16), "bf16"),
+                                ((2, 1024, 1024, 16), "bf16")]:
+        D = E // H
+        scale = D ** -0.5
+        key = FlashMhaKey(batch=B, seq=S, seq_kv=S, head_dim=D,
+                          dtype=dtype, scale=scale, heads=H)
+        q = jnp.asarray(tensor_init("normal", (B, S, E), dtype, seed=0))
+        k = jnp.asarray(tensor_init("normal", (B, S, E), dtype, seed=1))
+        v = jnp.asarray(tensor_init("normal", (B, S, E), dtype, seed=2))
+        flops = 4 * B * S * S * E
+        variants = {
+            "xla": _build_attn_xla_tokens(key),
+            "tokens": _build_flash_mha_tokens(key, False),
+            "pair": build_pair_kernel(B, S, E, H, scale, dtype),
+        }
+        ref = None
+        for name, fn in variants.items():
+            if fn is None:
+                rows.append({"variant": name, "shape": [B, S, E, H],
+                             "dtype": dtype, "error": "refused"})
+                continue
+            try:
+                out = np.asarray(fn(q, k, v), np.float32)
+                if ref is None:
+                    ref = out
+                else:
+                    err = float(np.max(np.abs(out - ref))
+                                / (np.max(np.abs(ref)) + 1e-9))
+                    assert err < 3e-2, f"{name} numerics off: {err}"
+                r = bench(fn, (q, k, v), flops=flops)
+                roof = roofline_flops(dtype)
+                row = {"variant": name, "shape": [B, S, E, H],
+                       "dtype": dtype, "gflops": round(r.gflops, 1),
+                       "pct": round(r.gflops * 1e9 / roof * 100, 1),
+                       "us": round(r.mean_seconds * 1e6, 2)}
+            except Exception as e:
+                row = {"variant": name, "shape": [B, S, E, H],
+                       "dtype": dtype,
+                       "error": f"{type(e).__name__}: {e}"}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    json.dump(rows, open("/tmp/d64_pair_results.json", "w"), indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

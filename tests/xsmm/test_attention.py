@@ -398,3 +398,27 @@ def test_tokens_kernel_causal_d128():
     want = np.einsum("bhqk,bhkd->bhqd", p, vh).transpose(0, 2, 1, 3) \
         .reshape(B, S, E)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_flash_causal_twocall_differential():
+    """strategy='twocall' (band_lo + band_hi + dense-rectangle with LSE
+    merge) matches the dense causal reference — low rows come straight
+    from band_lo, high rows from the stats merge."""
+    key = FlashMhaKey(batch=2, seq=512, seq_kv=512, head_dim=64,
+                      scale=0.125, causal=True, strategy="twocall")
+    kfn = build_kernel(key, interpret=True)
+    rfn = reference_kernel(key)
+    q = rng(2, 512, 64)
+    k = rng(2, 512, 64, seed=1)
+    v = rng(2, 512, 64, seed=2)
+    np.testing.assert_allclose(np.asarray(kfn(q, k, v), np.float32),
+                               np.asarray(rfn(q, k, v), np.float32),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_flash_causal_twocall_refuses_noncausal():
+    import pytest as _pytest
+    key = FlashMhaKey(batch=1, seq=512, seq_kv=512, head_dim=64,
+                      scale=0.125, causal=False, strategy="twocall")
+    with _pytest.raises(ValueError):
+        build_kernel(key, interpret=True)

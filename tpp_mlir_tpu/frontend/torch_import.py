@@ -55,7 +55,7 @@ class _LayerLowering:
             "tl.constant", [], [TensorType(tuple(shape), self.dtype)],
             {"init": "literal", "literal": key}).result
 
-    def lower(self, layer, x):
+    def lower(self, layer, x, **kw):
         import torch
         import torch.nn as nn
 
@@ -83,7 +83,7 @@ class _LayerLowering:
         if isinstance(layer, nn.LayerNorm):
             return self.layer_norm(layer, x)
         if isinstance(layer, nn.MultiheadAttention):
-            return self.multihead_attention(layer, x)
+            return self.multihead_attention(layer, x, **kw)
         if isinstance(layer, nn.Conv2d):
             if _pair(layer.dilation) != (1, 1):
                 raise NotImplementedError(
@@ -215,12 +215,19 @@ class _LayerLowering:
             y = b.reshape(y, shape3)
         return y
 
-    def multihead_attention(self, layer, x):
+    def multihead_attention(self, layer, x, need_weights=False,
+                            is_causal=False, attn_mask=None, **_ignored):
         """nn.MultiheadAttention self-attention (batch_first): packed
         in-projection split into Q/K/V GEMMs, head split/merge reshapes,
         ONE tl.attention core (the flash kernel after lowering), output
-        projection. Returns (result, None) matching torch's API."""
+        projection. `is_causal=True` becomes the attention op's causal
+        attr (decoder blocks — torch-dynamo benchmark parity). Returns
+        (result, None) matching torch's API."""
         b, dtype = self.b, self.dtype
+        if attn_mask is not None and not is_causal:
+            raise NotImplementedError(
+                "torch import: arbitrary attn_mask is not supported "
+                "(is_causal=True covers the decoder case)")
         if not layer.batch_first:
             raise NotImplementedError(
                 "torch import: MultiheadAttention requires batch_first=True")
@@ -250,9 +257,11 @@ class _LayerLowering:
             return b.reshape(v, (B_, S, E))
 
         q, k, v = in_proj(0), in_proj(1), in_proj(2)
+        attrs = {"scale": D ** -0.5, "heads": H}
+        if is_causal:
+            attrs["causal"] = True
         att = b.create("tl.attention", [q, k, v],
-                       [TensorType((B_, S, E), dtype)],
-                       {"scale": D ** -0.5, "heads": H}).result
+                       [TensorType((B_, S, E), dtype)], attrs).result
         # output projection (NonDynamicallyQuantizableLinear is a Linear)
         outp = layer.out_proj
         flat_ctx = b.reshape(att, (M, E))
@@ -314,8 +323,18 @@ def import_torch_fx(model, example_shape, dtype: str = "f32",
         if node.op == "placeholder":
             env[node.name] = f.args[0]
         elif node.op == "call_module":
+            # self-attention calls pass (q, k, v) positionally — all three
+            # must be the same traced value (q = k = v) — plus kwargs
+            # (need_weights, is_causal) forwarded to the layer lowering
+            for extra in node.args[1:]:
+                if getattr(extra, "name", None) != node.args[0].name:
+                    raise NotImplementedError(
+                        f"fx import: cross-attention (distinct q/k/v) is "
+                        f"not supported at {node.target}")
+            kw = {k: v for k, v in node.kwargs.items()
+                  if not hasattr(v, "name")}
             env[node.name] = lowering.lower(modules[node.target],
-                                            env[node.args[0].name])
+                                            env[node.args[0].name], **kw)
         elif node.op == "call_function":
             if node.target is operator.getitem:
                 env[node.name] = env[node.args[0].name][node.args[1]]

@@ -10,7 +10,11 @@ from __future__ import annotations
 def build_transformer_block(batch: int = 8, seq: int = 256,
                             embed: int = 1024, heads: int = 16,
                             mlp_ratio: int = 4, seed: int = 0,
-                            dtype: str = "f32", layers: int = 1):
+                            dtype: str = "f32", layers: int = 1,
+                            causal: bool = False):
+    """causal=True builds the DECODER block (GPT-style causal
+    self-attention via is_causal, imported through the same fx path) —
+    the end-to-end context for the causal-attention kernels."""
     import torch
     import torch.nn as nn
 
@@ -29,7 +33,8 @@ def build_transformer_block(batch: int = 8, seq: int = 256,
 
         def forward(self, x):
             h = self.ln1(x)
-            a, _ = self.attn(h, h, h, need_weights=False)
+            a, _ = self.attn(h, h, h, need_weights=False,
+                             is_causal=causal)
             x = x + a
             h = self.ln2(x)
             return x + self.fc2(self.act(self.fc1(h)))

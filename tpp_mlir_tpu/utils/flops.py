@@ -43,7 +43,10 @@ def count_flops(module: Module, func_name: str = "entry") -> int:
         elif name == "tl.attention":
             B, S_, D = op.operands[0].type.shape
             Skv = op.operands[1].type.shape[1]
-            total += 4 * B * S_ * Skv * D + 4 * B * S_ * Skv
+            dots = 4 * B * S_ * Skv * D
+            if op.attrs.get("causal"):
+                dots //= 2   # useful-work convention: triangle only
+            total += dots + 4 * B * S_ * Skv
         elif name == "tl.softmax":
             total += 4 * op.results[0].type.num_elements
         elif name in ELTWISE_UNARY or name in ELTWISE_BINARY:
