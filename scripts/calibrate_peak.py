@@ -34,7 +34,7 @@ def measure(dtype: str, layers, batch: int, precision: str = "default",
     from tpp_mlir_tpu.models.mlp import MlpConfig, build_mlp
     from tpp_mlir_tpu.passes import run_pipeline
     from tpp_mlir_tpu.runtime import tensor_init
-    from tpp_mlir_tpu.runtime.executor import _dispatch_key
+    from tpp_mlir_tpu.runtime.executor import extract_bench_kernel
     from tpp_mlir_tpu.runtime.perf import bench_warm
 
     cfg = MlpConfig(batch=batch, layers=layers, float_type=dtype, bias=True,
@@ -43,22 +43,17 @@ def measure(dtype: str, layers, batch: int, precision: str = "default",
     if precision != "default":
         module.attrs["precision"] = precision
     run_pipeline(module, "default-tpp-passes")
-    func = module["entry"]
-    chains = [op for op in func.ops if op.opname == "xsmm.fused_chain"]
-    assert len(chains) == 1, f"expected one fused chain, got {len(chains)}"
-    key = _dispatch_key(chains[0].operands[0].owner, chains[0])
+    hit = extract_bench_kernel(module)
+    assert hit is not None, f"no warm-benchable kernel for {layers}"
+    key, get_operands = hit
 
-    x = jnp.asarray(tensor_init("normal", (batch, layers[0]), dtype, seed=0))
-    wb = []
-    for i in range(len(layers) - 1):
-        wb.append(jnp.asarray(tensor_init(
-            "normal", (layers[i], layers[i + 1]), dtype, seed=2 * i + 1))
-            * 0.05)
-        wb.append(jnp.asarray(tensor_init(
-            "normal", (layers[i + 1],), dtype, seed=2 * i + 2)))
-
+    args = tuple(
+        jnp.asarray(tensor_init("normal", a.type.shape, a.type.dtype,
+                                seed=i))
+        for i, a in enumerate(module["entry"].args))
+    operands = get_operands(args)
     per_iter = statistics.median(
-        bench_warm(key, (x, *wb)) for _ in range(runs))
+        bench_warm(key, operands) for _ in range(runs))
     flops = sum(2 * batch * layers[i] * layers[i + 1]
                 for i in range(len(layers) - 1))
     return flops / per_iter

@@ -126,7 +126,7 @@ def main() -> int:
                     err = float(np.max(np.abs(out - ref))
                                 / (np.max(np.abs(ref)) + 1e-9))
                     assert err < 3e-2, f"{name} numerics off: {err}"
-                r = bench(fn, (q, k, v), flops=flops)
+                r = bench(fn, (q, k, v), iters=8000, flops=flops)
                 roof = roofline_flops(dtype)
                 row = {"variant": name, "shape": [B, S, E, H],
                        "dtype": dtype, "gflops": round(r.gflops, 1),

@@ -51,7 +51,7 @@ def main() -> int:
                     continue
                 step = (lambda fn: lambda a_, b_, d_, g_, be_:
                         fn(a_, b_, None, d_, g_, be_))(fn)
-                r = bench(step, (a, b, d, g, be), flops=flops)
+                r = bench(step, (a, b, d, g, be), iters=4000, flops=flops)
                 roof = roofline_flops(dtype)
                 row = {"sched": sched, "dtype": dtype,
                        "gflops": round(r.gflops, 1),

@@ -422,3 +422,19 @@ def test_flash_causal_twocall_refuses_noncausal():
                       scale=0.125, causal=False, strategy="twocall")
     with _pytest.raises(ValueError):
         build_kernel(key, interpret=True)
+
+
+def test_flash_causal_auto_routes_twocall_at_2048():
+    """auto + causal + s>=2048 routes to the two-call split (measured
+    45.6%% vs 34.3%% of triangle roofline at D=128 bf16, r4); numerics
+    must match the dense causal reference through the auto path."""
+    key = FlashMhaKey(batch=1, seq=2048, seq_kv=2048, head_dim=64,
+                      scale=0.125, causal=True)
+    kfn = build_kernel(key, interpret=True)
+    rfn = reference_kernel(key)
+    q = rng(1, 2048, 64)
+    k = rng(1, 2048, 64, seed=1)
+    v = rng(1, 2048, 64, seed=2)
+    np.testing.assert_allclose(np.asarray(kfn(q, k, v), np.float32),
+                               np.asarray(rfn(q, k, v), np.float32),
+                               atol=1e-4, rtol=1e-4)

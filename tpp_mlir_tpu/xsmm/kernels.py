@@ -67,6 +67,34 @@ def _erf_poly(x):
     return s * y
 
 
+# exp2-domain erfc exponent: erfc(a) = exp2(-(a^2*log2(e) + _GELU_Q(a)))
+# for a >= 0, Q a degree-6 polynomial fit weighted by gelu sensitivity
+# (max |gelu err| 4.9e-7 in f32 — tighter than the A&S erf route).
+_GELU_Q = (-0.00028712949671992903, 0.00449426300737716,
+           -0.03266857552426225, 0.15147136962340937,
+           -0.5253797862652051, 1.6281031348505746,
+           -1.1907402130915682e-05)
+
+
+def _gelu_exp2(x):
+    """Exact-erf gelu as  relu(x) - 0.5*|x|*erfc(|x|/sqrt2)  with erfc in
+    the exp2 domain — NO division, NO sign/select pair, one exp2:
+    ~14-16 VPU passes vs ~22 for the A&S route (r4: the fc1+LN+gelu
+    kernel is VPU-critical-path; each pass saved is ~8.7us at the
+    transformer fc1 shape). Tail clamped at a=4.2 where erfc < 6e-9."""
+    xf = x.astype(jnp.float32)
+    a = jnp.abs(xf) * 0.7071067811865476
+    ac = jnp.minimum(a, 4.2)
+    z = ac * ac * _LOG2E
+    q = _GELU_Q[0]
+    for coef in _GELU_Q[1:]:
+        q = q * ac + coef
+    e = jnp.exp2(-(z + q))
+    e = jnp.where(a <= 4.2, e, 0.0)
+    return (jnp.maximum(xf, 0.0)
+            - (0.5 * 1.4142135623730951) * ac * e).astype(x.dtype)
+
+
 _UNARY_FNS = {
     "relu": lambda x: jnp.maximum(x, 0.0),
     "identity": lambda x: x,
@@ -75,17 +103,15 @@ _UNARY_FNS = {
     "sqrt": jnp.sqrt,
     "rsqrt": jax.lax.rsqrt,
     "tanh": jnp.tanh,
-    # "gelu" = EXACT erf gelu (torch nn.GELU default; libxsmm GELU);
+    # "gelu" = EXACT erf gelu (torch nn.GELU default);
     # "gelu_tanh" = the tanh approximation (torch approximate='tanh').
     # Mosaic lowers NEITHER erfc (what jax.nn.gelu(exact) uses) NOR erf
     # (both measured on v5e: "Unimplemented primitive ... erf[c]"), so
-    # exact gelu runs an in-kernel polynomial erf (see _erf_poly): max
-    # abs error 1.5e-7 on erf -> ~1e-7 relative on gelu, far inside the
-    # bf16/f32 epilogue tolerance, built from exp which does lower.
-    "gelu": lambda x: (0.5 * x.astype(jnp.float32)
-                       * (1.0 + _erf_poly(x.astype(jnp.float32)
-                                          * 0.7071067811865476))
-                       ).astype(x.dtype),
+    # exact gelu runs in-kernel arithmetic. r4: the exp2-domain erfc
+    # form (_gelu_exp2, max abs err 4.9e-7) replaced the A&S erf route
+    # (_erf_poly) — ~30% fewer VPU passes (no divide, no sign/select),
+    # measured on the VPU-bound fc1 kernel.
+    "gelu": _gelu_exp2,
     "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
     "negate": lambda x: -x,
     "zero": lambda x: jnp.zeros_like(x),
@@ -197,12 +223,16 @@ def _wres_sched(key) -> str:
     - "lag": cross-m-block software pipeline — epilogue of block i-1 is
       issued in the same program as the dots of block i (independent MXU/
       VPU work, parity-double scratch, out specs lag one step).
-    Measured r4 on v5e (fc1-class LN+gelu m2048 k1024 n4096, see
-    PERF.md): split/lag only pay for transcendental epilogues."""
+    Measured r4 on v5e (fc1-class LN+gelu m2048 k1024 n4096, one run,
+    scripts/exp_wres_sched.py): interleave 65.3/68.5 (f32/bf16 % of
+    roofline) vs split 45.1/41.6 and lag 40.3/38.6 — the scratch
+    round-trip costs far more than the MXU stalls it saves; Mosaic
+    already overlaps the epilogue with the next chunk's dot in the
+    interleaved form. interleave is the policy; split/lag stay for
+    reproduction. The fc1 lever that DID pay is the epilogue itself
+    (_gelu_exp2)."""
     if _WRES_SCHED_OVERRIDE[0]:
         return _WRES_SCHED_OVERRIDE[0]
-    if key.unary_kind in ("gelu", "gelu_tanh", "exp", "tanh"):
-        return "split"
     return "interleave"
 
 
@@ -1178,13 +1208,20 @@ def _build_flash_mha(key, interpret: bool):
     assert isinstance(key, FlashMhaKey)
     if key.heads and not key.repeats and (
             key.strategy == "xla"
-            or (key.strategy == "auto" and key.head_dim < 128)):
+            or (key.strategy == "auto" and key.head_dim < 128
+                and key.seq < 1024)):
         # Measured head-to-head on v5e (r3, b8 s256 E1024): at D=64 the
         # token-layout Pallas kernel pays per-head 64-wide LANE slices
         # (vreg relayouts; 65.8us = 17%) while XLA's own composed attention
         # runs 32.6us = 34% — delegate, exactly as the conv path does. At
         # D=128 the Pallas kernel wins (25.1us vs 34.6us) and keeps the
-        # job. Override with strategy="tokens"/"xla" to force either.
+        # job. r4: the delegation is SHORT-SEQUENCE only — at s=1024 the
+        # XLA-composed path materializes the (B,H,S,S) f32 scores in HBM
+        # (134MB at b2/h16) and collapses to 9.7% while the tokens kernel
+        # holds 34.5% (3.5x, scripts/exp_d64_pair.py); the head-pair
+        # +/- trick was also measured there and never beat tokens (33.2
+        # vs 34.5 at s1024, 21 vs 28-46 at s256) — rejected. Override
+        # with strategy="tokens"/"xla" to force either.
         return _build_attn_xla_tokens(key)
     if key.qkv_packed:
         import dataclasses
@@ -1262,6 +1299,14 @@ def _build_flash_mha(key, interpret: bool):
                 f"qblock attention does not fit VMEM for {key}")
         return fn
     if key.strategy == "auto":
+        if key.causal and S >= 2048 and not key.bq and not key.bk:
+            # measured r4 (scripts/exp_causal_twocall.py, one run):
+            # s=2048 twocall 45.6% vs masked-full 34.3% of triangle
+            # roofline at D=128 bf16 (+31% at D=64); at s=1024 the
+            # 3-call + merge overhead loses (22.2 vs 15.9) — gate at 2048
+            fn = _build_flash_causal_twocall(key, interpret)
+            if fn is not None:
+                return fn
         if nq == 1 and nk == 1 and not key.bq and not key.bk:
             # whole sequence per head: group heads per program so
             # per-program overhead amortizes (the seq<=512 regime)
