@@ -71,7 +71,7 @@ def main(argv=None) -> int:
     print(f"device_kind: {kind}", file=sys.stderr)
 
     shapes = [((1024, 1024, 1024, 1024), 256),
-              ((2048, 2048), 512)]
+              ((2048, 2048), 128)]   # b128: weights+bufs fit the warm gate
 
     peaks: dict[str, float] = {}
     for dtype in ("bf16", "f32"):
@@ -87,8 +87,9 @@ def main(argv=None) -> int:
     cls = max(peaks["bf16"], peaks["f32"])
     peaks["bf16"] = peaks["f32"] = cls
 
-    r = measure("f32", (1024, 1024, 1024, 1024), 256, precision="highest")
-    print(f"  f32_highest 3x1024 b256: {r/1e12:.1f} TF/s", file=sys.stderr)
+    # 2 layers: true-f32 weights (4B) at 3x1024 exceed the warm VMEM gate
+    r = measure("f32", (1024, 1024, 1024), 256, precision="highest")
+    print(f"  f32_highest 2x1024 b256: {r/1e12:.1f} TF/s", file=sys.stderr)
     peaks["f32_highest"] = r
 
     out = {"targets": [{"device_kind": kind,

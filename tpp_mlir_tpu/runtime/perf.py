@@ -101,15 +101,18 @@ def bench(step: Callable, args: Sequence, iters: int = 100,
         float(jnp.sum(leaf.astype(jnp.float32)))
 
     def timed(fn):
-        best = float("inf")
+        # median (not min) of the reps: tunnel outliers are two-sided
+        # (impossibly-fast single timings measured r3/r4)
+        import statistics
+        ts = []
         last = None
         for _ in range(max(2, warmup)):
             t0 = time.perf_counter()
             r = fn(*args)
             _force(r)
-            best = min(best, time.perf_counter() - t0)
+            ts.append(time.perf_counter() - t0)
             last = r
-        return best, last
+        return statistics.median(ts), last
 
     n_short = max(1, iters // 4)
     short = _chain(step, n_short)
@@ -148,12 +151,17 @@ def bench_warm(key, operands, r1: int = 200, r2: int = 4000,
     def timed(repeats):
         fn = build_kernel(dataclasses.replace(key, repeats=repeats))
         float(jnp.sum(fn(*operands).astype(jnp.float32)))  # compile, excluded
-        best = float("inf")
+        # MEDIAN, not min: tunnel outliers go BOTH ways (impossibly-fast
+        # single timings were measured r3/r4 — min-of-reps bias produced
+        # the r3 '111.9% of roofline' row); the median is robust to
+        # two-sided noise
+        import statistics
+        ts = []
         for _ in range(reps):
             t0 = _time.perf_counter()
             float(jnp.sum(fn(*operands).astype(jnp.float32)))
-            best = min(best, _time.perf_counter() - t0)
-        return best
+            ts.append(_time.perf_counter() - t0)
+        return statistics.median(ts)
 
     t1 = timed(r1)
     while True:
