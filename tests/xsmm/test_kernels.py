@@ -414,3 +414,25 @@ def test_wres_epilogue_schedules_agree():
     for sched, got in outs.items():
         np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4,
                                    err_msg=sched)
+
+
+def test_gelu_exp2_tail_and_accuracy():
+    """_gelu_exp2 (the r4 exp2-domain gelu): matches exact erf gelu to
+    <1e-6 abs on the working range and stays FINITE and near-exact far
+    outside the polynomial fit range (the tail clamp; an unclamped poly
+    would overflow exp2 at |x| ~ 100)."""
+    import jax
+    from tpp_mlir_tpu.xsmm.kernels import _gelu_exp2
+
+    x = jnp.asarray(np.linspace(-12, 12, 100001, dtype=np.float32))
+    got = np.asarray(_gelu_exp2(x))
+    want = np.asarray(0.5 * x * (1 + jax.scipy.special.erf(
+        x * np.float32(0.7071067811865476))))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+    far = jnp.asarray(np.array([-1e30, -1e6, -500.0, 500.0, 1e6, 1e30],
+                               np.float32))
+    gf = np.asarray(_gelu_exp2(far))
+    assert np.isfinite(gf).all()
+    np.testing.assert_allclose(gf, np.maximum(np.asarray(far), 0.0),
+                               rtol=1e-6, atol=1e-6)
