@@ -2738,9 +2738,31 @@ def _build_binary(key: BinaryKey, interpret: bool):
                            ).astype(out_dtype)
 
 
+def _force_highest(fn):
+    """precision='highest' wrapper: Mosaic runs f32xf32 dots as SINGLE
+    bf16-class MXU passes by default (measured r4: the 'highest' chain
+    benched 190 TF — the bf16 rate — with f32 operands; true 3-pass f32
+    is ~66 TF on v5e). The ambient matmul-precision config applies at
+    TRACE time, which happens on the wrapped call — one choke point
+    instead of threading precision= through every in-kernel dot."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("float32"):
+            return fn(*a, **k)
+    return wrapped
+
+
 def build_kernel(key, interpret: bool | None = None):
     if interpret is None:
         interpret = interpret_default()
+    if getattr(key, "precision", "default") == "highest":
+        return _force_highest(_build_dispatch(key, interpret))
+    return _build_dispatch(key, interpret)
+
+
+def _build_dispatch(key, interpret: bool):
     if isinstance(key, BrgemmKey):
         return _build_brgemm(key, interpret)
     if isinstance(key, BlockedMatmulKey):
