@@ -63,6 +63,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dry", action="store_true",
                    help="measure and print, do not write the file")
+    p.add_argument("--only", default="",
+                   help="re-measure one dtype class (bf16|f32|f32_highest) "
+                        "and merge into the existing calibration file")
     args = p.parse_args(argv)
 
     import jax
@@ -74,23 +77,37 @@ def main(argv=None) -> int:
               ((2048, 2048), 128)]   # b128: weights+bufs fit the warm gate
 
     peaks: dict[str, float] = {}
-    for dtype in ("bf16", "f32"):
-        best = 0.0
-        for layers, batch in shapes:
-            r = measure(dtype, layers, batch)
-            print(f"  {dtype} {len(layers)-1}x{layers[1]} b{batch}: "
-                  f"{r/1e12:.1f} TF/s", file=sys.stderr)
-            best = max(best, r)
-        peaks[dtype] = best
-    # default-precision f32 rides the same MXU passes as bf16: the CLASS
-    # peak is the max of both measurement sets
-    cls = max(peaks["bf16"], peaks["f32"])
-    peaks["bf16"] = peaks["f32"] = cls
-
-    # 2 layers: true-f32 weights (4B) at 3x1024 exceed the warm VMEM gate
-    r = measure("f32", (1024, 1024, 1024), 256, precision="highest")
-    print(f"  f32_highest 2x1024 b256: {r/1e12:.1f} TF/s", file=sys.stderr)
-    peaks["f32_highest"] = r
+    if args.only:
+        # merge mode: keep the other dtypes' existing calibration
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "tpp_mlir_tpu", "utils", "calibration.json")
+        try:
+            prior = json.load(open(path))["targets"][0]["peak_flops"]
+            peaks.update({k: float(v) for k, v in prior.items()})
+        except (OSError, ValueError, KeyError, IndexError):
+            pass
+    if not args.only or args.only in ("bf16", "f32"):
+        for dtype in ("bf16", "f32"):
+            if args.only and dtype != args.only:
+                continue
+            best = 0.0
+            for layers, batch in shapes:
+                r = measure(dtype, layers, batch)
+                print(f"  {dtype} {len(layers)-1}x{layers[1]} b{batch}: "
+                      f"{r/1e12:.1f} TF/s", file=sys.stderr)
+                best = max(best, r)
+            peaks[dtype] = best
+        # default-precision f32 rides the same MXU passes as bf16: the
+        # CLASS peak is the max of both measurement sets
+        if "bf16" in peaks and "f32" in peaks:
+            cls = max(peaks["bf16"], peaks["f32"])
+            peaks["bf16"] = peaks["f32"] = cls
+    if not args.only or args.only == "f32_highest":
+        # 2 layers: true-f32 weights (4B) at 3x1024 exceed the warm gate
+        r = measure("f32", (1024, 1024, 1024), 256, precision="highest")
+        print(f"  f32_highest 2x1024 b256: {r/1e12:.1f} TF/s",
+              file=sys.stderr)
+        peaks["f32_highest"] = r
 
     out = {"targets": [{"device_kind": kind,
                         "peak_flops": {k: round(v) for k, v in peaks.items()},

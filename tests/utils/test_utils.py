@@ -83,6 +83,11 @@ def test_binding_roof_picks_the_lower_roof():
     # degenerate rows fall back to the compute roof
     roof, bound = binding_roof("bf16", flops=0, bytes_moved=0, target=t)
     assert bound == "compute"
+    # on-chip regime (warm repeats / VMEM-resident scan chain): the HBM
+    # roof is not a valid bound — compute roof even at low intensity
+    roof, bound = binding_roof("bf16", flops=1000, bytes_moved=1000,
+                               target=t, on_chip=True)
+    assert bound == "compute" and roof == 200e12
 
 
 def test_calibration_file_overrides_nominal(tmp_path, monkeypatch):

@@ -158,6 +158,54 @@ def target_matches(entry) -> bool:
     return any(fnmatch.fnmatch(name, p) or name.startswith(p) for p in pats)
 
 
+def make_row(entry, name, iters, res, base, mode, nbytes):
+    """Build one results row + its print line from a finished measurement.
+
+    The BINDING roof: min(compute peak, intensity x HBM bw) — bandwidth-
+    bound rows (pack/unpack, tiny-head MHA) report a meaningful % instead
+    of a sub-1% compute-% artifact. The HBM roof only applies when the
+    timed regime actually streams from HBM: warm mode amortizes operand
+    reads over the in-kernel repeats, and a scan chain whose working set
+    fits VMEM stays on-chip (see binding_roof docstring) — those rows
+    report the compute roof plus an effective-GB/s column."""
+    from tpp_mlir_tpu.utils.target import binding_roof, current_target
+
+    dtype = entry.get("dtype", "bf16" if "bf16" in name else "f32")
+    if entry.get("precision") == "highest" and dtype == "f32":
+        dtype = "f32_highest"   # true 3-pass MXU rate is the roof
+    on_chip = (mode == "warm"
+               or nbytes <= current_target().vmem_bytes)
+    roof, bound = binding_roof(dtype, res.flops or 0, nbytes,
+                               on_chip=on_chip)
+    gflops = res.gflops
+    row = {"name": name, "mean_seconds": res.mean_seconds,
+           "iters": iters, "mode": mode, "bytes": nbytes,
+           "regime": "on-chip" if on_chip else "streaming",
+           "baseline_mean_seconds": base.mean_seconds}
+    if res.mean_seconds and res.mean_seconds == res.mean_seconds:
+        row["eff_gbps"] = nbytes / res.mean_seconds / 1e9
+    if gflops is None:
+        return row, f"{name}: {res.mean_seconds*1e3:.3f} ms"
+    pct = gflops * 1e9 / roof * 100
+    speedup = base.mean_seconds / res.mean_seconds
+    vs = "" if speedup != speedup else f", {speedup:4.2f}x vs XLA"
+    chip = ""
+    if on_chip and "eff_gbps" in row:
+        # annotate only rows the HBM roof WOULD have bound if streaming
+        # (pack/unpack, tiny-MHA): their compute-% is structurally small,
+        # the effective GB/s is the real story
+        _, stream_bound = binding_roof(dtype, res.flops or 0, nbytes)
+        if stream_bound == "bandwidth":
+            chip = f", on-chip {row['eff_gbps']:.0f} GB/s eff"
+    row.update(gflops=gflops, roofline_pct=pct, roof=bound,
+               roof_gflops=roof / 1e9)
+    if speedup == speedup:
+        row["vs_xla"] = speedup
+    line = (f"{name}: {gflops:10.3f} gflops "
+            f"({pct:5.1f}% of {bound} roof{chip}{vs}, {mode})")
+    return row, line
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-c", "--config", action="append", required=True,
@@ -186,7 +234,7 @@ def main(argv=None) -> int:
             jax.config.update("jax_num_cpu_devices", args.devices)
 
     from tpp_mlir_tpu.utils.logger import Logger
-    from tpp_mlir_tpu.utils.target import binding_roof, current_target
+    from tpp_mlir_tpu.utils.target import current_target
 
     log = Logger(args.verbose)
     log.info(f"target: {current_target().name}")
@@ -213,28 +261,9 @@ def main(argv=None) -> int:
                 print(f"{name}: FAIL ({type(e).__name__}: {e})")
                 results.append({"name": name, "error": str(e)})
                 continue
-            dtype = entry.get("dtype", "bf16" if "bf16" in name else "f32")
-            # the BINDING roof: min(compute peak, intensity x HBM bw) —
-            # bandwidth-bound rows (pack/unpack, tiny-head MHA) report a
-            # meaningful % instead of a sub-1% compute-% artifact
-            roof, bound = binding_roof(dtype, res.flops or 0, nbytes)
-            gflops = res.gflops
-            row = {"name": name, "mean_seconds": res.mean_seconds,
-                   "iters": iters, "mode": mode, "bytes": nbytes,
-                   "baseline_mean_seconds": base.mean_seconds}
-            if gflops is not None:
-                pct = gflops * 1e9 / roof * 100
-                speedup = base.mean_seconds / res.mean_seconds
-                vs = "" if speedup != speedup else f", {speedup:4.2f}x vs XLA"
-                print(f"{name}: {gflops:10.3f} gflops "
-                      f"({pct:5.1f}% of {bound} roof{vs}, {mode}) "
-                      f"[{time.time()-t0:.0f}s]")
-                row.update(gflops=gflops, roofline_pct=pct, roof=bound,
-                           roof_gflops=roof / 1e9)
-                if speedup == speedup:
-                    row["vs_xla"] = speedup
-            else:
-                print(f"{name}: {res.mean_seconds*1e3:.3f} ms")
+            row, line = make_row(entry, name, iters, res, base, mode,
+                                 nbytes)
+            print(f"{line} [{time.time()-t0:.0f}s]")
             results.append(row)
 
     if args.json:
