@@ -60,7 +60,8 @@ def main(argv) -> int:
         flops = row["gflops"] * 1e9 * mean
         dtype = dtypes.get(row["name"],
                            "bf16" if "bf16" in row["name"] else "f32")
-        on_chip = row.get("mode") == "warm" or nbytes <= t.vmem_bytes
+        on_chip = (row.get("mode") == "warm"
+                   or nbytes <= t.vmem_resident_bytes)
         roof, bound = binding_roof(dtype, flops, nbytes, target=t,
                                    on_chip=on_chip)
         pct = row["gflops"] * 1e9 / roof * 100

@@ -173,8 +173,9 @@ def test_make_row_regimes():
         assert abs(row["eff_gbps"] - 2 ** 21 / 1e-6 / 1e9) < 1e-6
         assert "on-chip" in line and "GB/s eff" in line
 
-        # 3. large scan row: streaming, HBM roof binds at low intensity
-        nbytes = 64 * 2 ** 20
+        # 3. large scan row (working set past the VMEM residency
+        #    capacity): streaming, HBM roof binds at low intensity
+        nbytes = 256 * 2 ** 20
         res = BenchResult(mean_seconds=1e-3, total_seconds=1e-3, iters=1,
                           flops=nbytes * 2)
         row, _ = make_row({"dtype": "f32"}, "big", 1, res, base,

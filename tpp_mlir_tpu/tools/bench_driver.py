@@ -136,6 +136,14 @@ def run_benchmark(entry, iters, verbose=False, no_baseline=False):
             key, get_operands = hit
             try:
                 per_iter = bench_warm(key, get_operands(args))
+                # plausibility gate: a rate above the compute roof is a
+                # measurement artifact (stalled short point), never the
+                # kernel — re-measure once and keep the slower reading
+                from tpp_mlir_tpu.utils.target import roofline_flops
+                comp = roofline_flops(entry_dtype(entry, entry["name"]))
+                if flops and comp and flops / per_iter > 1.02 * comp:
+                    per_iter = max(per_iter,
+                                   bench_warm(key, get_operands(args)))
                 res = BenchResult(mean_seconds=per_iter,
                                   total_seconds=per_iter,
                                   iters=2000, flops=flops)
@@ -158,6 +166,15 @@ def target_matches(entry) -> bool:
     return any(fnmatch.fnmatch(name, p) or name.startswith(p) for p in pats)
 
 
+def entry_dtype(entry, name):
+    """Roofline dtype class of a config entry: explicit dtype, else guessed
+    from the name; precision=highest maps to the true-f32 3-pass peak."""
+    dtype = entry.get("dtype", "bf16" if "bf16" in name else "f32")
+    if entry.get("precision") == "highest" and dtype == "f32":
+        dtype = "f32_highest"
+    return dtype
+
+
 def make_row(entry, name, iters, res, base, mode, nbytes):
     """Build one results row + its print line from a finished measurement.
 
@@ -170,11 +187,9 @@ def make_row(entry, name, iters, res, base, mode, nbytes):
     report the compute roof plus an effective-GB/s column."""
     from tpp_mlir_tpu.utils.target import binding_roof, current_target
 
-    dtype = entry.get("dtype", "bf16" if "bf16" in name else "f32")
-    if entry.get("precision") == "highest" and dtype == "f32":
-        dtype = "f32_highest"   # true 3-pass MXU rate is the roof
+    dtype = entry_dtype(entry, name)
     on_chip = (mode == "warm"
-               or nbytes <= current_target().vmem_bytes)
+               or nbytes <= current_target().vmem_resident_bytes)
     roof, bound = binding_roof(dtype, res.flops or 0, nbytes,
                                on_chip=on_chip)
     gflops = res.gflops

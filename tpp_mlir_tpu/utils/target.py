@@ -21,6 +21,13 @@ class TargetInfo:
     generation: int           # 4, 5, 6 ... 0 = not a TPU (CPU interpret)
     mxu: tuple[int, int] = (128, 128)
     vmem_bytes: int = 16 * 2 ** 20
+    # Residency threshold for the roofline REGIME decision: vmem_bytes is
+    # the Mosaic scoped-kernel budget, but XLA keeps scan-loop state
+    # resident well past it (measured r4: 21 MB fc scan chains sustained
+    # 1.3 TB/s effective — 1.6x HBM bandwidth). Below this capacity the
+    # HBM roof is not PROVABLY a bound, so rows report the compute roof
+    # (always a true bound) plus their effective GB/s.
+    vmem_resident_bytes: int = 128 * 2 ** 20
     hbm_gbps: float = 819.0
     # peak dense FLOP/s per chip by compute dtype
     peak_flops: dict = None  # type: ignore[assignment]
@@ -40,15 +47,18 @@ class TargetInfo:
 # Peak FLOP/s by INPUT dtype at XLA default precision: f32 matmul inputs run
 # through the MXU at the bf16-class rate (with f32 accumulate; measured in
 # PERF.md), so the f32 roofline equals the bf16 one. "f32_highest" is the
-# bf16x3 3-pass rate for precision=highest comparisons.
+# precision=highest rate: on v5e XLA/Mosaic implement it as SIX bf16 MXU
+# passes (measured r4: 32.7 TF = peak/6; the 3-pass bf16x3 estimate was
+# wrong), so the v5e nominal is peak/6. Other generations keep the /3
+# estimate until measured — calibration.json overrides nominals anyway.
 _KNOWN = {
     # name: (generation, vmem, hbm GB/s, {dtype: peak FLOP/s})
     "v4": (4, 16 * 2 ** 20, 1228.0,
            {"bf16": 275e12, "f32": 275e12, "f32_highest": 91.7e12}),
     "v5 lite": (5, 16 * 2 ** 20, 819.0,
-                {"bf16": 197e12, "f32": 197e12, "f32_highest": 65.7e12}),
+                {"bf16": 197e12, "f32": 197e12, "f32_highest": 32.8e12}),
     "v5e": (5, 16 * 2 ** 20, 819.0,
-            {"bf16": 197e12, "f32": 197e12, "f32_highest": 65.7e12}),
+            {"bf16": 197e12, "f32": 197e12, "f32_highest": 32.8e12}),
     "v5p": (5, 16 * 2 ** 20, 2765.0,
             {"bf16": 459e12, "f32": 459e12, "f32_highest": 153e12}),
     "v6 lite": (6, 32 * 2 ** 20, 1640.0,
