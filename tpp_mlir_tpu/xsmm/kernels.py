@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.target import current_target
+from . import tune
 from .flags import (BinaryKey, BlockedMatmulKey, BrgemmKey, ConvBrgemmKey,
                     UnaryKey)
 
@@ -280,6 +281,9 @@ def _build_brgemm_wres(key, interpret: bool):
 
     sched = _wres_sched(key)
     nscr = {"interleave": 0, "split": 1, "lag": 2}[sched]
+    tn = tune.tuned(key)
+    if tn.get("wres") is False:
+        return None   # tuner measured the blocked path faster here
 
     def need(bm_):
         per_row = 2 * (bm_ * k * asz + bm_ * n * osz)
@@ -290,8 +294,12 @@ def _build_brgemm_wres(key, interpret: bool):
         return wbytes + per_row + nscr * bm_ * n * 4
 
     bm = 0
+    tuned_bm = tn.get("wres_bm", 0)
+    if tuned_bm and m % tuned_bm == 0 and tuned_bm % sub == 0 \
+            and need(tuned_bm) <= budget:
+        bm = tuned_bm
     cand = min(m, 512)
-    while cand >= sub:
+    while not bm and cand >= sub:
         if m % cand == 0 and cand % sub == 0 and need(cand) <= budget:
             bm = cand
             break
@@ -497,6 +505,7 @@ def _build_brgemm_wres(key, interpret: bool):
                      beta.reshape(1, -1).astype(jnp.float32)]
         return call(*args)
 
+    fn._tune_info = {"kind": "wres", "wres_bm": bm, "sched": sched}
     return fn
 
 
@@ -516,7 +525,11 @@ def _build_brgemm(key: BrgemmKey, interpret: bool):
     wres = _build_brgemm_wres(key, interpret)
     if wres is not None:
         return wres
-    bm, bn, bk = pick_blocks(m, n, k, key.dtype, key.bm, key.bn, key.bk)
+    tn = {} if (key.bm or key.bn or key.bk) else tune.tuned(key)
+    bm, bn, bk = pick_blocks(m, n, k, key.dtype,
+                             key.bm or tn.get("bm", 0),
+                             key.bn or tn.get("bn", 0),
+                             key.bk or tn.get("bk", 0))
     if key.prologue:
         bk = k  # the prologue normalizes whole rows: single K block
     kb_steps = max(1, k // bk) if k % bk == 0 else 1
@@ -668,6 +681,7 @@ def _build_brgemm(key: BrgemmKey, interpret: bool):
                      beta.reshape(1, -1).astype(jnp.float32)]
         return call(*args)
 
+    fn._tune_info = {"kind": "blocked", "bm": bm, "bn": bn, "bk": bk}
     return fn
 
 
@@ -882,7 +896,11 @@ def _build_batch_matmul(key, interpret: bool):
     assert isinstance(key, BatchMatmulKey)
     B, m, n, k = key.batch, key.m, key.n, key.k
     out_dtype = _jdt(key.out_dtype or key.dtype)
-    bm, bn, bk = pick_blocks(m, n, k, key.dtype, key.bm, key.bn, key.bk)
+    tn = {} if (key.bm or key.bn or key.bk) else tune.tuned(key)
+    bm, bn, bk = pick_blocks(m, n, k, key.dtype,
+                             key.bm or tn.get("bm", 0),
+                             key.bn or tn.get("bn", 0),
+                             key.bk or tn.get("bk", 0))
     if key.softmax_lhs:
         bk = k  # softmax over the contraction dim needs the whole row
     kb_steps = max(1, k // bk) if k % bk == 0 else 1
@@ -1076,7 +1094,7 @@ def _build_chain(key, interpret: bool):
     mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
     out_dtype = _jdt(key.out_dtype or key.dtype)
     sub, _ = current_target().min_tile(key.dtype)
-    bm = key.bm or min(m, 512)
+    bm = key.bm or tune.tuned(key).get("bm", 0) or min(m, 512)
     bm = max(sub, bm - bm % sub) if m % sub == 0 else bm
     kmax = max(dims[:-1])
     nmax = max(dims[1:])
