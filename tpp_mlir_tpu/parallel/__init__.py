@@ -12,13 +12,28 @@ TPU-native equivalents here:
 
 The reference has no cross-chip distribution at all (no NCCL/MPI), so
 everything beyond `data_parallel_run` is capability headroom, not parity.
+All five production parallelism modes are implemented and differential-
+tested against unsharded oracles:
+
+  dp  data parallel        runner.py   (batch sharding, psum grads)
+  tp  tensor parallel      train.py / transformer.py (Megatron MHA/MLP)
+  pp  pipeline parallel    pipeline.py (GPipe microbatches over ppermute)
+  sp  sequence parallel    sequence.py (ring attention, rotating KV)
+  ep  expert parallel      moe.py      (switch MoE, GShard all_to_all)
 """
 
 from .mesh import make_mesh, task_grid_mesh
+from .moe import make_moe_forward, moe_init, moe_reference
+from .pipeline import (make_pipeline_forward, pipeline_init,
+                       pipeline_reference)
 from .runner import data_parallel_run, shard_run
+from .sequence import make_ring_attention, ring_attention_reference
 from .train import TrainState, make_train_step, mlp_init
 from .transformer import make_mha_forward, mha_param_specs, mha_params
 
 __all__ = ["make_mesh", "task_grid_mesh", "data_parallel_run", "shard_run",
            "TrainState", "make_train_step", "mlp_init",
-           "make_mha_forward", "mha_params", "mha_param_specs"]
+           "make_mha_forward", "mha_params", "mha_param_specs",
+           "make_pipeline_forward", "pipeline_init", "pipeline_reference",
+           "make_moe_forward", "moe_init", "moe_reference",
+           "make_ring_attention", "ring_attention_reference"]
