@@ -307,3 +307,81 @@ def test_decoder_block_causal_import():
     np.testing.assert_allclose(np.asarray(l, np.float32),
                                np.asarray(r, np.float32),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_embedding_gather_import():
+    """nn.Embedding lowers to tl.gather; a get_attr positional table adds
+    in broadcast; numerics match torch exactly (pure lookup + GEMM)."""
+    from tpp_mlir_tpu.frontend import import_torch_fx
+
+    class Emb(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.wte = torch.nn.Embedding(96, 64)
+            self.wpe = torch.nn.Parameter(torch.randn(16, 64) * 0.02)
+            self.lm = torch.nn.Linear(64, 96, bias=False)
+
+        def forward(self, ids):
+            return self.lm(self.wte(ids) + self.wpe)
+
+    torch.manual_seed(3)
+    tm = Emb().eval()
+    ids = np.random.default_rng(0).integers(0, 96, (2, 16)).astype(np.int32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(ids).long()).numpy()
+    m = import_torch_fx(tm, (2, 16), dtype="f32", input_dtype="i32")
+    assert "tl.gather" in str(m)
+    run_pipeline(m, "default-tpp-passes")
+    got = np.asarray(tpp_compile(m, jit=True)(jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_torch_is_causal_hint_needs_mask():
+    """torch silently runs NON-causal when is_causal=True is passed without
+    attn_mask (hint semantics) — the guard test for why the model builders
+    pass the explicit mask. If a torch upgrade changes this, the builders
+    can drop the masks."""
+    torch.manual_seed(0)
+    attn = torch.nn.MultiheadAttention(64, 4, batch_first=True).eval()
+    x = torch.randn(2, 16, 64)
+    with torch.no_grad():
+        hinted, _ = attn(x, x, x, need_weights=False, is_causal=True)
+        plain, _ = attn(x, x, x, need_weights=False)
+    assert torch.allclose(hinted, plain)
+
+
+def test_gpt_model_family():
+    """The full GPT LM (wte + wpe + pre-LN causal blocks + ln_f + lm_head)
+    imports, lowers through the default pipeline, and matches torch eager
+    — embedding gather, causal attention (explicit torch-side mask), and
+    the LM-head GEMM in one program."""
+    from tpp_mlir_tpu.models.gpt import GptTorch
+    from tpp_mlir_tpu.frontend import import_torch_fx
+
+    torch.manual_seed(0)
+    tm = GptTorch(96, 64, 4, 2, 4, max_seq=16).eval()
+    ids = np.random.default_rng(0).integers(0, 96, (2, 16)).astype(np.int32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(ids).long()).numpy()
+    m = import_torch_fx(tm, (2, 16), dtype="f32", input_dtype="i32")
+    s = str(m)
+    assert "tl.gather" in s and "causal = true" in s
+    # the explicit torch-side causal mask must NOT materialize as a literal
+    assert all(l.shape != (16, 16) for l in m.literals.values())
+    run_pipeline(m, "default-tpp-passes")
+    got = np.asarray(tpp_compile(m, jit=True)(jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_gpt_driver_row_builds():
+    """The bench-driver 'gpt' model entry builds and int token-id args are
+    generated in the gather table's id range."""
+    from tpp_mlir_tpu.tools.bench_driver import build_module
+    from tpp_mlir_tpu.tools.tpp_run import init_args
+
+    m = build_module({"model": 'gpt:{"batch": 2, "seq": 16, "vocab": 96, '
+                               '"embed": 64, "heads": 4, "layers": 1}'})
+    args = init_args(m, "entry", "normal", 0)
+    ids = np.asarray(args[0])
+    assert ids.dtype == np.int32
+    assert ids.min() >= 0 and ids.max() < 96

@@ -192,3 +192,19 @@ def test_layer_norm_bad_gamma_shape():
   return %0 : tensor<8x32xf32>
 }
 """, "tl.layer_norm")
+
+
+def test_gather_float_indices_rejected():
+    expect_invalid("""func @f(%t: tensor<96x64xf32>, %i: tensor<2x16xf32>) {
+  %0 = tl.gather %t, %i : tensor<2x16x64xf32>
+  return %0 : tensor<2x16x64xf32>
+}
+""", "tl.gather")
+
+
+def test_gather_bad_result_shape():
+    expect_invalid("""func @f(%t: tensor<96x64xf32>, %i: tensor<2x16xi32>) {
+  %0 = tl.gather %t, %i : tensor<2x16x32xf32>
+  return %0 : tensor<2x16x32xf32>
+}
+""", "tl.gather")

@@ -149,6 +149,13 @@ class _LayerLowering:
             return b.reshape(x, (x.type.shape[0], n))
         if isinstance(layer, (nn.Identity, nn.Dropout)):
             return x
+        if isinstance(layer, nn.Embedding):
+            # token-id lookup -> tl.gather; the table is a literal constant
+            # like any weight. Gathers stay tl-level through the pipeline
+            # (XLA's dynamic-slice machinery, not an MXU op).
+            V, E = layer.num_embeddings, layer.embedding_dim
+            table = self.const_of(layer.weight, (V, E))
+            return b.gather(table, x)
         if isinstance(layer, nn.TransformerEncoderLayer):
             # Stock torch encoder layer. Its forward is not fx-traceable
             # (mask dtype checks on proxies), but as a MODULE it decomposes
@@ -297,11 +304,15 @@ def import_torch(model, example_shape, dtype: str = "f32",
 
 
 def import_torch_fx(model, example_shape, dtype: str = "f32",
-                    name: str = "entry") -> Module:
+                    name: str = "entry",
+                    input_dtype: str | None = None) -> Module:
     """Graph-level importer via torch.fx symbolic tracing: handles residual
     connections and functional calls (the closest analogue of the
     reference's torch-dynamo linalg export). call_module nodes lower
-    through the same `_LayerLowering` as `import_torch`."""
+    through the same `_LayerLowering` as `import_torch`.
+
+    input_dtype overrides the entry argument's dtype (token-id inputs of
+    embedding models are "i32"; compute stays in `dtype`)."""
     import operator
 
     import torch
@@ -313,15 +324,36 @@ def import_torch_fx(model, example_shape, dtype: str = "f32",
     modules = dict(graph_module.named_modules())
 
     m = Module()
-    f = m.add(Function(name, [TensorType(tuple(example_shape), dtype)],
+    f = m.add(Function(name, [TensorType(tuple(example_shape),
+                                         input_dtype or dtype)],
                        ["x"]))
     b = TppBuilder(f)
     lowering = _LayerLowering(m, b, dtype, "fx")
 
     env = {}
+
+    def val(name):
+        """Materialize an env entry for use as an IR value. get_attr
+        tensors stay lazy torch tensors until consumed so buffers that
+        only feed torch-side kwargs (e.g. an explicit causal attn_mask,
+        which torch needs but the attention op's causal attr subsumes)
+        never become dead constants."""
+        v = env[name]
+        if isinstance(v, torch.Tensor):
+            v = env[name] = lowering.const_of(v, tuple(v.shape))
+        return v
+
     for node in graph_module.graph.nodes:
         if node.op == "placeholder":
             env[node.name] = f.args[0]
+        elif node.op == "get_attr":
+            # registered buffers / bare parameters read in forward (e.g. a
+            # learned positional table) — lowered to literal constants on
+            # first real use (see `val`)
+            t = graph_module
+            for part in node.target.split("."):
+                t = getattr(t, part)
+            env[node.name] = t
         elif node.op == "call_module":
             # self-attention calls pass (q, k, v) positionally — all three
             # must be the same traced value (q = k = v) — plus kwargs
@@ -334,17 +366,17 @@ def import_torch_fx(model, example_shape, dtype: str = "f32",
             kw = {k: v for k, v in node.kwargs.items()
                   if not hasattr(v, "name")}
             env[node.name] = lowering.lower(modules[node.target],
-                                            env[node.args[0].name], **kw)
+                                            val(node.args[0].name), **kw)
         elif node.op == "call_function":
             if node.target is operator.getitem:
                 env[node.name] = env[node.args[0].name][node.args[1]]
             elif node.target in (operator.add, torch.add):
-                env[node.name] = b.add(env[node.args[0].name],
-                                       env[node.args[1].name])
+                env[node.name] = b.add(val(node.args[0].name),
+                                       val(node.args[1].name))
             elif node.target in (torch.relu, F.relu):
-                env[node.name] = b.relu(env[node.args[0].name])
+                env[node.name] = b.relu(val(node.args[0].name))
             elif node.target is torch.flatten:
-                x = env[node.args[0].name]
+                x = val(node.args[0].name)
                 n = 1
                 for d in x.type.shape[1:]:
                     n *= d
@@ -357,7 +389,8 @@ def import_torch_fx(model, example_shape, dtype: str = "f32",
                 f"fx import: unsupported method {node.target}")
         elif node.op == "output":
             arg = node.args[0]
-            b.ret(env[arg.name] if hasattr(arg, "name") else env[arg[0].name])
+            b.ret(val(arg.name) if hasattr(arg, "name")
+                  else val(arg[0].name))
     m.verify()
     from ..utils.flops import count_flops
 

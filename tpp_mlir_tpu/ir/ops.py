@@ -335,6 +335,25 @@ def _v_vnni_pack(op):
         _fail(op, f"result shape {op.result.type.shape} != {want}")
 
 
+@_op("tl.gather")
+def _v_gather(op):
+    # embedding lookup: (table (V, E), indices (...)) -> (..., E).
+    # Stays tl-level through the pipeline (no xsmm mapping): gathers are
+    # XLA's job on TPU — a dynamic-slice DMA pattern, not an MXU op.
+    if len(op.operands) != 2:
+        _fail(op, "expects (table, indices)")
+    table, idx = (_t(x) for x in op.operands)
+    if table.rank != 2:
+        _fail(op, f"table must be rank-2 (V, E), got {table}")
+    if idx.dtype not in ("i32", "i8"):
+        _fail(op, f"indices must be integer typed, got {idx.dtype}")
+    want = idx.shape + (table.shape[1],)
+    if op.result.type.shape != want:
+        _fail(op, f"result shape {op.result.type.shape} != {want}")
+    if op.result.type.dtype != table.dtype:
+        _fail(op, "result dtype must match table dtype")
+
+
 def _binary(name):
     @_op(name)
     def _v(op):
@@ -1055,6 +1074,11 @@ class TppBuilder(Builder):
 
     def reshape(self, x: Value, shape) -> Value:
         return self.create("tl.reshape", [x], [x.type.with_shape(shape)]).result
+
+    def gather(self, table: Value, indices: Value) -> Value:
+        t = TensorType(indices.type.shape + (table.type.shape[1],),
+                       table.type.dtype)
+        return self.create("tl.gather", [table, indices], [t]).result
 
     def pack(self, x: Value, inner_dims, inner_tiles, outer_perm=None) -> Value:
         inner_dims = tuple(inner_dims)

@@ -26,6 +26,16 @@ def build_transformer_block(batch: int = 8, seq: int = 256,
             self.ln1 = nn.LayerNorm(embed)
             self.attn = nn.MultiheadAttention(embed, heads,
                                               batch_first=True)
+            if causal:
+                # torch treats bare is_causal=True as a hint and silently
+                # runs NON-causal without a mask (verified, torch 2.13);
+                # the explicit mask keeps torch-side semantics honest. On
+                # import the mask kwarg is subsumed by the attention op's
+                # causal attr and never materializes.
+                self.register_buffer(
+                    "mask", torch.triu(
+                        torch.ones(seq, seq, dtype=torch.bool), 1),
+                    persistent=False)
             self.ln2 = nn.LayerNorm(embed)
             self.fc1 = nn.Linear(embed, mlp_ratio * embed)
             self.act = nn.GELU()
@@ -33,8 +43,11 @@ def build_transformer_block(batch: int = 8, seq: int = 256,
 
         def forward(self, x):
             h = self.ln1(x)
-            a, _ = self.attn(h, h, h, need_weights=False,
-                             is_causal=causal)
+            if causal:
+                a, _ = self.attn(h, h, h, need_weights=False,
+                                 attn_mask=self.mask, is_causal=True)
+            else:
+                a, _ = self.attn(h, h, h, need_weights=False)
             x = x + a
             h = self.ln2(x)
             return x + self.fc2(self.act(self.fc1(h)))

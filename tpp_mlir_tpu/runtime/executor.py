@@ -194,6 +194,8 @@ def _eval_tl(op: Operation, vals: list, interpret_kernels: bool):
                               axis=op.attrs.get("axis", -1)).astype(odt)
     if name == "tl.reshape":
         return vals[0].reshape(rt.shape)
+    if name == "tl.gather":
+        return jnp.take(vals[0], vals[1], axis=0).astype(odt)
     if name == "tl.pack":
         return _pack_val(vals[0], op.attrs)
     if name == "tl.unpack":

@@ -60,6 +60,9 @@ def build_module(entry):
             "transformer_block": __import__(
                 "tpp_mlir_tpu.models.transformer_block",
                 fromlist=["build_transformer_block"]).build_transformer_block,
+            "gpt": __import__(
+                "tpp_mlir_tpu.models.gpt",
+                fromlist=["build_gpt"]).build_gpt,
         }[name]
         return builder(**kwargs)
     raise ValueError(f"benchmark entry needs 'gen', 'model' or 'file': {entry}")
@@ -83,11 +86,9 @@ def run_benchmark(entry, iters, verbose=False, no_baseline=False):
     from tpp_mlir_tpu.utils.flops import count_bytes
     bytes_cold = count_bytes(module)
     bytes_warm = count_bytes(module, warm=True)
-    func = module["entry"]
-    args = tuple(
-        jnp.asarray(tensor_init(entry.get("init", "normal"), a.type.shape,
-                                a.type.dtype, seed=i))
-        for i, a in enumerate(func.args))
+    from tpp_mlir_tpu.tools.tpp_run import init_args
+
+    args = tuple(init_args(module, "entry", entry.get("init", "normal"), 0))
 
     # Timing uses the two-length slope; start long enough that the adaptive
     # escalation (one remote compile per length) rarely triggers — each

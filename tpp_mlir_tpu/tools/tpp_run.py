@@ -66,13 +66,28 @@ def print_tensor(arr, file=None):
 
 
 def init_args(module: Module, func_name: str, init_type: str, seed: int):
+    import numpy as np
+
     import jax.numpy as jnp
 
     func = module[func_name]
     out = []
     for i, a in enumerate(func.args):
-        arr = tensor_init(init_type, a.type.shape, a.type.dtype,
-                          seed=seed + i)
+        if a.type.dtype in ("i32", "i8"):
+            # integer args are token ids: uniform in the id range of the
+            # gather table they feed (deterministic per seed, like every
+            # tensor_init family)
+            bound = 256
+            for op in func.ops:
+                if op.opname == "tl.gather" and op.operands[1] is a:
+                    bound = op.operands[0].type.shape[0]
+                    break
+            rng = np.random.default_rng(seed + i)
+            arr = rng.integers(0, bound, size=a.type.shape,
+                               dtype=np.int32)
+        else:
+            arr = tensor_init(init_type, a.type.shape, a.type.dtype,
+                              seed=seed + i)
         out.append(jnp.asarray(arr))
     return out
 
