@@ -1,0 +1,129 @@
+"""Serving engine tests: prefill matches torch eager, KV-cache decode is
+teacher-forcing-equivalent to the full causal forward, and generate's
+greedy path equals the stepwise argmax chain."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tpp_mlir_tpu.serving import (GptConfig, init_params,  # noqa: E402
+                                  make_decode_step, make_generate,
+                                  make_prefill, params_from_torch)
+
+CFG = GptConfig(vocab=96, embed=64, heads=4, layers=2, mlp_ratio=4,
+                max_seq=24, dtype="f32")
+
+
+def _torch_model():
+    from tpp_mlir_tpu.models.gpt import GptTorch
+
+    torch.manual_seed(0)
+    return GptTorch(CFG.vocab, CFG.embed, CFG.heads, CFG.layers,
+                    CFG.mlp_ratio, max_seq=CFG.max_seq).eval()
+
+
+def test_prefill_matches_torch():
+    # the torch module needs a full-length prompt (static wpe/mask); the
+    # engine itself handles shorter prompts (next test)
+    tm = _torch_model()
+    params = params_from_torch(tm, CFG)
+    ids = np.random.default_rng(0).integers(
+        0, CFG.vocab, (2, CFG.max_seq)).astype(np.int32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(ids).long()).numpy()
+    logits, cache = make_prefill(CFG, use_pallas=False)(
+        params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), want,
+                               atol=1e-4, rtol=1e-4)
+    assert cache["k"].shape == (CFG.layers, 2, CFG.max_seq, CFG.heads,
+                                CFG.head_dim)
+    assert int(cache["pos"]) == CFG.max_seq
+
+
+def test_decode_teacher_forcing_equivalence():
+    """Feeding the true next tokens through decode_step reproduces the
+    full causal forward's logits at every position — the KV cache, the
+    position masking, and the dynamic_update_slice writes are all
+    exercised."""
+    params = init_params(CFG, seed=1)
+    ids = np.random.default_rng(1).integers(
+        0, CFG.vocab, (2, 12)).astype(np.int32)
+    full_logits, _ = make_prefill(CFG, use_pallas=False)(
+        params, jnp.asarray(ids))
+
+    S0 = 5
+    logits, cache = make_prefill(CFG, use_pallas=False)(
+        params, jnp.asarray(ids[:, :S0]))
+    np.testing.assert_allclose(np.asarray(logits),
+                               np.asarray(full_logits[:, :S0]),
+                               atol=1e-4, rtol=1e-4)
+    step = make_decode_step(CFG)
+    for t in range(S0, ids.shape[1]):
+        logits_t, cache = step(params, cache, jnp.asarray(ids[:, t]))
+        np.testing.assert_allclose(np.asarray(logits_t),
+                                   np.asarray(full_logits[:, t]),
+                                   atol=1e-4, rtol=1e-4)
+    assert int(cache["pos"]) == ids.shape[1]
+
+
+def test_generate_greedy_matches_stepwise():
+    params = init_params(CFG, seed=2)
+    ids = np.random.default_rng(2).integers(
+        0, CFG.vocab, (2, 6)).astype(np.int32)
+    steps = 5
+    toks = make_generate(CFG, steps, temperature=0.0, use_pallas=False)(
+        params, jnp.asarray(ids), jax.random.PRNGKey(0))
+    assert toks.shape == (2, steps)
+
+    # manual greedy chain through prefill + decode_step
+    logits, cache = make_prefill(CFG, use_pallas=False)(
+        params, jnp.asarray(ids))
+    step = make_decode_step(CFG)
+    tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    want = [tok]
+    for _ in range(steps - 1):
+        logits, cache = step(params, cache, tok)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        want.append(tok)
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.stack([np.asarray(w) for w in want],
+                                           axis=1))
+
+
+def test_generate_sampling_shape_and_range():
+    params = init_params(CFG, seed=3)
+    ids = np.random.default_rng(3).integers(
+        0, CFG.vocab, (1, 4)).astype(np.int32)
+    toks = make_generate(CFG, 4, temperature=0.8, use_pallas=False)(
+        params, jnp.asarray(ids), jax.random.PRNGKey(7))
+    t = np.asarray(toks)
+    assert t.shape == (1, 4) and t.min() >= 0 and t.max() < CFG.vocab
+
+
+def test_tp_decode_matches_single_device():
+    """Megatron tp decode over the 8-device mesh (tp=4) reproduces the
+    single-device decode step bit-for-bit-close: column/row sharding, the
+    two psums per block, and the head-sharded KV cache are all exercised."""
+    from tpp_mlir_tpu.parallel import make_mesh
+    from tpp_mlir_tpu.serving import make_tp_decode_step
+
+    params = init_params(CFG, seed=4)
+    ids = np.random.default_rng(4).integers(
+        0, CFG.vocab, (2, 7)).astype(np.int32)
+    _, cache = make_prefill(CFG, use_pallas=False)(params, jnp.asarray(ids))
+    tok = jnp.asarray(ids[:, -1] * 0 + 3, jnp.int32)
+
+    ref_logits, ref_cache = make_decode_step(CFG)(params, cache, tok)
+    mesh = make_mesh({"tp": 4})
+    tp_logits, tp_cache = make_tp_decode_step(mesh, CFG)(params, cache, tok)
+    np.testing.assert_allclose(np.asarray(tp_logits),
+                               np.asarray(ref_logits),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tp_cache["k"]),
+                               np.asarray(ref_cache["k"]),
+                               atol=1e-5, rtol=1e-5)
+    assert int(tp_cache["pos"]) == int(ref_cache["pos"])

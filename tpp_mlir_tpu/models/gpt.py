@@ -94,6 +94,10 @@ class GptTorch:
                 self.lm_head = nn.Linear(embed, vocab, bias=False)
 
             def forward(self, ids):
+                # ids must be exactly (B, max_seq): the positional table
+                # and causal mask are full-length (dynamic ids.size(1)
+                # slicing is not fx-traceable; the serving engine handles
+                # variable-length prompts, serving/engine.py)
                 x = self.wte(ids) + self.wpe
                 for blk in self.blocks:
                     x = blk(x)

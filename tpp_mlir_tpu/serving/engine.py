@@ -1,0 +1,398 @@
+"""Autoregressive serving engine: prefill + KV-cache decode for the GPT
+model family (models/gpt.py).
+
+The reference framework stops at single-shot inference benchmarks; serving
+an LM needs the decode loop: a prompt PREFILL (one causal forward that also
+writes every layer's K/V into a cache) followed by per-token DECODE steps
+(one new token attends to the cached keys/values). This module is the
+TPU-native design of that loop:
+
+- Static shapes everywhere: the cache is allocated at `max_seq` up front
+  and decode masks by position, so ONE compiled step serves every token
+  (XLA traces once; no per-position recompiles).
+- Prefill rides the same flash-attention kernels as the benchmark family
+  (FlashMhaKey token layout, causal) under the measured delegation policy
+  (D >= 128 always; D < 128 only at seq >= 1024 where XLA's composed path
+  materializes the (B,H,S,S) scores in HBM — PERF.md r4).
+- Decode attention is deliberately COMPOSED (jnp einsum, no Pallas): with
+  one query token the MXU contraction is M=1 — a matvec over the cache,
+  HBM-bandwidth-bound by the K/V read. XLA's fused gather+matvec is the
+  right tool; a Pallas kernel has nothing to win (same reasoning as the
+  measured conv delegation, docs/DESIGN.md).
+- The decode loop is a `lax.scan` over steps (compiler-friendly control
+  flow), with greedy or temperature sampling inside the scan.
+
+Weights come from the same torch module the importer benchmarks
+(`params_from_torch`) or from `init_params` for synthetic runs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class GptConfig:
+    vocab: int = 50304
+    embed: int = 768
+    heads: int = 12
+    layers: int = 12
+    mlp_ratio: int = 4
+    max_seq: int = 1024
+    dtype: str = "f32"   # compute/storage dtype: f32 | bf16
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed // self.heads
+
+
+def _np_dtype(dtype: str):
+    import jax.numpy as jnp
+
+    return {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype]
+
+
+def params_from_torch(model, cfg: GptConfig):
+    """Extract a params pytree from a models/gpt.py GptTorch instance.
+    Weight matrices are stored (in, out) so forward is x @ W (no
+    transposes at run time)."""
+    import jax.numpy as jnp
+
+    dt = _np_dtype(cfg.dtype)
+
+    def t(x):
+        return jnp.asarray(x.detach().cpu().float().numpy()).astype(dt)
+
+    E = cfg.embed
+    blocks = []
+    for blk in model.blocks:
+        w = blk.attn.in_proj_weight   # (3E, E) rows [q; k; v]
+        b = blk.attn.in_proj_bias
+        blocks.append({
+            "ln1_g": t(blk.ln1.weight), "ln1_b": t(blk.ln1.bias),
+            "wq": t(w[:E].T), "bq": t(b[:E]),
+            "wk": t(w[E:2 * E].T), "bk": t(b[E:2 * E]),
+            "wv": t(w[2 * E:].T), "bv": t(b[2 * E:]),
+            "wo": t(blk.attn.out_proj.weight.T),
+            "bo": t(blk.attn.out_proj.bias),
+            "ln2_g": t(blk.ln2.weight), "ln2_b": t(blk.ln2.bias),
+            "w1": t(blk.fc1.weight.T), "b1": t(blk.fc1.bias),
+            "w2": t(blk.fc2.weight.T), "b2": t(blk.fc2.bias),
+        })
+    return {
+        "wte": t(model.wte.weight),
+        "wpe": t(model.wpe),
+        "blocks": blocks,
+        "lnf_g": t(model.ln_f.weight), "lnf_b": t(model.ln_f.bias),
+        "lm_head": t(model.lm_head.weight.T),
+    }
+
+
+def init_params(cfg: GptConfig, seed: int = 0):
+    """Random params for synthetic serving benchmarks (no torch needed)."""
+    import jax
+    import jax.numpy as jnp
+
+    dt = _np_dtype(cfg.dtype)
+    E, V, S = cfg.embed, cfg.vocab, cfg.max_seq
+    key = jax.random.PRNGKey(seed)
+
+    def nrm(k, shape, scale):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
+
+    ks = iter(jax.random.split(key, 4 + 16 * cfg.layers))
+    blocks = []
+    for _ in range(cfg.layers):
+        blocks.append({
+            "ln1_g": jnp.ones((E,), dt), "ln1_b": jnp.zeros((E,), dt),
+            "wq": nrm(next(ks), (E, E), E ** -0.5),
+            "bq": jnp.zeros((E,), dt),
+            "wk": nrm(next(ks), (E, E), E ** -0.5),
+            "bk": jnp.zeros((E,), dt),
+            "wv": nrm(next(ks), (E, E), E ** -0.5),
+            "bv": jnp.zeros((E,), dt),
+            "wo": nrm(next(ks), (E, E), E ** -0.5),
+            "bo": jnp.zeros((E,), dt),
+            "ln2_g": jnp.ones((E,), dt), "ln2_b": jnp.zeros((E,), dt),
+            "w1": nrm(next(ks), (E, cfg.mlp_ratio * E), E ** -0.5),
+            "b1": jnp.zeros((cfg.mlp_ratio * E,), dt),
+            "w2": nrm(next(ks), (cfg.mlp_ratio * E, E),
+                      (cfg.mlp_ratio * E) ** -0.5),
+            "b2": jnp.zeros((E,), dt),
+        })
+    return {
+        "wte": nrm(next(ks), (V, E), 0.02),
+        "wpe": nrm(next(ks), (S, E), 0.02),
+        "blocks": blocks,
+        "lnf_g": jnp.ones((E,), dt), "lnf_b": jnp.zeros((E,), dt),
+        "lm_head": nrm(next(ks), (E, V), E ** -0.5),
+    }
+
+
+def _ln(x, g, b, eps=1e-5):
+    import jax
+    import jax.numpy as jnp
+
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    d = xf - mean
+    var = jnp.mean(d * d, axis=-1, keepdims=True)
+    return ((d * jax.lax.rsqrt(var + eps)) * g.astype(jnp.float32)
+            + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _dot(x, w, b=None):
+    import jax.numpy as jnp
+
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _attention_full(q, k, v, cfg: GptConfig, use_pallas: bool):
+    """Causal attention over token-layout (B, S, E) projections: the flash
+    kernel family under the measured delegation policy, else composed."""
+    import jax
+    import jax.numpy as jnp
+
+    B, S, E = q.shape
+    H, D = cfg.heads, cfg.head_dim
+    scale = D ** -0.5
+    if use_pallas and (D >= 128 or S >= 1024):
+        from ..xsmm import build_kernel
+        from ..xsmm.flags import FlashMhaKey
+
+        key = FlashMhaKey(batch=B, seq=S, seq_kv=S, head_dim=D,
+                          dtype=cfg.dtype, scale=scale, causal=True,
+                          heads=H)
+        return build_kernel(key)(q, k, v)
+
+    def sp(t):
+        return t.reshape(B, S, H, D)
+
+    s = jnp.einsum("bqhd,bkhd->bhqk", sp(q).astype(jnp.float32),
+                   sp(k).astype(jnp.float32)) * scale
+    s = jnp.where(jnp.tril(jnp.ones((S, S), bool))[None, None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, sp(v).astype(jnp.float32)
+                      ).reshape(B, S, E).astype(q.dtype)
+
+
+def make_prefill(cfg: GptConfig, use_pallas: bool | None = None):
+    """Return jitted `prefill(params, ids) -> (logits, cache)`.
+
+    ids: (B, S0) int32 prompt. logits: (B, S0, V) for every prompt
+    position. cache: {"k","v"} (L, B, max_seq, H, D) with [0:S0) filled,
+    plus "pos" = S0."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.target import on_tpu
+
+    if use_pallas is None:
+        use_pallas = on_tpu()
+    L, H, D = cfg.layers, cfg.heads, cfg.head_dim
+
+    def prefill(params, ids):
+        B, S0 = ids.shape
+        x = jnp.take(params["wte"], ids, axis=0) \
+            + params["wpe"][:S0].astype(params["wte"].dtype)
+        ks, vs = [], []
+        for blk in params["blocks"]:
+            h = _ln(x, blk["ln1_g"], blk["ln1_b"])
+            q = _dot(h, blk["wq"], blk["bq"])
+            k = _dot(h, blk["wk"], blk["bk"])
+            v = _dot(h, blk["wv"], blk["bv"])
+            ks.append(k.reshape(B, S0, H, D))
+            vs.append(v.reshape(B, S0, H, D))
+            a = _attention_full(q, k, v, cfg, use_pallas)
+            x = x + _dot(a, blk["wo"], blk["bo"])
+            h = _ln(x, blk["ln2_g"], blk["ln2_b"])
+            h = _dot(h, blk["w1"], blk["b1"])
+            h = jax.nn.gelu(h.astype(jnp.float32),
+                            approximate=False).astype(x.dtype)
+            x = x + _dot(h, blk["w2"], blk["b2"])
+        x = _ln(x, params["lnf_g"], params["lnf_b"])
+        logits = _dot(x, params["lm_head"])
+
+        pad = cfg.max_seq - S0
+        cache = {
+            "k": jnp.pad(jnp.stack(ks), ((0, 0), (0, 0), (0, pad),
+                                         (0, 0), (0, 0))),
+            "v": jnp.pad(jnp.stack(vs), ((0, 0), (0, 0), (0, pad),
+                                         (0, 0), (0, 0))),
+            "pos": jnp.asarray(S0, jnp.int32),
+        }
+        return logits, cache
+
+    return jax.jit(prefill)
+
+
+def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
+                 tp_axis: str | None):
+    """One decode step over (possibly tp-local) params and cache. With
+    tp_axis set, this runs INSIDE shard_map: q/k/v/fc1 are column-sharded
+    (h_local heads, local fc1 columns), out-proj and fc2 are row-sharded
+    with ONE psum each (the Megatron decode recipe); embeddings, LNs and
+    the LM head are replicated."""
+    import jax
+    import jax.numpy as jnp
+
+    D = cfg.head_dim
+    scale = D ** -0.5
+    B = token.shape[0]
+    pos = cache["pos"]
+    x = jnp.take(params["wte"], token, axis=0) \
+        + jnp.take(params["wpe"], pos, axis=0).astype(
+            params["wte"].dtype)           # (B, E)
+    newk, newv = [], []
+
+    def row_parallel(a, w, b):
+        """Row-sharded GEMM: local contraction, psum over tp, bias once."""
+        y = jnp.dot(a, w, preferred_element_type=jnp.float32)
+        if tp_axis is not None:
+            y = jax.lax.psum(y, tp_axis)
+        return (y + b.astype(jnp.float32)).astype(a.dtype)
+
+    for li, blk in enumerate(params["blocks"]):
+        h = _ln(x, blk["ln1_g"], blk["ln1_b"])
+        q = _dot(h, blk["wq"], blk["bq"]).reshape(B, h_local, D)
+        k = _dot(h, blk["wk"], blk["bk"]).reshape(B, h_local, D)
+        v = _dot(h, blk["wv"], blk["bv"]).reshape(B, h_local, D)
+        kc = jax.lax.dynamic_update_slice(
+            cache["k"][li], k[:, None], (0, pos, 0, 0))
+        vc = jax.lax.dynamic_update_slice(
+            cache["v"][li], v[:, None], (0, pos, 0, 0))
+        newk.append(kc)
+        newv.append(vc)
+        # composed decode attention: M=1 matvec over the cache —
+        # HBM-bandwidth-bound, XLA's job (module docstring)
+        s = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.float32),
+                       kc.astype(jnp.float32)) * scale
+        live = jnp.arange(cfg.max_seq) <= pos
+        s = jnp.where(live[None, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        a = jnp.einsum("bhs,bshd->bhd", p, vc.astype(jnp.float32))
+        a = a.reshape(B, h_local * D).astype(x.dtype)
+        x = x + row_parallel(a, blk["wo"], blk["bo"])
+        h = _ln(x, blk["ln2_g"], blk["ln2_b"])
+        h = _dot(h, blk["w1"], blk["b1"])
+        h = jax.nn.gelu(h.astype(jnp.float32),
+                        approximate=False).astype(x.dtype)
+        x = x + row_parallel(h, blk["w2"], blk["b2"])
+    x = _ln(x, params["lnf_g"], params["lnf_b"])
+    logits = _dot(x, params["lm_head"])
+    cache = {"k": jnp.stack(newk), "v": jnp.stack(newv), "pos": pos + 1}
+    return logits, cache
+
+
+def make_decode_step(cfg: GptConfig):
+    """Return jitted `step(params, cache, token) -> (logits, cache)`.
+
+    token: (B,) int32, the token at position cache["pos"]. logits: (B, V)
+    for the NEXT position. One compiled step serves every position: the
+    cache has static shape (L, B, max_seq, H, D) and attention masks by
+    position (positions > pos read as -inf)."""
+    import jax
+
+    def step(params, cache, token):
+        return _decode_body(params, cache, token, cfg, cfg.heads, None)
+
+    return jax.jit(step)
+
+
+def decode_param_specs(cfg: GptConfig, tp_axis: str = "tp"):
+    """PartitionSpecs for tp decode: q/k/v and fc1 column-parallel (heads
+    / fc1 columns on tp), out-proj and fc2 row-parallel; everything else
+    replicated (same layout family as parallel/transformer.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    blk = {
+        "ln1_g": P(), "ln1_b": P(),
+        "wq": P(None, tp_axis), "bq": P(tp_axis),
+        "wk": P(None, tp_axis), "bk": P(tp_axis),
+        "wv": P(None, tp_axis), "bv": P(tp_axis),
+        "wo": P(tp_axis, None), "bo": P(),
+        "ln2_g": P(), "ln2_b": P(),
+        "w1": P(None, tp_axis), "b1": P(tp_axis),
+        "w2": P(tp_axis, None), "b2": P(),
+    }
+    return {
+        "wte": P(), "wpe": P(),
+        "blocks": [dict(blk) for _ in range(cfg.layers)],
+        "lnf_g": P(), "lnf_b": P(),
+        "lm_head": P(),
+    }
+
+
+def make_tp_decode_step(mesh, cfg: GptConfig, tp_axis: str = "tp"):
+    """Tensor-parallel decode step over `mesh`: heads and the KV cache
+    shard over tp (each device holds H/tp heads' cache — the KV cache is
+    the serving memory bottleneck, so tp divides it), with one psum per
+    row-parallel GEMM. Returns jitted `step(params, cache, token)`;
+    params/cache must be laid out per `decode_param_specs` /
+    `decode_cache_specs`."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    tp = mesh.shape[tp_axis]
+    assert cfg.heads % tp == 0, (cfg.heads, tp)
+    h_local = cfg.heads // tp
+
+    def local_step(params, cache, token):
+        return _decode_body(params, cache, token, cfg, h_local, tp_axis)
+
+    cache_specs = decode_cache_specs(cfg, tp_axis)
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(decode_param_specs(cfg, tp_axis), cache_specs, P()),
+        out_specs=(P(), cache_specs),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def decode_cache_specs(cfg: GptConfig, tp_axis: str = "tp"):
+    """KV cache (L, B, max_seq, H, D) shards the heads dim over tp."""
+    from jax.sharding import PartitionSpec as P
+
+    kv = P(None, None, None, tp_axis, None)
+    return {"k": kv, "v": kv, "pos": P()}
+
+
+def make_generate(cfg: GptConfig, steps: int,
+                  temperature: float = 0.0, use_pallas: bool | None = None):
+    """Return jitted `generate(params, ids, rng) -> tokens (B, steps)`:
+    prefill the prompt, then `steps` decode iterations under `lax.scan`
+    (greedy when temperature == 0, else temperature sampling)."""
+    import jax
+    import jax.numpy as jnp
+
+    prefill = make_prefill(cfg, use_pallas)
+    step = make_decode_step(cfg)
+
+    def sample(logits, rng):
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(
+            rng, logits.astype(jnp.float32) / temperature,
+            axis=-1).astype(jnp.int32)
+
+    def generate(params, ids, rng):
+        logits, cache = prefill(params, ids)
+        rng, sub = jax.random.split(rng)
+        tok = sample(logits[:, -1], sub)
+
+        def body(carry, _):
+            cache, tok, rng = carry
+            logits, cache = step(params, cache, tok)
+            rng, sub = jax.random.split(rng)
+            nxt = sample(logits, sub)
+            return (cache, nxt, rng), tok
+
+        (_, last, _), toks = jax.lax.scan(
+            body, (cache, tok, rng), None, length=steps - 1)
+        toks = jnp.moveaxis(toks, 0, 1)          # (B, steps-1)
+        return jnp.concatenate([toks, last[:, None]], axis=1)
+
+    return jax.jit(generate)
