@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Serving benchmark: KV-cache decode throughput + prefill rate for the
+GPT-2-small family (serving/engine.py).
+
+Decode is HBM-bandwidth-bound (every token re-reads the weights and the
+live KV cache; M=1 leaves the MXU idle), so the honest metric is tokens/s
+against the BANDWIDTH roof: bytes/token = param bytes + live KV bytes.
+Prefill is compute-class and reports TFLOP/s against the compute roof.
+
+Timing discipline (CLAUDE.md): the tunnel's block_until_ready is
+unreliable and host round trips cost ~25 ms, so every measurement is a
+slope between two device-side lax.scan lengths, completed by a scalar
+device->host read; the scanned body feeds a REAL output value back into
+the carry so XLA cannot hoist it. Median of --reps slopes.
+
+Usage:
+  python scripts/bench_serving.py                  # real TPU, GPT-2 small
+  python scripts/bench_serving.py --tiny --platform cpu   # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _tok_slope(step_n, params, cache, tok, n_short, n_long, reps):
+    """Median slope seconds-per-token between two scan lengths."""
+    import jax.numpy as jnp
+
+    slopes = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(jnp.sum(step_n(params, cache, tok, n_short)[0]))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(jnp.sum(step_n(params, cache, tok, n_long)[0]))
+        t_l = time.perf_counter() - t0
+        slopes.append((t_l - t_s) / (n_long - n_short))
+    slopes.sort()
+    return slopes[len(slopes) // 2]
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny config for CPU smoke testing")
+    p.add_argument("--platform", default="")
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--json", default="")
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import functools
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpp_mlir_tpu.serving import (GptConfig, init_params,
+                                      make_decode_step, make_prefill)
+    from tpp_mlir_tpu.utils.target import current_target, roofline_flops
+
+    if args.tiny:
+        cfg = GptConfig(vocab=128, embed=64, heads=4, layers=2,
+                        mlp_ratio=2, max_seq=64, dtype="f32")
+        s0, n_short, n_long = 16, 4, 12
+        batches = (1, 2)
+    else:
+        cfg = GptConfig(vocab=50304, embed=768, heads=12, layers=12,
+                        mlp_ratio=4, max_seq=640, dtype="bf16")
+        s0, n_short, n_long = 512, 16, 112
+        batches = (1, 8)
+
+    params = init_params(cfg, seed=0)
+    param_bytes = sum(x.size * x.dtype.itemsize
+                      for x in jax.tree.leaves(params))
+    tgt = current_target()
+    results = {"config": {"embed": cfg.embed, "layers": cfg.layers,
+                          "heads": cfg.heads, "vocab": cfg.vocab,
+                          "dtype": cfg.dtype, "prompt": s0,
+                          "max_seq": cfg.max_seq},
+               "param_bytes": param_bytes, "target": tgt.name}
+
+    step = make_decode_step(cfg)
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def step_n(params, cache, tok, n):
+        # greedy decode loop: the sampled token feeds the next step — a
+        # real cross-iteration dependency, nothing can be hoisted
+        def body(carry, _):
+            cache, tok = carry
+            logits, cache = step(params, cache, tok)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (cache, nxt), jnp.sum(logits.astype(jnp.float32))
+        (_, _), sums = jax.lax.scan(body, (cache, tok), None, length=n)
+        return sums, None
+
+    prefill = make_prefill(cfg)
+    for B in batches:
+        ids = jnp.asarray(np.random.default_rng(0).integers(
+            0, cfg.vocab, (B, s0)), jnp.int32)
+        _, cache = prefill(params, ids)
+        tok = jnp.full((B,), 7, jnp.int32)
+        per_tok = _tok_slope(step_n, params, cache, tok,
+                             n_short, n_long, args.reps)
+        tok_s = B / per_tok
+        # bytes a decode step must read: all weights + the live KV window
+        kv_bytes = (2 * cfg.layers * B * (s0 + (n_long + n_short) // 2)
+                    * cfg.embed
+                    * (2 if cfg.dtype == "bf16" else 4))
+        bw = (param_bytes + kv_bytes) / per_tok / 1e9
+        results[f"decode_b{B}"] = {
+            "tokens_per_s": round(tok_s, 1),
+            "ms_per_token": round(per_tok * 1e3, 3),
+            "effective_gbps": round(bw, 1),
+            "pct_hbm_roof": round(100 * bw / tgt.hbm_gbps, 1),
+        }
+        print(f"decode b={B}: {tok_s:,.0f} tok/s "
+              f"({per_tok * 1e3:.2f} ms/tok, {bw:.0f} GB/s = "
+              f"{100 * bw / tgt.hbm_gbps:.1f}% of HBM roof)")
+
+    # prefill rate: chain prompt ids through the output so scan iterations
+    # stay dependent (same poisoning idea as runtime/perf._chain)
+    B = batches[-1]
+    ids = jnp.asarray(np.random.default_rng(1).integers(
+        0, cfg.vocab, (B, s0)), jnp.int32)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def prefill_n(ids, n):
+        def body(ids, _):
+            logits, _ = prefill(params, ids)
+            shift = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return (ids + shift[:, None]) % cfg.vocab, \
+                jnp.sum(logits.astype(jnp.float32))
+        ids, sums = jax.lax.scan(body, ids, None, length=n)
+        return sums
+
+    pf_short, pf_long = (2, 6) if args.tiny else (2, 10)
+    slopes = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        float(jnp.sum(prefill_n(ids, pf_short)))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(jnp.sum(prefill_n(ids, pf_long)))
+        t_l = time.perf_counter() - t0
+        slopes.append((t_l - t_s) / (pf_long - pf_short))
+    slopes.sort()
+    per_prefill = slopes[len(slopes) // 2]
+    E, V, S = cfg.embed, cfg.vocab, s0
+    M = B * S
+    blk = (4 * 2 * M * E * E + 2 * 2 * M * E * cfg.mlp_ratio * E
+           + 2 * 2 * B * cfg.heads * S * S * (E // cfg.heads))
+    fl = cfg.layers * blk + 2 * M * E * V
+    tf = fl / per_prefill / 1e12
+    roof = roofline_flops(cfg.dtype) / 1e12
+    results["prefill"] = {
+        "batch": B, "tokens_per_s": round(M / per_prefill, 1),
+        "tflops": round(tf, 1),
+        "pct_compute_roof": round(100 * tf / roof, 1),
+    }
+    print(f"prefill b={B} s={s0}: {M / per_prefill:,.0f} tok/s, "
+          f"{tf:.1f} TF = {100 * tf / roof:.1f}% of compute roof")
+
+    if args.json:
+        json.dump(results, open(args.json, "w"), indent=1)
+        print(f"wrote {args.json}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
