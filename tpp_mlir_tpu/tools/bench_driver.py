@@ -270,9 +270,24 @@ def main(argv=None) -> int:
             log.debug(f"running {name} (iters={iters})")
             t0 = time.time()
             try:
-                res, base, mode, nbytes = run_benchmark(
-                    entry, iters, args.verbose,
-                    no_baseline=args.no_baseline)
+                for attempt in (1, 2):
+                    try:
+                        res, base, mode, nbytes = run_benchmark(
+                            entry, iters, args.verbose,
+                            no_baseline=args.no_baseline)
+                        break
+                    except Exception as e:
+                        # the tunnel's remote-compile channel drops
+                        # transiently (UNAVAILABLE / broken pipe); the
+                        # server-side compile usually completed, so one
+                        # retry hits its cache instead of losing the row
+                        transient = any(s in str(e) for s in (
+                            "UNAVAILABLE", "Broken pipe", "transport"))
+                        if attempt == 2 or not transient:
+                            raise
+                        print(f"{name}: transient failure, retrying "
+                              f"({type(e).__name__})")
+                        time.sleep(10)
             except Exception as e:
                 print(f"{name}: FAIL ({type(e).__name__}: {e})")
                 results.append({"name": name, "error": str(e)})
