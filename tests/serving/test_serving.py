@@ -104,6 +104,56 @@ def test_generate_sampling_shape_and_range():
     assert t.shape == (1, 4) and t.min() >= 0 and t.max() < CFG.vocab
 
 
+def test_sampler_top_k_truncation():
+    """top-k sampling only ever draws from the k most-likely tokens; with
+    a sharply peaked distribution, top-k=1 equals argmax."""
+    from tpp_mlir_tpu.serving import make_sampler
+
+    logits = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 64)), jnp.float32)
+    topk = set(np.argsort(np.asarray(logits), axis=-1)[:, -8:].ravel())
+    sample = make_sampler(temperature=1.0, top_k=8)
+    draws = [np.asarray(sample(logits, jax.random.PRNGKey(i)))
+             for i in range(32)]
+    for d in draws:
+        for b in range(4):
+            assert d[b] in set(
+                np.argsort(np.asarray(logits[b]))[-8:]), (d, b)
+    # top_k=1 is argmax regardless of rng
+    s1 = make_sampler(temperature=0.7, top_k=1)
+    np.testing.assert_array_equal(
+        np.asarray(s1(logits, jax.random.PRNGKey(3))),
+        np.argmax(np.asarray(logits), axis=-1))
+
+
+def test_sampler_top_p_nucleus():
+    """top-p keeps the smallest prefix reaching mass p: with one dominant
+    token at p=0.5 the nucleus is that token alone; p=1.0 keeps all."""
+    from tpp_mlir_tpu.serving import make_sampler
+
+    logits = jnp.zeros((2, 16), jnp.float32).at[:, 5].set(10.0)
+    s = make_sampler(temperature=1.0, top_p=0.5)
+    for i in range(8):
+        np.testing.assert_array_equal(
+            np.asarray(s(logits, jax.random.PRNGKey(i))), [5, 5])
+    # p=1.0 must not mask anything: flat logits sample across the range
+    flat = jnp.zeros((1, 16), jnp.float32)
+    sall = make_sampler(temperature=1.0, top_p=1.0)
+    seen = {int(sall(flat, jax.random.PRNGKey(i))[0]) for i in range(64)}
+    assert len(seen) > 4
+
+
+def test_generate_top_k_in_scan():
+    params = init_params(CFG, seed=5)
+    ids = np.random.default_rng(5).integers(
+        0, CFG.vocab, (1, 4)).astype(np.int32)
+    toks = make_generate(CFG, 4, temperature=0.9, top_k=10, top_p=0.9,
+                         use_pallas=False)(
+        params, jnp.asarray(ids), jax.random.PRNGKey(11))
+    t = np.asarray(toks)
+    assert t.shape == (1, 4) and t.min() >= 0 and t.max() < CFG.vocab
+
+
 def test_tp_decode_matches_single_device():
     """Megatron tp decode over the 8-device mesh (tp=4) reproduces the
     single-device decode step bit-for-bit-close: column/row sharding, the

@@ -360,23 +360,53 @@ def decode_cache_specs(cfg: GptConfig, tp_axis: str = "tp"):
     return {"k": kv, "v": kv, "pos": P()}
 
 
+def make_sampler(temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 0.0):
+    """Return `sample(logits (B, V), rng) -> (B,) i32`.
+
+    temperature == 0 is greedy (top_k/top_p ignored). Otherwise logits are
+    scaled by 1/temperature, then optionally truncated to the top_k largest
+    and/or the smallest nucleus whose probability mass reaches top_p, and
+    sampled categorically. All knobs are STATIC (baked into the trace): one
+    compiled step per sampler config, none per position — the same
+    static-shape discipline as the decode cache."""
+    import jax
+    import jax.numpy as jnp
+
+    def sample(logits, rng):
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        x = logits.astype(jnp.float32) / temperature
+        if top_k:
+            kth = jax.lax.top_k(x, top_k)[0][..., -1:]
+            x = jnp.where(x < kth, -jnp.inf, x)
+        if top_p:
+            # nucleus: keep the smallest prefix of the sorted distribution
+            # reaching mass top_p (the first token is always kept)
+            srt = jnp.sort(x, axis=-1)[..., ::-1]
+            csum = jnp.cumsum(jax.nn.softmax(srt, axis=-1), axis=-1)
+            keep = csum - jax.nn.softmax(srt, axis=-1) < top_p
+            cut = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
+                          keepdims=True)
+            x = jnp.where(x < cut, -jnp.inf, x)
+        return jax.random.categorical(rng, x, axis=-1).astype(jnp.int32)
+
+    return sample
+
+
 def make_generate(cfg: GptConfig, steps: int,
-                  temperature: float = 0.0, use_pallas: bool | None = None):
+                  temperature: float = 0.0, use_pallas: bool | None = None,
+                  top_k: int = 0, top_p: float = 0.0):
     """Return jitted `generate(params, ids, rng) -> tokens (B, steps)`:
     prefill the prompt, then `steps` decode iterations under `lax.scan`
-    (greedy when temperature == 0, else temperature sampling)."""
+    (greedy when temperature == 0, else temperature / top-k / top-p
+    sampling via `make_sampler`)."""
     import jax
     import jax.numpy as jnp
 
     prefill = make_prefill(cfg, use_pallas)
     step = make_decode_step(cfg)
-
-    def sample(logits, rng):
-        if temperature == 0.0:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return jax.random.categorical(
-            rng, logits.astype(jnp.float32) / temperature,
-            axis=-1).astype(jnp.int32)
+    sample = make_sampler(temperature, top_k, top_p)
 
     def generate(params, ids, rng):
         logits, cache = prefill(params, ids)

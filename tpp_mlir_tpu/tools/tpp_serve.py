@@ -32,6 +32,10 @@ def main(argv=None) -> int:
     p.add_argument("--prompt-len", type=int, default=32)
     p.add_argument("--steps", type=int, default=16)
     p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--top-k", type=int, default=0,
+                   help="truncate sampling to the k most-likely tokens")
+    p.add_argument("--top-p", type=float, default=0.0,
+                   help="nucleus sampling: smallest mass >= p")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel decode over a tp-way mesh")
@@ -84,7 +88,8 @@ def main(argv=None) -> int:
         out = np.stack(toks, axis=1)
         print(f"# tp={args.tp} decode: {args.steps} steps in {dt:.2f}s")
     else:
-        gen = make_generate(cfg, args.steps, temperature=args.temperature)
+        gen = make_generate(cfg, args.steps, temperature=args.temperature,
+                            top_k=args.top_k, top_p=args.top_p)
         t0 = time.perf_counter()
         out = np.asarray(gen(params, ids, jax.random.PRNGKey(args.seed)))
         dt = time.perf_counter() - t0
