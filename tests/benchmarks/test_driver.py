@@ -43,6 +43,47 @@ def test_driver_tiny_config(tmp_path):
         assert "error" not in row, row
 
 
+def test_driver_retries_transient_failures(tmp_path, monkeypatch, capsys):
+    """A row that fails once with a tunnel-transport UNAVAILABLE error is
+    retried and succeeds; a non-transient error is not retried."""
+    from tpp_mlir_tpu.tools import bench_driver
+
+    calls = {"n": 0}
+    real = bench_driver.run_benchmark
+
+    def flaky(entry, iters, verbose, no_baseline=False):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError(
+                "UNAVAILABLE: remote_compile: Broken pipe (os error 32)")
+        return real(entry, iters, verbose, no_baseline=no_baseline)
+
+    monkeypatch.setattr(bench_driver, "run_benchmark", flaky)
+    monkeypatch.setattr(bench_driver.time, "sleep", lambda s: None)
+    cfg_path = tmp_path / "flaky.json"
+    cfg_path.write_text(json.dumps({"benchmarks": [
+        {"name": "tiny_mlp", "iters": 2, "dtype": "f32",
+         "gen": "--batch=16 --layers=32,32"}]}))
+    out_path = tmp_path / "res.json"
+    rc = bench_driver.main(["-c", str(cfg_path), "--json", str(out_path)])
+    assert rc == 0 and calls["n"] == 2
+    res = json.load(open(out_path))
+    assert "error" not in res["results"][0]
+    assert "retrying" in capsys.readouterr().out
+
+    # non-transient: fails immediately, exactly one attempt
+    calls["n"] = 0
+
+    def hard_fail(entry, iters, verbose, no_baseline=False):
+        calls["n"] += 1
+        raise ValueError("bad shape")
+
+    monkeypatch.setattr(bench_driver, "run_benchmark", hard_fail)
+    rc = bench_driver.main(["-c", str(cfg_path), "--json", str(out_path)])
+    assert rc == 0 and calls["n"] == 1
+    assert "error" in json.load(open(out_path))["results"][0]
+
+
 def test_mha_builders_execute():
     from tpp_mlir_tpu.models import mha
     from tpp_mlir_tpu.passes import run_pipeline
