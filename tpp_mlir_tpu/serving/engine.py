@@ -246,7 +246,11 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
     x = jnp.take(params["wte"], token, axis=0) \
         + jnp.take(params["wpe"], pos, axis=0).astype(
             params["wte"].dtype)           # (B, E)
-    newk, newv = [], []
+    # the cache is updated with dynamic_update_slice on the FULL stacked
+    # (L, B, S, H, D) arrays — the canonical in-place KV pattern: XLA
+    # aliases the buffer (donation / scan carry) instead of rebuilding the
+    # whole cache from per-layer slices each token
+    kcache, vcache = cache["k"], cache["v"]
 
     def row_parallel(a, w, b):
         """Row-sharded GEMM: local contraction, psum over tp, bias once."""
@@ -260,12 +264,13 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
         q = _dot(h, blk["wq"], blk["bq"]).reshape(B, h_local, D)
         k = _dot(h, blk["wk"], blk["bk"]).reshape(B, h_local, D)
         v = _dot(h, blk["wv"], blk["bv"]).reshape(B, h_local, D)
-        kc = jax.lax.dynamic_update_slice(
-            cache["k"][li], k[:, None], (0, pos, 0, 0))
-        vc = jax.lax.dynamic_update_slice(
-            cache["v"][li], v[:, None], (0, pos, 0, 0))
-        newk.append(kc)
-        newv.append(vc)
+        kcache = jax.lax.dynamic_update_slice(
+            kcache, k[None, :, None].astype(kcache.dtype),
+            (li, 0, pos, 0, 0))
+        vcache = jax.lax.dynamic_update_slice(
+            vcache, v[None, :, None].astype(vcache.dtype),
+            (li, 0, pos, 0, 0))
+        kc, vc = kcache[li], vcache[li]
         # composed decode attention: M=1 matvec over the cache —
         # HBM-bandwidth-bound, XLA's job (module docstring)
         s = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.float32),
@@ -283,23 +288,26 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
         x = x + row_parallel(h, blk["w2"], blk["b2"])
     x = _ln(x, params["lnf_g"], params["lnf_b"])
     logits = _dot(x, params["lm_head"])
-    cache = {"k": jnp.stack(newk), "v": jnp.stack(newv), "pos": pos + 1}
+    cache = {"k": kcache, "v": vcache, "pos": pos + 1}
     return logits, cache
 
 
-def make_decode_step(cfg: GptConfig):
+def make_decode_step(cfg: GptConfig, donate: bool = False):
     """Return jitted `step(params, cache, token) -> (logits, cache)`.
 
     token: (B,) int32, the token at position cache["pos"]. logits: (B, V)
     for the NEXT position. One compiled step serves every position: the
     cache has static shape (L, B, max_seq, H, D) and attention masks by
-    position (positions > pos read as -inf)."""
+    position (positions > pos read as -inf). With donate=True the cache
+    argument's buffers are donated so the update is in place (use in eager
+    serving loops that rebind the cache each step; inside `lax.scan` the
+    carry already aliases)."""
     import jax
 
     def step(params, cache, token):
         return _decode_body(params, cache, token, cfg, cfg.heads, None)
 
-    return jax.jit(step)
+    return jax.jit(step, donate_argnums=(1,) if donate else ())
 
 
 def decode_param_specs(cfg: GptConfig, tp_axis: str = "tp"):
