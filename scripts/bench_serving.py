@@ -25,10 +25,31 @@ import json
 import time
 
 
+def _retry_transient(fn, tries=3):
+    """The tunnel's remote-compile channel drops on very long compiles
+    (UNAVAILABLE / broken pipe) while the server-side compile usually
+    completes and is cached — a retry then fetches it in seconds."""
+    for attempt in range(tries):
+        try:
+            return fn()
+        except Exception as e:
+            transient = any(s in str(e) for s in (
+                "UNAVAILABLE", "Broken pipe", "transport"))
+            if attempt == tries - 1 or not transient:
+                raise
+            print(f"transient tunnel failure, retrying: {type(e).__name__}")
+            time.sleep(15)
+
+
 def _tok_slope(step_n, params, cache, tok, n_short, n_long, reps):
     """Median slope seconds-per-token between two scan lengths."""
     import jax.numpy as jnp
 
+    # compile both lengths first (retried): slopes then time execution only
+    _retry_transient(
+        lambda: float(jnp.sum(step_n(params, cache, tok, n_short)[0])))
+    _retry_transient(
+        lambda: float(jnp.sum(step_n(params, cache, tok, n_long)[0])))
     slopes = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -104,7 +125,7 @@ def main() -> int:
     for B in batches:
         ids = jnp.asarray(np.random.default_rng(0).integers(
             0, cfg.vocab, (B, s0)), jnp.int32)
-        _, cache = prefill(params, ids)
+        _, cache = _retry_transient(lambda: prefill(params, ids))
         tok = jnp.full((B,), 7, jnp.int32)
         per_tok = _tok_slope(step_n, params, cache, tok,
                              n_short, n_long, args.reps)
@@ -141,6 +162,8 @@ def main() -> int:
         return sums
 
     pf_short, pf_long = (2, 6) if args.tiny else (2, 10)
+    _retry_transient(lambda: float(jnp.sum(prefill_n(ids, pf_short))))
+    _retry_transient(lambda: float(jnp.sum(prefill_n(ids, pf_long))))
     slopes = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
