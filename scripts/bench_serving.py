@@ -83,7 +83,8 @@ def main() -> int:
     import numpy as np
 
     from tpp_mlir_tpu.serving import (GptConfig, init_params,
-                                      make_decode_step, make_prefill)
+                                      make_decode_step, make_prefill,
+                                      stack_params)
     from tpp_mlir_tpu.utils.target import current_target, roofline_flops
 
     if args.tiny:
@@ -97,7 +98,9 @@ def main() -> int:
         s0, n_short, n_long = 512, 16, 112
         batches = (1, 8)
 
-    params = init_params(cfg, seed=0)
+    # stacked layers = one scan'd block body: ~L x smaller HLO, keeping the
+    # 12-layer family inside the tunnel's remote-compile request limit
+    params = stack_params(init_params(cfg, seed=0))
     param_bytes = sum(x.size * x.dtype.itemsize
                       for x in jax.tree.leaves(params))
     tgt = current_target()
@@ -151,8 +154,11 @@ def main() -> int:
     ids = jnp.asarray(np.random.default_rng(1).integers(
         0, cfg.vocab, (B, s0)), jnp.int32)
 
-    @functools.partial(jax.jit, static_argnums=1)
-    def prefill_n(ids, n):
+    @functools.partial(jax.jit, static_argnums=2)
+    def prefill_n(params, ids, n):
+        # params as an ARGUMENT, not a closure: closed-over arrays embed
+        # in the HLO as literal constants (hundreds of MB for GPT-2) and
+        # blow the tunnel's remote-compile request size limit
         def body(ids, _):
             logits, _ = prefill(params, ids)
             shift = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
@@ -162,15 +168,17 @@ def main() -> int:
         return sums
 
     pf_short, pf_long = (2, 6) if args.tiny else (2, 10)
-    _retry_transient(lambda: float(jnp.sum(prefill_n(ids, pf_short))))
-    _retry_transient(lambda: float(jnp.sum(prefill_n(ids, pf_long))))
+    _retry_transient(
+        lambda: float(jnp.sum(prefill_n(params, ids, pf_short))))
+    _retry_transient(
+        lambda: float(jnp.sum(prefill_n(params, ids, pf_long))))
     slopes = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        float(jnp.sum(prefill_n(ids, pf_short)))
+        float(jnp.sum(prefill_n(params, ids, pf_short)))
         t_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(jnp.sum(prefill_n(ids, pf_long)))
+        float(jnp.sum(prefill_n(params, ids, pf_long)))
         t_l = time.perf_counter() - t0
         slopes.append((t_l - t_s) / (pf_long - pf_short))
     slopes.sort()

@@ -154,6 +154,76 @@ def test_generate_top_k_in_scan():
     assert t.shape == (1, 4) and t.min() >= 0 and t.max() < CFG.vocab
 
 
+def test_stacked_params_match_unstacked():
+    """stack_params switches prefill/decode to one lax.scan over layers
+    (L x smaller HLO for the remote-compile tunnel); numerics must be
+    identical to the unrolled per-layer path."""
+    from tpp_mlir_tpu.serving import stack_params
+
+    params = init_params(CFG, seed=6)
+    sp = stack_params(params)
+    assert isinstance(sp["blocks"], dict)
+    assert sp["blocks"]["wq"].shape[0] == CFG.layers
+    assert stack_params(sp) is not sp or True  # idempotent, no raise
+    ids = np.random.default_rng(6).integers(
+        0, CFG.vocab, (2, 9)).astype(np.int32)
+
+    prefill = make_prefill(CFG, use_pallas=False)
+    l1, c1 = prefill(params, jnp.asarray(ids))
+    l2, c2 = prefill(sp, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(c2["k"]), np.asarray(c1["k"]),
+                               atol=1e-6, rtol=1e-6)
+
+    step = make_decode_step(CFG)
+    tok = jnp.asarray([3, 11], jnp.int32)
+    t1, d1 = step(params, c1, tok)
+    t2, d2 = step(sp, c2, tok)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2["k"]), np.asarray(d1["k"]),
+                               atol=1e-6, rtol=1e-6)
+    assert int(d2["pos"]) == int(d1["pos"])
+
+
+def test_stacked_generate_matches_unstacked():
+    from tpp_mlir_tpu.serving import stack_params
+
+    params = init_params(CFG, seed=7)
+    ids = np.random.default_rng(7).integers(
+        0, CFG.vocab, (2, 5)).astype(np.int32)
+    gen = make_generate(CFG, 4, temperature=0.0, use_pallas=False)
+    t1 = gen(params, jnp.asarray(ids), jax.random.PRNGKey(0))
+    t2 = gen(stack_params(params), jnp.asarray(ids), jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_tp_decode_stacked_matches_single_device():
+    """tp decode with stacked (scan-over-layers) params: the leading layer
+    dim is unsharded, heads still shard over tp."""
+    from tpp_mlir_tpu.parallel import make_mesh
+    from tpp_mlir_tpu.serving import make_tp_decode_step, stack_params
+
+    params = init_params(CFG, seed=8)
+    ids = np.random.default_rng(8).integers(
+        0, CFG.vocab, (2, 6)).astype(np.int32)
+    _, cache = make_prefill(CFG, use_pallas=False)(params, jnp.asarray(ids))
+    tok = jnp.asarray([1, 2], jnp.int32)
+    ref_logits, ref_cache = make_decode_step(CFG)(params, cache, tok)
+
+    mesh = make_mesh({"tp": 4})
+    sp = stack_params(params)
+    tp_logits, tp_cache = make_tp_decode_step(
+        mesh, CFG, stacked=True)(sp, cache, tok)
+    np.testing.assert_allclose(np.asarray(tp_logits),
+                               np.asarray(ref_logits),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tp_cache["k"]),
+                               np.asarray(ref_cache["k"]),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_tp_decode_matches_single_device():
     """Megatron tp decode over the 8-device mesh (tp=4) reproduces the
     single-device decode step bit-for-bit-close: column/row sharding, the

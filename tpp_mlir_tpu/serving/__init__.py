@@ -4,9 +4,9 @@ GPT model family. See engine.py for the TPU-native design rationale."""
 from .engine import (GptConfig, decode_cache_specs, decode_param_specs,
                      init_params, make_decode_step, make_generate,
                      make_prefill, make_sampler, make_tp_decode_step,
-                     params_from_torch)
+                     params_from_torch, stack_params)
 
 __all__ = ["GptConfig", "init_params", "params_from_torch",
            "make_prefill", "make_decode_step", "make_generate",
            "make_sampler", "make_tp_decode_step", "decode_param_specs",
-           "decode_cache_specs"]
+           "decode_cache_specs", "stack_params"]

@@ -129,6 +129,26 @@ def init_params(cfg: GptConfig, seed: int = 0):
     }
 
 
+def stack_params(params):
+    """Stack the per-layer block dicts into one pytree of (L, ...) arrays.
+
+    Stacked params switch prefill/decode to a `lax.scan` over layers: the
+    traced program holds ONE block body instead of L copies, so XLA
+    compiles ~L× less HLO (seconds instead of tens of minutes for the
+    12-layer family through the remote-compile tunnel) at identical
+    numerics. The scan carries x; per-layer KV cache slices ride the scan
+    xs/ys, which XLA writes in place into the preallocated output."""
+    import jax.numpy as jnp
+
+    blocks = params["blocks"]
+    if isinstance(blocks, dict):        # already stacked
+        return params
+    out = dict(params)
+    out["blocks"] = {k: jnp.stack([b[k] for b in blocks])
+                     for k in blocks[0]}
+    return out
+
+
 def _ln(x, g, b, eps=1e-5):
     import jax
     import jax.numpy as jnp
@@ -179,12 +199,35 @@ def _attention_full(q, k, v, cfg: GptConfig, use_pallas: bool):
                       ).reshape(B, S, E).astype(q.dtype)
 
 
+def _prefill_layer(x, blk, cfg: GptConfig, use_pallas: bool):
+    """One pre-LN causal block over (B, S0, E); returns (x, k4, v4) with
+    k4/v4 = this layer's (B, S0, H, D) cache entries."""
+    import jax
+    import jax.numpy as jnp
+
+    B, S0, _ = x.shape
+    H, D = cfg.heads, cfg.head_dim
+    h = _ln(x, blk["ln1_g"], blk["ln1_b"])
+    q = _dot(h, blk["wq"], blk["bq"])
+    k = _dot(h, blk["wk"], blk["bk"])
+    v = _dot(h, blk["wv"], blk["bv"])
+    a = _attention_full(q, k, v, cfg, use_pallas)
+    x = x + _dot(a, blk["wo"], blk["bo"])
+    h = _ln(x, blk["ln2_g"], blk["ln2_b"])
+    h = _dot(h, blk["w1"], blk["b1"])
+    h = jax.nn.gelu(h.astype(jnp.float32),
+                    approximate=False).astype(x.dtype)
+    x = x + _dot(h, blk["w2"], blk["b2"])
+    return x, k.reshape(B, S0, H, D), v.reshape(B, S0, H, D)
+
+
 def make_prefill(cfg: GptConfig, use_pallas: bool | None = None):
     """Return jitted `prefill(params, ids) -> (logits, cache)`.
 
     ids: (B, S0) int32 prompt. logits: (B, S0, V) for every prompt
     position. cache: {"k","v"} (L, B, max_seq, H, D) with [0:S0) filled,
-    plus "pos" = S0."""
+    plus "pos" = S0. With `stack_params` params the L blocks run under
+    one `lax.scan` (L× smaller compile)."""
     import jax
     import jax.numpy as jnp
 
@@ -192,36 +235,33 @@ def make_prefill(cfg: GptConfig, use_pallas: bool | None = None):
 
     if use_pallas is None:
         use_pallas = on_tpu()
-    L, H, D = cfg.layers, cfg.heads, cfg.head_dim
 
     def prefill(params, ids):
         B, S0 = ids.shape
         x = jnp.take(params["wte"], ids, axis=0) \
             + params["wpe"][:S0].astype(params["wte"].dtype)
-        ks, vs = [], []
-        for blk in params["blocks"]:
-            h = _ln(x, blk["ln1_g"], blk["ln1_b"])
-            q = _dot(h, blk["wq"], blk["bq"])
-            k = _dot(h, blk["wk"], blk["bk"])
-            v = _dot(h, blk["wv"], blk["bv"])
-            ks.append(k.reshape(B, S0, H, D))
-            vs.append(v.reshape(B, S0, H, D))
-            a = _attention_full(q, k, v, cfg, use_pallas)
-            x = x + _dot(a, blk["wo"], blk["bo"])
-            h = _ln(x, blk["ln2_g"], blk["ln2_b"])
-            h = _dot(h, blk["w1"], blk["b1"])
-            h = jax.nn.gelu(h.astype(jnp.float32),
-                            approximate=False).astype(x.dtype)
-            x = x + _dot(h, blk["w2"], blk["b2"])
+        blocks = params["blocks"]
+        if isinstance(blocks, dict):
+            def layer(x, blk):
+                x, k4, v4 = _prefill_layer(x, blk, cfg, use_pallas)
+                return x, (k4, v4)
+
+            x, (ks, vs) = jax.lax.scan(layer, x, blocks)
+        else:
+            ks, vs = [], []
+            for blk in blocks:
+                x, k4, v4 = _prefill_layer(x, blk, cfg, use_pallas)
+                ks.append(k4)
+                vs.append(v4)
+            ks, vs = jnp.stack(ks), jnp.stack(vs)
+
         x = _ln(x, params["lnf_g"], params["lnf_b"])
         logits = _dot(x, params["lm_head"])
 
-        pad = cfg.max_seq - S0
+        pad = ((0, 0), (0, 0), (0, cfg.max_seq - S0), (0, 0), (0, 0))
         cache = {
-            "k": jnp.pad(jnp.stack(ks), ((0, 0), (0, 0), (0, pad),
-                                         (0, 0), (0, 0))),
-            "v": jnp.pad(jnp.stack(vs), ((0, 0), (0, 0), (0, pad),
-                                         (0, 0), (0, 0))),
+            "k": jnp.pad(ks, pad),
+            "v": jnp.pad(vs, pad),
             "pos": jnp.asarray(S0, jnp.int32),
         }
         return logits, cache
@@ -259,18 +299,17 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
             y = jax.lax.psum(y, tp_axis)
         return (y + b.astype(jnp.float32)).astype(a.dtype)
 
-    for li, blk in enumerate(params["blocks"]):
+    def layer(x, blk, kc, vc):
+        """One decode block: write (k, v) at pos into this layer's cache
+        slice, attend over it, MLP. Returns (x, kc, vc)."""
         h = _ln(x, blk["ln1_g"], blk["ln1_b"])
         q = _dot(h, blk["wq"], blk["bq"]).reshape(B, h_local, D)
         k = _dot(h, blk["wk"], blk["bk"]).reshape(B, h_local, D)
         v = _dot(h, blk["wv"], blk["bv"]).reshape(B, h_local, D)
-        kcache = jax.lax.dynamic_update_slice(
-            kcache, k[None, :, None].astype(kcache.dtype),
-            (li, 0, pos, 0, 0))
-        vcache = jax.lax.dynamic_update_slice(
-            vcache, v[None, :, None].astype(vcache.dtype),
-            (li, 0, pos, 0, 0))
-        kc, vc = kcache[li], vcache[li]
+        kc = jax.lax.dynamic_update_slice(
+            kc, k[:, None].astype(kc.dtype), (0, pos, 0, 0))
+        vc = jax.lax.dynamic_update_slice(
+            vc, v[:, None].astype(vc.dtype), (0, pos, 0, 0))
         # composed decode attention: M=1 matvec over the cache —
         # HBM-bandwidth-bound, XLA's job (module docstring)
         s = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.float32),
@@ -286,6 +325,27 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
         h = jax.nn.gelu(h.astype(jnp.float32),
                         approximate=False).astype(x.dtype)
         x = x + row_parallel(h, blk["w2"], blk["b2"])
+        return x, kc, vc
+
+    blocks = params["blocks"]
+    if isinstance(blocks, dict):
+        # stacked params: one scan'd block body (L× smaller compile);
+        # the per-layer cache slices ride the scan xs/ys and XLA writes
+        # the ys in place into the preallocated (L, ...) output
+        def body(x, inp):
+            blk, kc, vc = inp
+            x, kc, vc = layer(x, blk, kc, vc)
+            return x, (kc, vc)
+
+        x, (kcache, vcache) = jax.lax.scan(
+            body, x, (blocks, kcache, vcache))
+    else:
+        newk, newv = [], []
+        for li, blk in enumerate(blocks):
+            x, kc, vc = layer(x, blk, kcache[li], vcache[li])
+            newk.append(kc)
+            newv.append(vc)
+        kcache, vcache = jnp.stack(newk), jnp.stack(newv)
     x = _ln(x, params["lnf_g"], params["lnf_b"])
     logits = _dot(x, params["lm_head"])
     cache = {"k": kcache, "v": vcache, "pos": pos + 1}
@@ -310,10 +370,13 @@ def make_decode_step(cfg: GptConfig, donate: bool = False):
     return jax.jit(step, donate_argnums=(1,) if donate else ())
 
 
-def decode_param_specs(cfg: GptConfig, tp_axis: str = "tp"):
+def decode_param_specs(cfg: GptConfig, tp_axis: str = "tp",
+                       stacked: bool = False):
     """PartitionSpecs for tp decode: q/k/v and fc1 column-parallel (heads
     / fc1 columns on tp), out-proj and fc2 row-parallel; everything else
-    replicated (same layout family as parallel/transformer.py)."""
+    replicated (same layout family as parallel/transformer.py). With
+    stacked=True the block specs gain the leading (unsharded) layer dim
+    to match `stack_params` layouts."""
     from jax.sharding import PartitionSpec as P
 
     blk = {
@@ -326,15 +389,20 @@ def decode_param_specs(cfg: GptConfig, tp_axis: str = "tp"):
         "w1": P(None, tp_axis), "b1": P(tp_axis),
         "w2": P(tp_axis, None), "b2": P(),
     }
+    if stacked:
+        blocks = {k: P(None, *s) if s else P() for k, s in blk.items()}
+    else:
+        blocks = [dict(blk) for _ in range(cfg.layers)]
     return {
         "wte": P(), "wpe": P(),
-        "blocks": [dict(blk) for _ in range(cfg.layers)],
+        "blocks": blocks,
         "lnf_g": P(), "lnf_b": P(),
         "lm_head": P(),
     }
 
 
-def make_tp_decode_step(mesh, cfg: GptConfig, tp_axis: str = "tp"):
+def make_tp_decode_step(mesh, cfg: GptConfig, tp_axis: str = "tp",
+                        stacked: bool = False):
     """Tensor-parallel decode step over `mesh`: heads and the KV cache
     shard over tp (each device holds H/tp heads' cache — the KV cache is
     the serving memory bottleneck, so tp divides it), with one psum per
@@ -354,7 +422,8 @@ def make_tp_decode_step(mesh, cfg: GptConfig, tp_axis: str = "tp"):
     cache_specs = decode_cache_specs(cfg, tp_axis)
     sharded = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(decode_param_specs(cfg, tp_axis), cache_specs, P()),
+        in_specs=(decode_param_specs(cfg, tp_axis, stacked), cache_specs,
+                  P()),
         out_specs=(P(), cache_specs),
         check_vma=False)
     return jax.jit(sharded)

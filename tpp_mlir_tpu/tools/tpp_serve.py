@@ -58,7 +58,8 @@ def main(argv=None) -> int:
 
     from tpp_mlir_tpu.serving import (GptConfig, init_params,
                                       make_decode_step, make_generate,
-                                      make_prefill, make_tp_decode_step)
+                                      make_prefill, make_tp_decode_step,
+                                      stack_params)
 
     cfg = GptConfig(vocab=args.vocab, embed=args.embed, heads=args.heads,
                     layers=args.layers, mlp_ratio=args.mlp_ratio,
@@ -67,7 +68,9 @@ def main(argv=None) -> int:
         print(f"prompt+steps ({args.prompt_len}+{args.steps}) exceeds "
               f"--max-seq {cfg.max_seq}", file=sys.stderr)
         return 2
-    params = init_params(cfg, seed=args.seed)
+    # stacked layers run under one lax.scan: ~L x smaller HLO, which keeps
+    # deep models inside the remote-compile tunnel's request size limit
+    params = stack_params(init_params(cfg, seed=args.seed))
     ids = jnp.asarray(np.random.default_rng(args.seed).integers(
         0, cfg.vocab, (args.batch, args.prompt_len)), jnp.int32)
 
@@ -75,7 +78,7 @@ def main(argv=None) -> int:
         from tpp_mlir_tpu.parallel import make_mesh
 
         mesh = make_mesh({"tp": args.tp})
-        step = make_tp_decode_step(mesh, cfg)
+        step = make_tp_decode_step(mesh, cfg, stacked=True)
         _, cache = make_prefill(cfg, use_pallas=False)(params, ids)
         tok = jnp.full((args.batch,), 1, jnp.int32)
         toks = []
