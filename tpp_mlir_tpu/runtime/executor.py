@@ -479,11 +479,13 @@ def _eval_xsmm(op: Operation, vals: list,
 # ---------------------------------------------------------------------------
 
 def _run_func(func: Function, args, interpret_kernels: bool | None,
-              with_checks: bool, check_cb=None):
-    env: dict[int, Any] = {}
+              with_checks: bool, check_cb=None, preset=None):
+    env: dict[int, Any] = dict(preset) if preset else {}
     for a, v in zip(func.args, args):
         env[id(a)] = v
     for op in func.ops:
+        if preset and op.results and id(op.results[0]) in preset:
+            continue  # hoisted constant: value arrived as an argument
         vals = [env.get(id(v)) for v in op.operands]
         if op.opname.startswith("xsmm."):
             if op.opname.endswith("_dispatch"):
@@ -592,15 +594,27 @@ def _eval_bench(op: Operation, vals, interpret_kernels):
         mean = (time.perf_counter() - t0) / n
         return (_jnp().float32(mean),) + tuple(outs)
 
+    # thread hoisted literal constants (compile() trailing args) through
+    # the outer jit as arguments — calling the hoist wrapper inside this
+    # trace would re-embed them as closure constants in the chain's HLO
+    lits = tuple(getattr(step, "hoisted_literals", ()))
+    raw = getattr(step, "raw_fn", step)
+    na = len(vals)
+
     def chain(k):
-        def loop(*args):
+        def loop(*all_args):
+            args, ls = all_args[:na], all_args[na:]
+
             def body(carry, _):
-                res = step(*carry)
+                res = raw(*carry, *ls)
                 outs = res if isinstance(res, tuple) else (res,)
                 return tuple(list(outs) + list(carry[len(outs):])), None
             final, _ = jax.lax.scan(body, tuple(args), None, length=k)
             return final[:nres]
-        return jax.jit(loop)
+        jitted = jax.jit(loop)
+        if not lits:
+            return jitted
+        return lambda *args: jitted(*args, *lits)
 
     longf = chain(n)
     _force(longf(*vals))
@@ -613,6 +627,33 @@ def _eval_bench(op: Operation, vals, interpret_kernels):
     t_long, finals = timed(lambda: longf(*vals))
     mean = max((t_long - t_short) / (n - n // 4), 1e-12)
     return (jnp.float32(mean),) + tuple(finals)
+
+
+HOIST_MIN_BYTES = 1 << 16
+
+
+def _hoistable_constants(func: Function):
+    """tl.constant ops whose materialized value should be passed to the
+    jitted program as a runtime ARGUMENT instead of a baked HLO literal.
+
+    Closure/trace-time constants embed in the serialized HLO; for torch-
+    imported models every weight is a literal (frontend/torch_import.py),
+    so GPT-2-class programs carried hundreds of MB of literals — over the
+    axon tunnel's remote-compile request size limit (measured: HTTP 413 on
+    the 12-layer s1024 row). Arguments travel over the runtime transfer
+    channel once, and inside scan chains they are loop-invariant so XLA
+    LICM still hoists their derived casts/packs out of the hot loop."""
+    ops = []
+    for op in func.ops:
+        if op.opname != "tl.constant" or not op.results:
+            continue
+        rt = op.results[0].type
+        n = 1
+        for d in rt.shape:
+            n *= d
+        if n * np.dtype(jnp_dtype(rt)).itemsize >= HOIST_MIN_BYTES:
+            ops.append(op)
+    return ops
 
 
 def compile(module: Module, func_name: str = "entry",
@@ -629,19 +670,42 @@ def compile(module: Module, func_name: str = "entry",
     (no extra outputs, no host sync). perf.* ops are skipped — the bench
     harness times whole compiled programs on device, matching perf.bench
     semantics.
-    """
+
+    Large tl.constant values (>= HOIST_MIN_BYTES) are evaluated once here
+    and passed to the jitted program as trailing arguments (see
+    _hoistable_constants); the returned callable keeps the original
+    signature and exposes `.raw_fn` / `.hoisted_literals` so bench scan
+    chains can thread them through an outer jit without re-embedding."""
     import jax
 
     func = module[func_name]
     check_ops = [op for op in func.ops if op.opname.startswith("check.")]
 
+    hoist_ops = _hoistable_constants(func) if jit else []
+    hoist_vals = tuple(_eval_tl(op, [], interpret_kernels)
+                       for op in hoist_ops)
+    hoist_ids = tuple(id(op.results[0]) for op in hoist_ops)
+    n_args = len(func.args)
+
     if not check_ops or not enforce_checks:
         def fn(*args):
-            outs = _run_func(func, args, interpret_kernels,
-                             with_checks=False)
+            preset = dict(zip(hoist_ids, args[n_args:]))
+            outs = _run_func(func, args[:n_args], interpret_kernels,
+                             with_checks=False, preset=preset)
             return outs[0] if len(outs) == 1 else outs
 
-        return jax.jit(fn) if jit else fn
+        if not jit:
+            return fn
+        jitted = jax.jit(fn)
+        if not hoist_ops:
+            return jitted
+
+        def hoist_wrapper(*args):
+            return jitted(*args, *hoist_vals)
+
+        hoist_wrapper.raw_fn = fn
+        hoist_wrapper.hoisted_literals = hoist_vals
+        return hoist_wrapper
 
     def fn_checked(*args):
         statuses = []
@@ -649,15 +713,16 @@ def compile(module: Module, func_name: str = "entry",
         def cb(op, vals):
             statuses.append(_traced_check(op, vals))
 
-        outs = _run_func(func, args, interpret_kernels, with_checks=True,
-                         check_cb=cb)
+        preset = dict(zip(hoist_ids, args[n_args:]))
+        outs = _run_func(func, args[:n_args], interpret_kernels,
+                         with_checks=True, check_cb=cb, preset=preset)
         res = outs[0] if len(outs) == 1 else outs
         return res, tuple(statuses)
 
     inner = jax.jit(fn_checked) if jit else fn_checked
 
     def wrapper(*args):
-        res, statuses = inner(*args)
+        res, statuses = inner(*args, *hoist_vals)
         for op, (ok, aux) in zip(check_ops, statuses):
             if not bool(ok):           # host read = completion barrier
                 detail = ""

@@ -34,13 +34,28 @@ class BenchResult:
 
 
 def _chain(step: Callable, n: int):
-    """Build jit(fn) running `step` n times with a sequential dependency."""
+    """Build jit(fn) running `step` n times with a sequential dependency.
+
+    If `step` came from executor.compile with hoisted literal constants
+    (weights passed as trailing arguments so they don't embed in the HLO),
+    those literals are threaded through the outer jit as arguments too —
+    loop-invariant, so XLA LICM keeps their derived casts out of the scan
+    body — instead of being re-captured as closure constants."""
     import jax
     import jax.numpy as jnp
 
-    def loop(*args):
+    lits = tuple(getattr(step, "hoisted_literals", ()))
+    inner = getattr(step, "raw_fn", step)
+
+    def loop(*all_args):
+        args, ls = (all_args[:len(all_args) - len(lits)],
+                    all_args[len(all_args) - len(lits):])
+
+        def step_fn(*a):
+            return inner(*a, *ls)
+
         def body(carry, _):
-            out = step(*carry)
+            out = step_fn(*carry)
             outs = out if isinstance(out, tuple) else (out,)
             # feed outputs back into the matching leading args (same
             # shape/dtype) so iterations are sequentially dependent
@@ -73,7 +88,10 @@ def _chain(step: Callable, n: int):
         final, _ = jax.lax.scan(body, tuple(args), None, length=n)
         return final
 
-    return jax.jit(loop)
+    jitted = jax.jit(loop)
+    if not lits:
+        return jitted
+    return lambda *args: jitted(*args, *lits)
 
 
 def bench(step: Callable, args: Sequence, iters: int = 100,
