@@ -299,25 +299,41 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
             y = jax.lax.psum(y, tp_axis)
         return (y + b.astype(jnp.float32)).astype(a.dtype)
 
-    def layer(x, blk, kc, vc):
-        """One decode block: write (k, v) at pos into this layer's cache
-        slice, attend over it, MLP. Returns (x, kc, vc)."""
+    def layer(x, blk, kcache, vcache, li):
+        """One decode block: write (k, v) at (li, pos) into the FULL
+        stacked cache, attend over layer li's slab, MLP. Returns
+        (x, kcache, vcache). Operating on the full carried arrays is what
+        keeps the update in place: a DUS on a scan xs-slice whose result
+        feeds both the attention dot and the scan ys was measured at
+        4.06 ms/tok (b8, GPT-2 small) — XLA materializes and copies the
+        slab — vs 1.17 ms/tok for this carry form (exp_decode_carry.py,
+        bit-identical logits)."""
         h = _ln(x, blk["ln1_g"], blk["ln1_b"])
         q = _dot(h, blk["wq"], blk["bq"]).reshape(B, h_local, D)
         k = _dot(h, blk["wk"], blk["bk"]).reshape(B, h_local, D)
         v = _dot(h, blk["wv"], blk["bv"]).reshape(B, h_local, D)
-        kc = jax.lax.dynamic_update_slice(
-            kc, k[:, None].astype(kc.dtype), (0, pos, 0, 0))
-        vc = jax.lax.dynamic_update_slice(
-            vc, v[:, None].astype(vc.dtype), (0, pos, 0, 0))
+        kcache = jax.lax.dynamic_update_slice(
+            kcache, k[None, :, None].astype(kcache.dtype),
+            (li, 0, pos, 0, 0))
+        vcache = jax.lax.dynamic_update_slice(
+            vcache, v[None, :, None].astype(vcache.dtype),
+            (li, 0, pos, 0, 0))
+        slab = (1,) + kcache.shape[1:]
+        kc = jax.lax.dynamic_slice(
+            kcache, (li, 0, 0, 0, 0), slab)[0]
+        vc = jax.lax.dynamic_slice(
+            vcache, (li, 0, 0, 0, 0), slab)[0]
         # composed decode attention: M=1 matvec over the cache —
-        # HBM-bandwidth-bound, XLA's job (module docstring)
-        s = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.float32),
-                       kc.astype(jnp.float32)) * scale
+        # HBM-bandwidth-bound, XLA's job (module docstring). Cache
+        # operands stay in their storage dtype with f32 ACCUMULATION
+        # (preferred_element_type) so no full-slab f32 casts materialize.
+        s = jnp.einsum("bhd,bshd->bhs", q.astype(kc.dtype), kc,
+                       preferred_element_type=jnp.float32) * scale
         live = jnp.arange(cfg.max_seq) <= pos
         s = jnp.where(live[None, None], s, -1e30)
         p = jax.nn.softmax(s, axis=-1)
-        a = jnp.einsum("bhs,bshd->bhd", p, vc.astype(jnp.float32))
+        a = jnp.einsum("bhs,bshd->bhd", p.astype(vc.dtype), vc,
+                       preferred_element_type=jnp.float32)
         a = a.reshape(B, h_local * D).astype(x.dtype)
         x = x + row_parallel(a, blk["wo"], blk["bo"])
         h = _ln(x, blk["ln2_g"], blk["ln2_b"])
@@ -325,27 +341,27 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
         h = jax.nn.gelu(h.astype(jnp.float32),
                         approximate=False).astype(x.dtype)
         x = x + row_parallel(h, blk["w2"], blk["b2"])
-        return x, kc, vc
+        return x, kcache, vcache
 
     blocks = params["blocks"]
     if isinstance(blocks, dict):
-        # stacked params: one scan'd block body (L× smaller compile);
-        # the per-layer cache slices ride the scan xs/ys and XLA writes
-        # the ys in place into the preallocated (L, ...) output
-        def body(x, inp):
-            blk, kc, vc = inp
-            x, kc, vc = layer(x, blk, kc, vc)
-            return x, (kc, vc)
+        # stacked params: one scan'd block body (L× smaller compile).
+        # The FULL caches ride the scan CARRY (the canonical while-loop
+        # in-place aliasing) with the layer index as an xs — measured
+        # 3.5x faster than threading per-layer slices through xs/ys
+        # (exp_decode_carry.py / exp_decode_bisect.py).
+        def body(carry, inp):
+            x, kcache, vcache = carry
+            blk, li = inp
+            x, kcache, vcache = layer(x, blk, kcache, vcache, li)
+            return (x, kcache, vcache), None
 
-        x, (kcache, vcache) = jax.lax.scan(
-            body, x, (blocks, kcache, vcache))
+        L = kcache.shape[0]
+        (x, kcache, vcache), _ = jax.lax.scan(
+            body, (x, kcache, vcache), (blocks, jnp.arange(L)))
     else:
-        newk, newv = [], []
         for li, blk in enumerate(blocks):
-            x, kc, vc = layer(x, blk, kcache[li], vcache[li])
-            newk.append(kc)
-            newv.append(vc)
-        kcache, vcache = jnp.stack(newk), jnp.stack(newv)
+            x, kcache, vcache = layer(x, blk, kcache, vcache, li)
     x = _ln(x, params["lnf_g"], params["lnf_b"])
     logits = _dot(x, params["lm_head"])
     cache = {"k": kcache, "v": vcache, "pos": pos + 1}
