@@ -12,11 +12,13 @@ import numpy as np
 
 from tpp_mlir_tpu.serving import (GptConfig, init_params, make_decode_step,
                                   make_generate, make_prefill,
-                                  make_tp_decode_step)
+                                  make_tp_decode_step, stack_params)
 
 cfg = GptConfig(vocab=512, embed=256, heads=4, layers=4, mlp_ratio=4,
                 max_seq=128, dtype="f32")
-params = init_params(cfg, seed=0)
+# stacked layers run under one lax.scan: ~layers x smaller compiled HLO
+# (essential for deep models through a remote-compile channel)
+params = stack_params(init_params(cfg, seed=0))
 prompt = jnp.asarray(
     np.random.default_rng(0).integers(0, cfg.vocab, (2, 16)), jnp.int32)
 
@@ -43,7 +45,7 @@ if cfg.heads % tp == 0 and tp > 1:
     from tpp_mlir_tpu.parallel import make_mesh
 
     mesh = make_mesh({"tp": tp})
-    tp_step = make_tp_decode_step(mesh, cfg)
+    tp_step = make_tp_decode_step(mesh, cfg, stacked=True)
     tp_logits, _ = tp_step(params, cache, tok)
     print(f"tp={tp} decode matches:",
           bool(jnp.allclose(tp_logits, step(params, cache, tok)[0],
