@@ -67,6 +67,9 @@ def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--tiny", action="store_true",
                    help="tiny config for CPU smoke testing")
+    p.add_argument("--kv-heads", type=int, default=0,
+                   help="GQA: KV heads < query heads (0 = MHA); shrinks "
+                        "the decode KV read by heads/kv_heads")
     p.add_argument("--platform", default="")
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--json", default="")
@@ -87,14 +90,17 @@ def main() -> int:
                                       stack_params)
     from tpp_mlir_tpu.utils.target import current_target, roofline_flops
 
+    kvh = args.kv_heads or None
     if args.tiny:
         cfg = GptConfig(vocab=128, embed=64, heads=4, layers=2,
-                        mlp_ratio=2, max_seq=64, dtype="f32")
+                        mlp_ratio=2, max_seq=64, dtype="f32",
+                        kv_heads=kvh)
         s0, n_short, n_long = 16, 4, 12
         batches = (1, 2)
     else:
         cfg = GptConfig(vocab=50304, embed=768, heads=12, layers=12,
-                        mlp_ratio=4, max_seq=640, dtype="bf16")
+                        mlp_ratio=4, max_seq=640, dtype="bf16",
+                        kv_heads=kvh)
         s0, n_short, n_long = 512, 16, 112
         batches = (1, 8)
 
@@ -135,7 +141,7 @@ def main() -> int:
         tok_s = B / per_tok
         # bytes a decode step must read: all weights + the live KV window
         kv_bytes = (2 * cfg.layers * B * (s0 + (n_long + n_short) // 2)
-                    * cfg.embed
+                    * cfg.kv_dim
                     * (2 if cfg.dtype == "bf16" else 4))
         bw = (param_bytes + kv_bytes) / per_tok / 1e9
         results[f"decode_b{B}"] = {

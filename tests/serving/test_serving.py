@@ -154,6 +154,94 @@ def test_generate_top_k_in_scan():
     assert t.shape == (1, 4) and t.min() >= 0 and t.max() < CFG.vocab
 
 
+GQA_CFG = GptConfig(vocab=96, embed=64, heads=4, kv_heads=2, layers=2,
+                    mlp_ratio=4, max_seq=24, dtype="f32")
+
+
+def test_gqa_cache_holds_kv_heads_only():
+    params = init_params(GQA_CFG, seed=9)
+    assert params["blocks"][0]["wk"].shape == (64, GQA_CFG.kv_dim)
+    ids = np.random.default_rng(9).integers(
+        0, GQA_CFG.vocab, (2, 8)).astype(np.int32)
+    _, cache = make_prefill(GQA_CFG, use_pallas=False)(
+        params, jnp.asarray(ids))
+    assert cache["k"].shape == (2, 2, GQA_CFG.max_seq, 2,
+                                GQA_CFG.head_dim)
+
+
+def test_gqa_decode_teacher_forcing_equivalence():
+    """GQA decode (grouped attention over the un-repeated cache) must
+    reproduce GQA prefill (KV broadcast to full heads) at every
+    position — pins the q-head -> kv-head mapping (h // G) consistent
+    across both paths."""
+    params = init_params(GQA_CFG, seed=10)
+    ids = np.random.default_rng(10).integers(
+        0, GQA_CFG.vocab, (2, 10)).astype(np.int32)
+    full_logits, _ = make_prefill(GQA_CFG, use_pallas=False)(
+        params, jnp.asarray(ids))
+    S0 = 4
+    _, cache = make_prefill(GQA_CFG, use_pallas=False)(
+        params, jnp.asarray(ids[:, :S0]))
+    step = make_decode_step(GQA_CFG)
+    for t in range(S0, ids.shape[1]):
+        logits_t, cache = step(params, cache, jnp.asarray(ids[:, t]))
+        np.testing.assert_allclose(np.asarray(logits_t),
+                                   np.asarray(full_logits[:, t]),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_gqa_attention_matches_torch_sdpa():
+    """The repeat-based GQA prefill attention equals torch's
+    scaled_dot_product_attention(enable_gqa=True) — pins the standard
+    (LLaMA) grouping convention against an external oracle."""
+    from tpp_mlir_tpu.serving.engine import _attention_full
+
+    B, S, H, Hkv, D = 2, 8, 4, 2, 16
+    cfg = GptConfig(vocab=8, embed=H * D, heads=H, kv_heads=Hkv,
+                    layers=1, max_seq=S, dtype="f32")
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=(B, S, H * D)).astype(np.float32)
+    k = rng.normal(size=(B, S, Hkv * D)).astype(np.float32)
+    v = rng.normal(size=(B, S, Hkv * D)).astype(np.float32)
+
+    got = np.asarray(_attention_full(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), cfg,
+        use_pallas=False))
+
+    def heads_first(x, n):
+        return torch.from_numpy(x).reshape(B, S, n, D).permute(0, 2, 1, 3)
+
+    import torch.nn.functional as F
+    want = F.scaled_dot_product_attention(
+        heads_first(q, H), heads_first(k, Hkv), heads_first(v, Hkv),
+        is_causal=True, enable_gqa=True)
+    want = want.permute(0, 2, 1, 3).reshape(B, S, H * D).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_gqa_tp_decode_matches_single_device():
+    from tpp_mlir_tpu.parallel import make_mesh
+    from tpp_mlir_tpu.serving import make_tp_decode_step, stack_params
+
+    params = init_params(GQA_CFG, seed=12)
+    ids = np.random.default_rng(12).integers(
+        0, GQA_CFG.vocab, (2, 6)).astype(np.int32)
+    _, cache = make_prefill(GQA_CFG, use_pallas=False)(
+        params, jnp.asarray(ids))
+    tok = jnp.asarray([5, 9], jnp.int32)
+    ref_logits, ref_cache = make_decode_step(GQA_CFG)(params, cache, tok)
+
+    mesh = make_mesh({"tp": 2})
+    tp_logits, tp_cache = make_tp_decode_step(
+        mesh, GQA_CFG, stacked=True)(stack_params(params), cache, tok)
+    np.testing.assert_allclose(np.asarray(tp_logits),
+                               np.asarray(ref_logits),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tp_cache["k"]),
+                               np.asarray(ref_cache["k"]),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_stacked_params_match_unstacked():
     """stack_params switches prefill/decode to one lax.scan over layers
     (L x smaller HLO for the remote-compile tunnel); numerics must be

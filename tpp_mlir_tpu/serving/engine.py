@@ -40,10 +40,28 @@ class GptConfig:
     mlp_ratio: int = 4
     max_seq: int = 1024
     dtype: str = "f32"   # compute/storage dtype: f32 | bf16
+    kv_heads: int | None = None   # GQA: KV heads < query heads (None=MHA)
+
+    def __post_init__(self):
+        if self.kv_heads is not None:
+            assert self.heads % self.kv_heads == 0, \
+                f"heads {self.heads} not divisible by kv_heads " \
+                f"{self.kv_heads}"
 
     @property
     def head_dim(self) -> int:
         return self.embed // self.heads
+
+    @property
+    def kv_h(self) -> int:
+        """KV head count: grouped-query attention shares each KV head
+        across heads/kv_h query heads (LLaMA-2/3 style), dividing the
+        decode-dominant KV-cache bytes by that group size."""
+        return self.kv_heads or self.heads
+
+    @property
+    def kv_dim(self) -> int:
+        return self.kv_h * self.head_dim
 
 
 def _np_dtype(dtype: str):
@@ -59,6 +77,10 @@ def params_from_torch(model, cfg: GptConfig):
     import jax.numpy as jnp
 
     dt = _np_dtype(cfg.dtype)
+
+    assert cfg.kv_h == cfg.heads, \
+        "params_from_torch: models/gpt.py is MHA; GQA configs use " \
+        "init_params or an external checkpoint loader"
 
     def t(x):
         return jnp.asarray(x.detach().cpu().float().numpy()).astype(dt)
@@ -107,10 +129,10 @@ def init_params(cfg: GptConfig, seed: int = 0):
             "ln1_g": jnp.ones((E,), dt), "ln1_b": jnp.zeros((E,), dt),
             "wq": nrm(next(ks), (E, E), E ** -0.5),
             "bq": jnp.zeros((E,), dt),
-            "wk": nrm(next(ks), (E, E), E ** -0.5),
-            "bk": jnp.zeros((E,), dt),
-            "wv": nrm(next(ks), (E, E), E ** -0.5),
-            "bv": jnp.zeros((E,), dt),
+            "wk": nrm(next(ks), (E, cfg.kv_dim), E ** -0.5),
+            "bk": jnp.zeros((cfg.kv_dim,), dt),
+            "wv": nrm(next(ks), (E, cfg.kv_dim), E ** -0.5),
+            "bv": jnp.zeros((cfg.kv_dim,), dt),
             "wo": nrm(next(ks), (E, E), E ** -0.5),
             "bo": jnp.zeros((E,), dt),
             "ln2_g": jnp.ones((E,), dt), "ln2_b": jnp.zeros((E,), dt),
@@ -179,6 +201,16 @@ def _attention_full(q, k, v, cfg: GptConfig, use_pallas: bool):
     B, S, E = q.shape
     H, D = cfg.heads, cfg.head_dim
     scale = D ** -0.5
+    if cfg.kv_h != H:
+        # GQA prefill: broadcast KV to full heads and reuse the MHA
+        # kernels — prefill is compute-bound, the repeat is S*kv_dim*(G-1)
+        # extra bytes against O(S^2) flops; decode (where bytes dominate)
+        # attends GROUPED over the un-repeated cache (_decode_body)
+        g = H // cfg.kv_h
+        k = jnp.repeat(k.reshape(B, S, cfg.kv_h, D), g, axis=2
+                       ).reshape(B, S, E)
+        v = jnp.repeat(v.reshape(B, S, cfg.kv_h, D), g, axis=2
+                       ).reshape(B, S, E)
     if use_pallas and (D >= 128 or S >= 1024):
         from ..xsmm import build_kernel
         from ..xsmm.flags import FlashMhaKey
@@ -201,12 +233,13 @@ def _attention_full(q, k, v, cfg: GptConfig, use_pallas: bool):
 
 def _prefill_layer(x, blk, cfg: GptConfig, use_pallas: bool):
     """One pre-LN causal block over (B, S0, E); returns (x, k4, v4) with
-    k4/v4 = this layer's (B, S0, H, D) cache entries."""
+    k4/v4 = this layer's (B, S0, kv_h, D) cache entries (un-repeated for
+    GQA — the cache stores KV heads only)."""
     import jax
     import jax.numpy as jnp
 
     B, S0, _ = x.shape
-    H, D = cfg.heads, cfg.head_dim
+    H, D = cfg.kv_h, cfg.head_dim
     h = _ln(x, blk["ln1_g"], blk["ln1_b"])
     q = _dot(h, blk["wq"], blk["bq"])
     k = _dot(h, blk["wk"], blk["bk"])
@@ -270,7 +303,7 @@ def make_prefill(cfg: GptConfig, use_pallas: bool | None = None):
 
 
 def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
-                 tp_axis: str | None):
+                 tp_axis: str | None, kv_local: int | None = None):
     """One decode step over (possibly tp-local) params and cache. With
     tp_axis set, this runs INSIDE shard_map: q/k/v/fc1 are column-sharded
     (h_local heads, local fc1 columns), out-proj and fc2 are row-sharded
@@ -282,6 +315,9 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
     D = cfg.head_dim
     scale = D ** -0.5
     B = token.shape[0]
+    if kv_local is None:
+        kv_local = h_local
+    G = h_local // kv_local        # query heads per KV head (1 = MHA)
     pos = cache["pos"]
     x = jnp.take(params["wte"], token, axis=0) \
         + jnp.take(params["wpe"], pos, axis=0).astype(
@@ -310,8 +346,8 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
         bit-identical logits)."""
         h = _ln(x, blk["ln1_g"], blk["ln1_b"])
         q = _dot(h, blk["wq"], blk["bq"]).reshape(B, h_local, D)
-        k = _dot(h, blk["wk"], blk["bk"]).reshape(B, h_local, D)
-        v = _dot(h, blk["wv"], blk["bv"]).reshape(B, h_local, D)
+        k = _dot(h, blk["wk"], blk["bk"]).reshape(B, kv_local, D)
+        v = _dot(h, blk["wv"], blk["bv"]).reshape(B, kv_local, D)
         kcache = jax.lax.dynamic_update_slice(
             kcache, k[None, :, None].astype(kcache.dtype),
             (li, 0, pos, 0, 0))
@@ -327,13 +363,25 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
         # HBM-bandwidth-bound, XLA's job (module docstring). Cache
         # operands stay in their storage dtype with f32 ACCUMULATION
         # (preferred_element_type) so no full-slab f32 casts materialize.
-        s = jnp.einsum("bhd,bshd->bhs", q.astype(kc.dtype), kc,
-                       preferred_element_type=jnp.float32) * scale
         live = jnp.arange(cfg.max_seq) <= pos
-        s = jnp.where(live[None, None], s, -1e30)
-        p = jax.nn.softmax(s, axis=-1)
-        a = jnp.einsum("bhs,bshd->bhd", p.astype(vc.dtype), vc,
-                       preferred_element_type=jnp.float32)
+        if G == 1:
+            s = jnp.einsum("bhd,bshd->bhs", q.astype(kc.dtype), kc,
+                           preferred_element_type=jnp.float32) * scale
+            s = jnp.where(live[None, None], s, -1e30)
+            p = jax.nn.softmax(s, axis=-1)
+            a = jnp.einsum("bhs,bshd->bhd", p.astype(vc.dtype), vc,
+                           preferred_element_type=jnp.float32)
+        else:
+            # GQA: query heads grouped per KV head (q head h -> kv head
+            # h // G), attending over the UN-repeated cache — the KV
+            # read, decode's dominant traffic, shrinks by G
+            qg = q.reshape(B, kv_local, G, D)
+            s = jnp.einsum("bkgd,bskd->bkgs", qg.astype(kc.dtype), kc,
+                           preferred_element_type=jnp.float32) * scale
+            s = jnp.where(live[None, None, None], s, -1e30)
+            p = jax.nn.softmax(s, axis=-1)
+            a = jnp.einsum("bkgs,bskd->bkgd", p.astype(vc.dtype), vc,
+                           preferred_element_type=jnp.float32)
         a = a.reshape(B, h_local * D).astype(x.dtype)
         x = x + row_parallel(a, blk["wo"], blk["bo"])
         h = _ln(x, blk["ln2_g"], blk["ln2_b"])
@@ -373,7 +421,7 @@ def make_decode_step(cfg: GptConfig, donate: bool = False):
 
     token: (B,) int32, the token at position cache["pos"]. logits: (B, V)
     for the NEXT position. One compiled step serves every position: the
-    cache has static shape (L, B, max_seq, H, D) and attention masks by
+    cache has static shape (L, B, max_seq, kv_h, D) and attention masks by
     position (positions > pos read as -inf). With donate=True the cache
     argument's buffers are donated so the update is in place (use in eager
     serving loops that rebind the cache each step; inside `lax.scan` the
@@ -381,7 +429,8 @@ def make_decode_step(cfg: GptConfig, donate: bool = False):
     import jax
 
     def step(params, cache, token):
-        return _decode_body(params, cache, token, cfg, cfg.heads, None)
+        return _decode_body(params, cache, token, cfg, cfg.heads, None,
+                            kv_local=cfg.kv_h)
 
     return jax.jit(step, donate_argnums=(1,) if donate else ())
 
@@ -430,10 +479,14 @@ def make_tp_decode_step(mesh, cfg: GptConfig, tp_axis: str = "tp",
 
     tp = mesh.shape[tp_axis]
     assert cfg.heads % tp == 0, (cfg.heads, tp)
+    assert cfg.kv_h % tp == 0, \
+        f"GQA tp decode needs kv_heads {cfg.kv_h} divisible by tp {tp}"
     h_local = cfg.heads // tp
+    kv_local = cfg.kv_h // tp
 
     def local_step(params, cache, token):
-        return _decode_body(params, cache, token, cfg, h_local, tp_axis)
+        return _decode_body(params, cache, token, cfg, h_local, tp_axis,
+                            kv_local=kv_local)
 
     cache_specs = decode_cache_specs(cfg, tp_axis)
     sharded = jax.shard_map(
@@ -446,7 +499,8 @@ def make_tp_decode_step(mesh, cfg: GptConfig, tp_axis: str = "tp",
 
 
 def decode_cache_specs(cfg: GptConfig, tp_axis: str = "tp"):
-    """KV cache (L, B, max_seq, H, D) shards the heads dim over tp."""
+    """KV cache (L, B, max_seq, kv_h, D) shards the KV-heads dim over
+    tp."""
     from jax.sharding import PartitionSpec as P
 
     kv = P(None, None, None, tp_axis, None)

@@ -24,6 +24,8 @@ def main(argv=None) -> int:
     p.add_argument("--vocab", type=int, default=50304)
     p.add_argument("--embed", type=int, default=768)
     p.add_argument("--heads", type=int, default=12)
+    p.add_argument("--kv-heads", type=int, default=0,
+                   help="GQA: KV heads < query heads (0 = MHA)")
     p.add_argument("--layers", type=int, default=12)
     p.add_argument("--mlp-ratio", type=int, default=4)
     p.add_argument("--max-seq", type=int, default=256)
@@ -63,7 +65,8 @@ def main(argv=None) -> int:
 
     cfg = GptConfig(vocab=args.vocab, embed=args.embed, heads=args.heads,
                     layers=args.layers, mlp_ratio=args.mlp_ratio,
-                    max_seq=args.max_seq, dtype=args.dtype)
+                    max_seq=args.max_seq, dtype=args.dtype,
+                    kv_heads=args.kv_heads or None)
     if args.prompt_len + args.steps > cfg.max_seq:
         print(f"prompt+steps ({args.prompt_len}+{args.steps}) exceeds "
               f"--max-seq {cfg.max_seq}", file=sys.stderr)
