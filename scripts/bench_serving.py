@@ -104,9 +104,14 @@ def main() -> int:
         s0, n_short, n_long = 512, 16, 112
         batches = (1, 8)
 
-    # stacked layers = one scan'd block body: ~L x smaller HLO, keeping the
-    # 12-layer family inside the tunnel's remote-compile request limit
-    params = stack_params(init_params(cfg, seed=0))
+    # hybrid param layout (exp_decode_unstacked, measured r4): PREFILL
+    # uses stacked layers (one scan'd block body, ~L x smaller HLO for
+    # the remote-compile channel); DECODE uses the unstacked list form —
+    # static layer indices let XLA fuse the cache slice into the
+    # attention dot (no dynamic_slice slab copy), measured 5-37% faster
+    # per token. Two pytrees, 2x param memory — the serving trade.
+    params = init_params(cfg, seed=0)
+    sparams = stack_params(params)
     param_bytes = sum(x.size * x.dtype.itemsize
                       for x in jax.tree.leaves(params))
     tgt = current_target()
@@ -134,7 +139,7 @@ def main() -> int:
     for B in batches:
         ids = jnp.asarray(np.random.default_rng(0).integers(
             0, cfg.vocab, (B, s0)), jnp.int32)
-        _, cache = _retry_transient(lambda: prefill(params, ids))
+        _, cache = _retry_transient(lambda: prefill(sparams, ids))
         tok = jnp.full((B,), 7, jnp.int32)
         per_tok = _tok_slope(step_n, params, cache, tok,
                              n_short, n_long, args.reps)
@@ -144,15 +149,24 @@ def main() -> int:
                     * cfg.kv_dim
                     * (2 if cfg.dtype == "bf16" else 4))
         bw = (param_bytes + kv_bytes) / per_tok / 1e9
-        results[f"decode_b{B}"] = {
+        row = {
             "tokens_per_s": round(tok_s, 1),
             "ms_per_token": round(per_tok * 1e3, 3),
             "effective_gbps": round(bw, 1),
             "pct_hbm_roof": round(100 * bw / tgt.hbm_gbps, 1),
         }
+        note = ""
+        if bw > tgt.hbm_gbps:
+            # the streaming roof assumes every byte re-reads from HBM
+            # each token; inside the decode scan XLA pins part of the
+            # weights in VMEM across iterations, so an effective rate
+            # above the roof means partial residency, not magic
+            row["regime"] = "partially VMEM-resident"
+            note = " (above streaming roof: partial VMEM residency)"
+        results[f"decode_b{B}"] = row
         print(f"decode b={B}: {tok_s:,.0f} tok/s "
               f"({per_tok * 1e3:.2f} ms/tok, {bw:.0f} GB/s = "
-              f"{100 * bw / tgt.hbm_gbps:.1f}% of HBM roof)")
+              f"{100 * bw / tgt.hbm_gbps:.1f}% of HBM roof{note})")
 
     # prefill rate: chain prompt ids through the output so scan iterations
     # stay dependent (same poisoning idea as runtime/perf._chain)
@@ -175,16 +189,16 @@ def main() -> int:
 
     pf_short, pf_long = (2, 6) if args.tiny else (2, 10)
     _retry_transient(
-        lambda: float(jnp.sum(prefill_n(params, ids, pf_short))))
+        lambda: float(jnp.sum(prefill_n(sparams, ids, pf_short))))
     _retry_transient(
-        lambda: float(jnp.sum(prefill_n(params, ids, pf_long))))
+        lambda: float(jnp.sum(prefill_n(sparams, ids, pf_long))))
     slopes = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        float(jnp.sum(prefill_n(params, ids, pf_short)))
+        float(jnp.sum(prefill_n(sparams, ids, pf_short)))
         t_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(jnp.sum(prefill_n(params, ids, pf_long)))
+        float(jnp.sum(prefill_n(sparams, ids, pf_long)))
         t_l = time.perf_counter() - t0
         slopes.append((t_l - t_s) / (pf_long - pf_short))
     slopes.sort()
