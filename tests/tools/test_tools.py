@@ -112,23 +112,30 @@ def test_cli_pipe_end_to_end(tmp_path):
     subprocess pipes (the reference's RUN-line usage)."""
     import subprocess
 
-    env = dict(os.environ)
+    # Hermetic children: drop the axon-tunnel trigger vars so sitecustomize
+    # skips TPU registration (a CLI pipe needs no accelerator; with the
+    # trigger present the child's register() can block minutes in a
+    # grant-retry loop against the shared relay and time the test out).
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+                        "_AXON_REGISTERED")}
+    env["JAX_PLATFORMS"] = "cpu"
     gen = subprocess.run(
         [sys.executable, "-m", "tpp_mlir_tpu.tools.mlir_gen",
          "--batch=8", "--layers=16,16", "--bias", "--relu", "--seed=5"],
-        capture_output=True, text=True, timeout=120)
+        capture_output=True, text=True, timeout=120, env=env)
     assert gen.returncode == 0
     opt = subprocess.run(
         [sys.executable, "-m", "tpp_mlir_tpu.tools.tpp_opt", "-",
          "--default-tpp-passes"],
-        input=gen.stdout, capture_output=True, text=True, timeout=120)
+        input=gen.stdout, capture_output=True, text=True, timeout=120, env=env)
     assert opt.returncode == 0 and "xsmm." in opt.stdout
     run = subprocess.run(
         [sys.executable, "-c",
          "import jax; jax.config.update('jax_platforms','cpu');"
          "from tpp_mlir_tpu.tools.tpp_run import main; import sys;"
          "sys.exit(main(['-', '--print', '--pipeline', 'cleanup']))"],
-        input=opt.stdout, capture_output=True, text=True, timeout=300)
+        input=opt.stdout, capture_output=True, text=True, timeout=300, env=env)
     assert run.returncode == 0, run.stderr[-1500:]
     floats = extract_floats(run.stdout)
     assert len(floats) == 8 * 16
