@@ -70,6 +70,11 @@ def main() -> int:
     p.add_argument("--kv-heads", type=int, default=0,
                    help="GQA: KV heads < query heads (0 = MHA); shrinks "
                         "the decode KV read by heads/kv_heads")
+    p.add_argument("--quant", choices=["int8"], default="",
+                   help="weight-only quantization: matmul weights + LM "
+                        "head stored int8 with per-out-channel scales "
+                        "(serving/quant.py) — halves the bf16 weight "
+                        "read that dominates decode")
     p.add_argument("--platform", default="")
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--json", default="")
@@ -111,6 +116,9 @@ def main() -> int:
     # attention dot (no dynamic_slice slab copy), measured 5-37% faster
     # per token. Two pytrees, 2x param memory — the serving trade.
     params = init_params(cfg, seed=0)
+    if args.quant:
+        from tpp_mlir_tpu.serving import quantize_params
+        params = quantize_params(params)
     sparams = stack_params(params)
     param_bytes = sum(x.size * x.dtype.itemsize
                       for x in jax.tree.leaves(params))
@@ -118,7 +126,8 @@ def main() -> int:
     results = {"config": {"embed": cfg.embed, "layers": cfg.layers,
                           "heads": cfg.heads, "vocab": cfg.vocab,
                           "dtype": cfg.dtype, "prompt": s0,
-                          "max_seq": cfg.max_seq},
+                          "max_seq": cfg.max_seq,
+                          "quant": args.quant or None},
                "param_bytes": param_bytes, "target": tgt.name}
 
     step = make_decode_step(cfg)

@@ -1,0 +1,187 @@
+"""Weight-only int8 serving tests (serving/quant.py).
+
+The sharp check everywhere: the QUANTIZED engine must match the
+FULL-PRECISION engine run on DEQUANTIZED params to float tolerance —
+per-out-column scales factor out of the contraction exactly, so the two
+computations differ only in f32 rounding order. Quantization ERROR
+(quantized vs original params) is checked separately with the
+round-to-nearest bound."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpp_mlir_tpu.serving import (GptConfig, QTensor, dequantize,
+                                  dequantize_params, init_params,
+                                  make_decode_step, make_generate,
+                                  make_prefill, make_tp_decode_step,
+                                  quantize, quantize_params,
+                                  quantized_bytes, stack_params)
+
+CFG = GptConfig(vocab=96, embed=64, heads=4, layers=2, mlp_ratio=4,
+                max_seq=24, dtype="f32")
+
+
+def test_quantize_roundtrip_error_bound():
+    w = jax.random.normal(jax.random.PRNGKey(0), (48, 96), jnp.float32)
+    qt = quantize(w)
+    assert qt.q.dtype == jnp.int8 and qt.q.shape == w.shape
+    assert qt.scale.shape == (1, 96)
+    err = np.abs(np.asarray(dequantize(qt)) - np.asarray(w))
+    # round-to-nearest: |err| <= scale/2 per element (per column)
+    bound = np.asarray(qt.scale)[0] / 2 + 1e-7
+    assert (err <= bound[None, :]).all()
+
+
+def test_quantize_zero_column_safe():
+    w = jnp.zeros((8, 16), jnp.float32)
+    qt = quantize(w)
+    assert np.asarray(dequantize(qt)).max() == 0.0
+    assert np.isfinite(np.asarray(qt.scale)).all()
+
+
+def test_quantized_bytes_shrink():
+    params = init_params(CFG, seed=0)
+    qparams = quantize_params(params)
+    full = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    assert quantized_bytes(qparams) < 0.45 * full  # f32 -> int8 on matmuls
+
+
+def test_quantized_prefill_matches_dequantized_reference():
+    params = init_params(CFG, seed=1)
+    qparams = quantize_params(params)
+    ids = jnp.asarray(np.random.default_rng(1).integers(
+        0, CFG.vocab, (2, 10)), jnp.int32)
+    prefill = make_prefill(CFG, use_pallas=False)
+    got, _ = prefill(qparams, ids)
+    want, _ = prefill(dequantize_params(qparams), ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_quantized_decode_teacher_forcing():
+    """Quantized prefill+decode chain == full-precision engine on the
+    dequantized params, token by token."""
+    params = init_params(CFG, seed=2)
+    qparams = quantize_params(params)
+    dparams = dequantize_params(qparams)
+    ids = np.random.default_rng(2).integers(
+        0, CFG.vocab, (2, 12)).astype(np.int32)
+    prefill = make_prefill(CFG, use_pallas=False)
+    step = make_decode_step(CFG)
+
+    S0 = 5
+    qlog, qcache = prefill(qparams, jnp.asarray(ids[:, :S0]))
+    dlog, dcache = prefill(dparams, jnp.asarray(ids[:, :S0]))
+    np.testing.assert_allclose(np.asarray(qlog), np.asarray(dlog),
+                               atol=1e-3, rtol=1e-3)
+    for t in range(S0, ids.shape[1]):
+        qlog, qcache = step(qparams, qcache, jnp.asarray(ids[:, t]))
+        dlog, dcache = step(dparams, dcache, jnp.asarray(ids[:, t]))
+        np.testing.assert_allclose(np.asarray(qlog), np.asarray(dlog),
+                                   atol=1e-3, rtol=1e-3)
+
+
+def test_quantization_error_small_vs_original():
+    """Loose end-to-end sanity: int8 per-channel on random-normal weights
+    perturbs logits by a small relative amount (it must not change the
+    distribution wholesale)."""
+    params = init_params(CFG, seed=3)
+    qparams = quantize_params(params)
+    ids = jnp.asarray(np.random.default_rng(3).integers(
+        0, CFG.vocab, (2, 8)), jnp.int32)
+    prefill = make_prefill(CFG, use_pallas=False)
+    got, _ = prefill(qparams, ids)
+    want, _ = prefill(params, ids)
+    g, w = np.asarray(got).ravel(), np.asarray(want).ravel()
+    cos = np.dot(g, w) / (np.linalg.norm(g) * np.linalg.norm(w))
+    assert cos > 0.999, cos
+    rel = np.linalg.norm(g - w) / np.linalg.norm(w)
+    assert rel < 0.05, rel
+
+
+def test_quantized_stacked_matches_unstacked():
+    """stack_params stacks QTensor leaves leaf-wise; the scan'd decode
+    body must reproduce the unstacked loop."""
+    params = init_params(CFG, seed=4)
+    qparams = quantize_params(params)
+    sq = stack_params(qparams)
+    blk = sq["blocks"]["wq"]
+    assert isinstance(blk, QTensor)
+    assert blk.q.shape == (CFG.layers, CFG.embed, CFG.embed)
+    assert blk.scale.shape == (CFG.layers, 1, CFG.embed)
+
+    ids = jnp.asarray(np.random.default_rng(4).integers(
+        0, CFG.vocab, (2, 7)), jnp.int32)
+    prefill = make_prefill(CFG, use_pallas=False)
+    lu, cu = prefill(qparams, ids)
+    ls, cs = prefill(sq, ids)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(lu),
+                               atol=1e-4, rtol=1e-4)
+    step = make_decode_step(CFG)
+    tok = jnp.asarray([5, 9], jnp.int32)
+    lu2, _ = step(qparams, cu, tok)
+    ls2, _ = step(sq, cs, tok)
+    np.testing.assert_allclose(np.asarray(ls2), np.asarray(lu2),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_quantized_tp_decode_matches_single_device():
+    """Megatron tp decode with QTensor params: int8 payloads shard like
+    the weights, scales shard with the out dim (column-parallel) or stay
+    replicated (row-parallel); each shard dequant-scales its local
+    partial before the psum."""
+    from tpp_mlir_tpu.parallel import make_mesh
+
+    params = init_params(CFG, seed=5)
+    qparams = quantize_params(params)
+    ids = np.random.default_rng(5).integers(
+        0, CFG.vocab, (2, 7)).astype(np.int32)
+    _, cache = make_prefill(CFG, use_pallas=False)(qparams,
+                                                   jnp.asarray(ids))
+    tok = jnp.asarray([3, 4], jnp.int32)
+    ref_logits, ref_cache = make_decode_step(CFG)(qparams, cache, tok)
+
+    mesh = make_mesh({"tp": 4})
+    tp_logits, tp_cache = make_tp_decode_step(
+        mesh, CFG, quantized=True)(qparams, cache, tok)
+    np.testing.assert_allclose(np.asarray(tp_logits),
+                               np.asarray(ref_logits),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tp_cache["k"]),
+                               np.asarray(ref_cache["k"]),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_quantized_generate_smoke():
+    params = init_params(CFG, seed=6)
+    qparams = stack_params(quantize_params(params, include_embed=True))
+    ids = jnp.asarray(np.random.default_rng(6).integers(
+        0, CFG.vocab, (2, 6)), jnp.int32)
+    toks = make_generate(CFG, 5, temperature=0.0, use_pallas=False)(
+        qparams, ids, jax.random.PRNGKey(0))
+    assert toks.shape == (2, 5)
+    t = np.asarray(toks)
+    assert ((t >= 0) & (t < CFG.vocab)).all()
+
+
+def test_quantized_gqa_decode():
+    """GQA + int8 compose: grouped decode attention over the un-repeated
+    cache with quantized projections."""
+    cfg = GptConfig(vocab=96, embed=64, heads=4, layers=2, mlp_ratio=2,
+                    max_seq=24, dtype="f32", kv_heads=2)
+    params = init_params(cfg, seed=7)
+    qparams = quantize_params(params)
+    dparams = dequantize_params(qparams)
+    ids = jnp.asarray(np.random.default_rng(7).integers(
+        0, cfg.vocab, (2, 6)), jnp.int32)
+    prefill = make_prefill(cfg, use_pallas=False)
+    _, qcache = prefill(qparams, ids)
+    _, dcache = prefill(dparams, ids)
+    step = make_decode_step(cfg)
+    tok = jnp.asarray([1, 2], jnp.int32)
+    qlog, _ = step(qparams, qcache, tok)
+    dlog, _ = step(dparams, dcache, tok)
+    np.testing.assert_allclose(np.asarray(qlog), np.asarray(dlog),
+                               atol=1e-3, rtol=1e-3)

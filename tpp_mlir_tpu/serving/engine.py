@@ -159,15 +159,19 @@ def stack_params(params):
     compiles ~L× less HLO (seconds instead of tens of minutes for the
     12-layer family through the remote-compile tunnel) at identical
     numerics. The scan carries x; per-layer KV cache slices ride the scan
-    xs/ys, which XLA writes in place into the preallocated output."""
+    xs/ys, which XLA writes in place into the preallocated output.
+
+    Stacking is leaf-wise over the block pytrees, so quantized blocks
+    (QTensor leaves, serving/quant.py) stack transparently: int8 q and
+    f32 scale each gain the leading L dim."""
+    import jax
     import jax.numpy as jnp
 
     blocks = params["blocks"]
     if isinstance(blocks, dict):        # already stacked
         return params
     out = dict(params)
-    out["blocks"] = {k: jnp.stack([b[k] for b in blocks])
-                     for k in blocks[0]}
+    out["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
     return out
 
 
@@ -183,13 +187,42 @@ def _ln(x, g, b, eps=1e-5):
             + b.astype(jnp.float32)).astype(x.dtype)
 
 
+def _mm(x, w):
+    """f32-accumulate contraction; a QTensor weight (weight-only int8,
+    serving/quant.py) contracts against its int8 payload cast to the
+    activation dtype — the s8->bf16 convert fuses into the dot's tiled
+    operand read, so HBM traffic is the int8 bytes — and dequant-scales
+    the RESULT (per-out-column scale factors out of the sum exactly)."""
+    import jax.numpy as jnp
+
+    from .quant import QTensor
+
+    if isinstance(w, QTensor):
+        return jnp.dot(x, w.q.astype(x.dtype),
+                       preferred_element_type=jnp.float32) * w.scale
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
 def _dot(x, w, b=None):
     import jax.numpy as jnp
 
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    y = _mm(x, w)
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def _gather(w, idx):
+    """Embedding-row gather that understands quantized (per-row scale)
+    tables; returns f32 rows."""
+    import jax.numpy as jnp
+
+    from .quant import QTensor
+
+    if isinstance(w, QTensor):
+        return (jnp.take(w.q, idx, axis=0).astype(jnp.float32)
+                * jnp.take(w.scale, idx, axis=0))
+    return jnp.take(w, idx, axis=0).astype(jnp.float32)
 
 
 def _attention_full(q, k, v, cfg: GptConfig, use_pallas: bool):
@@ -271,8 +304,9 @@ def make_prefill(cfg: GptConfig, use_pallas: bool | None = None):
 
     def prefill(params, ids):
         B, S0 = ids.shape
-        x = jnp.take(params["wte"], ids, axis=0) \
-            + params["wpe"][:S0].astype(params["wte"].dtype)
+        x = (_gather(params["wte"], ids)
+             + _gather(params["wpe"], jnp.arange(S0))
+             ).astype(_np_dtype(cfg.dtype))
         blocks = params["blocks"]
         if isinstance(blocks, dict):
             def layer(x, blk):
@@ -319,9 +353,9 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
         kv_local = h_local
     G = h_local // kv_local        # query heads per KV head (1 = MHA)
     pos = cache["pos"]
-    x = jnp.take(params["wte"], token, axis=0) \
-        + jnp.take(params["wpe"], pos, axis=0).astype(
-            params["wte"].dtype)           # (B, E)
+    x = (_gather(params["wte"], token)
+         + _gather(params["wpe"], pos)
+         ).astype(_np_dtype(cfg.dtype))    # (B, E)
     # the cache is updated with dynamic_update_slice on the FULL stacked
     # (L, B, S, H, D) arrays — the canonical in-place KV pattern: XLA
     # aliases the buffer (donation / scan carry) instead of rebuilding the
@@ -329,8 +363,11 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
     kcache, vcache = cache["k"], cache["v"]
 
     def row_parallel(a, w, b):
-        """Row-sharded GEMM: local contraction, psum over tp, bias once."""
-        y = jnp.dot(a, w, preferred_element_type=jnp.float32)
+        """Row-sharded GEMM: local contraction (QTensor-aware — each
+        shard dequant-scales its local partial, valid because the
+        per-out-column scale distributes over the psum), psum over tp,
+        bias once."""
+        y = _mm(a, w)
         if tp_axis is not None:
             y = jax.lax.psum(y, tp_axis)
         return (y + b.astype(jnp.float32)).astype(a.dtype)
@@ -436,38 +473,65 @@ def make_decode_step(cfg: GptConfig, donate: bool = False):
 
 
 def decode_param_specs(cfg: GptConfig, tp_axis: str = "tp",
-                       stacked: bool = False):
+                       stacked: bool = False, quantized: bool = False):
     """PartitionSpecs for tp decode: q/k/v and fc1 column-parallel (heads
     / fc1 columns on tp), out-proj and fc2 row-parallel; everything else
     replicated (same layout family as parallel/transformer.py). With
     stacked=True the block specs gain the leading (unsharded) layer dim
-    to match `stack_params` layouts."""
+    to match `stack_params` layouts. With quantized=True the matmul
+    weight specs are QTensor-structured (serving/quant.py): the int8
+    payload shards like the weight; the (1, out) scale shards with the
+    OUT dim for column-parallel weights and is replicated for
+    row-parallel ones (out unsharded there)."""
     from jax.sharding import PartitionSpec as P
+
+    from .quant import QTensor
+
+    def col(spec_in=None):
+        """Column-parallel weight (in, out) with out on tp."""
+        w = P(spec_in, tp_axis)
+        return QTensor(q=w, scale=P(None, tp_axis)) if quantized else w
+
+    def row():
+        """Row-parallel weight (in, out) with in on tp."""
+        w = P(tp_axis, None)
+        return QTensor(q=w, scale=P(None, None)) if quantized else w
 
     blk = {
         "ln1_g": P(), "ln1_b": P(),
-        "wq": P(None, tp_axis), "bq": P(tp_axis),
-        "wk": P(None, tp_axis), "bk": P(tp_axis),
-        "wv": P(None, tp_axis), "bv": P(tp_axis),
-        "wo": P(tp_axis, None), "bo": P(),
+        "wq": col(), "bq": P(tp_axis),
+        "wk": col(), "bk": P(tp_axis),
+        "wv": col(), "bv": P(tp_axis),
+        "wo": row(), "bo": P(),
         "ln2_g": P(), "ln2_b": P(),
-        "w1": P(None, tp_axis), "b1": P(tp_axis),
-        "w2": P(tp_axis, None), "b2": P(),
+        "w1": col(), "b1": P(tp_axis),
+        "w2": row(), "b2": P(),
     }
+
+    def _prepend_layer_dim(s):
+        return P(None, *s)
+
     if stacked:
-        blocks = {k: P(None, *s) if s else P() for k, s in blk.items()}
+        import jax
+
+        blocks = jax.tree.map(
+            _prepend_layer_dim, blk,
+            is_leaf=lambda x: isinstance(x, P))
     else:
         blocks = [dict(blk) for _ in range(cfg.layers)]
+    lm = P()
+    if quantized:
+        lm = QTensor(q=P(), scale=P())
     return {
         "wte": P(), "wpe": P(),
         "blocks": blocks,
         "lnf_g": P(), "lnf_b": P(),
-        "lm_head": P(),
+        "lm_head": lm,
     }
 
 
 def make_tp_decode_step(mesh, cfg: GptConfig, tp_axis: str = "tp",
-                        stacked: bool = False):
+                        stacked: bool = False, quantized: bool = False):
     """Tensor-parallel decode step over `mesh`: heads and the KV cache
     shard over tp (each device holds H/tp heads' cache — the KV cache is
     the serving memory bottleneck, so tp divides it), with one psum per
@@ -491,8 +555,8 @@ def make_tp_decode_step(mesh, cfg: GptConfig, tp_axis: str = "tp",
     cache_specs = decode_cache_specs(cfg, tp_axis)
     sharded = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(decode_param_specs(cfg, tp_axis, stacked), cache_specs,
-                  P()),
+        in_specs=(decode_param_specs(cfg, tp_axis, stacked, quantized),
+                  cache_specs, P()),
         out_specs=(P(), cache_specs),
         check_vma=False)
     return jax.jit(sharded)
