@@ -75,6 +75,10 @@ def main() -> int:
                         "head stored int8 with per-out-channel scales "
                         "(serving/quant.py) — halves the bf16 weight "
                         "read that dominates decode")
+    p.add_argument("--kv-quant", choices=["int8"], default="",
+                   help="int8 KV cache with per-(token, head) scales — "
+                        "halves the live-KV read that dominates decode "
+                        "at large batch")
     p.add_argument("--platform", default="")
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--json", default="")
@@ -99,13 +103,13 @@ def main() -> int:
     if args.tiny:
         cfg = GptConfig(vocab=128, embed=64, heads=4, layers=2,
                         mlp_ratio=2, max_seq=64, dtype="f32",
-                        kv_heads=kvh)
+                        kv_heads=kvh, kv_quant=args.kv_quant or None)
         s0, n_short, n_long = 16, 4, 12
         batches = (1, 2)
     else:
         cfg = GptConfig(vocab=50304, embed=768, heads=12, layers=12,
                         mlp_ratio=4, max_seq=640, dtype="bf16",
-                        kv_heads=kvh)
+                        kv_heads=kvh, kv_quant=args.kv_quant or None)
         s0, n_short, n_long = 512, 16, 112
         batches = (1, 8)
 
@@ -127,7 +131,8 @@ def main() -> int:
                           "heads": cfg.heads, "vocab": cfg.vocab,
                           "dtype": cfg.dtype, "prompt": s0,
                           "max_seq": cfg.max_seq,
-                          "quant": args.quant or None},
+                          "quant": args.quant or None,
+                          "kv_quant": args.kv_quant or None},
                "param_bytes": param_bytes, "target": tgt.name}
 
     step = make_decode_step(cfg)
@@ -154,9 +159,11 @@ def main() -> int:
                              n_short, n_long, args.reps)
         tok_s = B / per_tok
         # bytes a decode step must read: all weights + the live KV window
+        # (int8 cache: 1 payload byte + 4/head_dim scale bytes per elem)
+        kv_elem_bytes = (1 + 4 / cfg.head_dim) if cfg.kv_quant \
+            else (2 if cfg.dtype == "bf16" else 4)
         kv_bytes = (2 * cfg.layers * B * (s0 + (n_long + n_short) // 2)
-                    * cfg.kv_dim
-                    * (2 if cfg.dtype == "bf16" else 4))
+                    * cfg.kv_dim * kv_elem_bytes)
         bw = (param_bytes + kv_bytes) / per_tok / 1e9
         row = {
             "tokens_per_s": round(tok_s, 1),

@@ -166,6 +166,110 @@ def test_quantized_generate_smoke():
     assert ((t >= 0) & (t < CFG.vocab)).all()
 
 
+def test_quantize_tokens_error_bound():
+    from tpp_mlir_tpu.serving.quant import quantize_tokens
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 64), jnp.float32)
+    q, s = quantize_tokens(x)
+    assert q.dtype == jnp.int8 and s.shape == (2, 4)
+    deq = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+    err = np.abs(deq - np.asarray(x))
+    assert (err <= np.asarray(s)[..., None] / 2 + 1e-7).all()
+
+
+KVCFG = GptConfig(vocab=96, embed=64, heads=4, layers=2, mlp_ratio=4,
+                  max_seq=24, dtype="f32", kv_quant="int8")
+
+
+def test_kv_quant_cache_layout():
+    params = init_params(KVCFG, seed=8)
+    ids = jnp.asarray(np.random.default_rng(8).integers(
+        0, KVCFG.vocab, (2, 6)), jnp.int32)
+    _, cache = make_prefill(KVCFG, use_pallas=False)(params, ids)
+    assert cache["k"].dtype == jnp.int8
+    assert cache["k_s"].shape == (KVCFG.layers, 2, KVCFG.max_seq,
+                                  KVCFG.heads)
+    # written positions carry real scales; padding is zero
+    assert (np.asarray(cache["k_s"])[:, :, :6] > 0).all()
+    assert (np.asarray(cache["k_s"])[:, :, 6:] == 0).all()
+
+
+def test_kv_quant_decode_close_to_full_precision():
+    """int8 KV decode tracks the full-precision decode within the
+    quantization-noise budget, token by token (teacher forcing)."""
+    fcfg = GptConfig(vocab=96, embed=64, heads=4, layers=2, mlp_ratio=4,
+                     max_seq=24, dtype="f32")
+    params = init_params(fcfg, seed=9)
+    ids = np.random.default_rng(9).integers(
+        0, fcfg.vocab, (2, 12)).astype(np.int32)
+    S0 = 5
+    _, qcache = make_prefill(KVCFG, use_pallas=False)(
+        params, jnp.asarray(ids[:, :S0]))
+    _, fcache = make_prefill(fcfg, use_pallas=False)(
+        params, jnp.asarray(ids[:, :S0]))
+    qstep = make_decode_step(KVCFG)
+    fstep = make_decode_step(fcfg)
+    for t in range(S0, ids.shape[1]):
+        qlog, qcache = qstep(params, qcache, jnp.asarray(ids[:, t]))
+        flog, fcache = fstep(params, fcache, jnp.asarray(ids[:, t]))
+        g, w = np.asarray(qlog).ravel(), np.asarray(flog).ravel()
+        rel = np.linalg.norm(g - w) / np.linalg.norm(w)
+        assert rel < 0.05, (t, rel)
+
+
+def test_kv_quant_stacked_matches_unstacked():
+    params = init_params(KVCFG, seed=10)
+    sparams = stack_params(params)
+    ids = jnp.asarray(np.random.default_rng(10).integers(
+        0, KVCFG.vocab, (2, 7)), jnp.int32)
+    prefill = make_prefill(KVCFG, use_pallas=False)
+    _, cu = prefill(params, ids)
+    _, cs = prefill(sparams, ids)
+    step = make_decode_step(KVCFG)
+    tok = jnp.asarray([5, 9], jnp.int32)
+    lu, _ = step(params, cu, tok)
+    ls, _ = step(sparams, cs, tok)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(lu),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_kv_quant_tp_decode_matches_single_device():
+    """tp decode with an int8 cache: payload AND scale arrays shard the
+    KV-head dim; logits must match the single-device quantized step."""
+    from tpp_mlir_tpu.parallel import make_mesh
+
+    params = init_params(KVCFG, seed=11)
+    ids = np.random.default_rng(11).integers(
+        0, KVCFG.vocab, (2, 7)).astype(np.int32)
+    _, cache = make_prefill(KVCFG, use_pallas=False)(params,
+                                                     jnp.asarray(ids))
+    tok = jnp.asarray([3, 4], jnp.int32)
+    ref_logits, ref_cache = make_decode_step(KVCFG)(params, cache, tok)
+    mesh = make_mesh({"tp": 4})
+    tp_logits, tp_cache = make_tp_decode_step(mesh, KVCFG)(
+        params, cache, tok)
+    np.testing.assert_allclose(np.asarray(tp_logits),
+                               np.asarray(ref_logits),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tp_cache["k_s"]),
+                               np.asarray(ref_cache["k_s"]),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_kv_quant_composes_with_weight_quant_and_gqa():
+    """The full low-bit serving stack: int8 weights + int8 KV + GQA,
+    through generate."""
+    cfg = GptConfig(vocab=96, embed=64, heads=4, layers=2, mlp_ratio=2,
+                    max_seq=24, dtype="bf16", kv_heads=2, kv_quant="int8")
+    params = stack_params(quantize_params(init_params(cfg, seed=12)))
+    ids = jnp.asarray(np.random.default_rng(12).integers(
+        0, cfg.vocab, (2, 6)), jnp.int32)
+    toks = make_generate(cfg, 5, temperature=0.0, use_pallas=False)(
+        params, ids, jax.random.PRNGKey(0))
+    t = np.asarray(toks)
+    assert t.shape == (2, 5) and ((t >= 0) & (t < cfg.vocab)).all()
+
+
 def test_quantized_gqa_decode():
     """GQA + int8 compose: grouped decode attention over the un-repeated
     cache with quantized projections."""

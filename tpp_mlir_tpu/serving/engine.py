@@ -41,6 +41,7 @@ class GptConfig:
     max_seq: int = 1024
     dtype: str = "f32"   # compute/storage dtype: f32 | bf16
     kv_heads: int | None = None   # GQA: KV heads < query heads (None=MHA)
+    kv_quant: str | None = None   # "int8": per-(token, head) KV cache quant
 
     def __post_init__(self):
         if self.kv_heads is not None:
@@ -326,11 +327,24 @@ def make_prefill(cfg: GptConfig, use_pallas: bool | None = None):
         logits = _dot(x, params["lm_head"])
 
         pad = ((0, 0), (0, 0), (0, cfg.max_seq - S0), (0, 0), (0, 0))
-        cache = {
-            "k": jnp.pad(ks, pad),
-            "v": jnp.pad(vs, pad),
-            "pos": jnp.asarray(S0, jnp.int32),
-        }
+        cache = {"pos": jnp.asarray(S0, jnp.int32)}
+        if cfg.kv_quant == "int8":
+            # int8 KV cache: per-(token, head) scales over D ride as two
+            # extra (L, B, S, H) f32 arrays — 4 bytes next to D int8
+            # payload bytes. The decode attention reads int8 from HBM
+            # and folds the scales into the logits / softmax weights
+            # (see _decode_body), never materializing a dequant slab.
+            from .quant import quantize_tokens
+
+            kq, ksc = quantize_tokens(ks)
+            vq, vsc = quantize_tokens(vs)
+            cache["k"] = jnp.pad(kq, pad)
+            cache["v"] = jnp.pad(vq, pad)
+            cache["k_s"] = jnp.pad(ksc, pad[:4])
+            cache["v_s"] = jnp.pad(vsc, pad[:4])
+        else:
+            cache["k"] = jnp.pad(ks, pad)
+            cache["v"] = jnp.pad(vs, pad)
         return logits, cache
 
     return jax.jit(prefill)
@@ -360,7 +374,10 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
     # (L, B, S, H, D) arrays — the canonical in-place KV pattern: XLA
     # aliases the buffer (donation / scan carry) instead of rebuilding the
     # whole cache from per-layer slices each token
-    kcache, vcache = cache["k"], cache["v"]
+    kv = {key: val for key, val in cache.items() if key != "pos"}
+    quant_kv = cfg.kv_quant == "int8"
+    if quant_kv:
+        from .quant import quantize_tokens
 
     def row_parallel(a, w, b):
         """Row-sharded GEMM: local contraction (QTensor-aware — each
@@ -372,10 +389,10 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
             y = jax.lax.psum(y, tp_axis)
         return (y + b.astype(jnp.float32)).astype(a.dtype)
 
-    def layer(x, blk, kcache, vcache, li):
+    def layer(x, blk, kv, li):
         """One decode block: write (k, v) at (li, pos) into the FULL
         stacked cache, attend over layer li's slab, MLP. Returns
-        (x, kcache, vcache). Operating on the full carried arrays is what
+        (x, kv). Operating on the full carried arrays is what
         keeps the update in place: a DUS on a scan xs-slice whose result
         feeds both the attention dot and the scan ys was measured at
         4.06 ms/tok (b8, GPT-2 small) — XLA materializes and copies the
@@ -385,39 +402,71 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
         q = _dot(h, blk["wq"], blk["bq"]).reshape(B, h_local, D)
         k = _dot(h, blk["wk"], blk["bk"]).reshape(B, kv_local, D)
         v = _dot(h, blk["wv"], blk["bv"]).reshape(B, kv_local, D)
-        kcache = jax.lax.dynamic_update_slice(
-            kcache, k[None, :, None].astype(kcache.dtype),
+        kv = dict(kv)
+        if quant_kv:
+            # int8 KV: quantize the written token per (batch, head) and
+            # DUS payload + scale; dequant folds into the attention
+            # below (scales multiply the logits / softmax weights), so
+            # the slab reads from HBM at 1 byte per element.
+            k, ksc = quantize_tokens(k)
+            v, vsc = quantize_tokens(v)
+            kv["k_s"] = jax.lax.dynamic_update_slice(
+                kv["k_s"], ksc[None, :, None], (li, 0, pos, 0))
+            kv["v_s"] = jax.lax.dynamic_update_slice(
+                kv["v_s"], vsc[None, :, None], (li, 0, pos, 0))
+        kv["k"] = jax.lax.dynamic_update_slice(
+            kv["k"], k[None, :, None].astype(kv["k"].dtype),
             (li, 0, pos, 0, 0))
-        vcache = jax.lax.dynamic_update_slice(
-            vcache, v[None, :, None].astype(vcache.dtype),
+        kv["v"] = jax.lax.dynamic_update_slice(
+            kv["v"], v[None, :, None].astype(kv["v"].dtype),
             (li, 0, pos, 0, 0))
-        slab = (1,) + kcache.shape[1:]
+        slab = (1,) + kv["k"].shape[1:]
         kc = jax.lax.dynamic_slice(
-            kcache, (li, 0, 0, 0, 0), slab)[0]
+            kv["k"], (li, 0, 0, 0, 0), slab)[0]
         vc = jax.lax.dynamic_slice(
-            vcache, (li, 0, 0, 0, 0), slab)[0]
+            kv["v"], (li, 0, 0, 0, 0), slab)[0]
+        if quant_kv:
+            sslab = (1,) + kv["k_s"].shape[1:]
+            ksc_l = jax.lax.dynamic_slice(
+                kv["k_s"], (li, 0, 0, 0), sslab)[0]   # (B, S, kv_local)
+            vsc_l = jax.lax.dynamic_slice(
+                kv["v_s"], (li, 0, 0, 0), sslab)[0]
         # composed decode attention: M=1 matvec over the cache —
         # HBM-bandwidth-bound, XLA's job (module docstring). Cache
         # operands stay in their storage dtype with f32 ACCUMULATION
-        # (preferred_element_type) so no full-slab f32 casts materialize.
+        # (preferred_element_type) so no full-slab f32 casts materialize;
+        # an int8 cache contracts cast to the activation dtype (the
+        # convert fuses into the matvec's tiled operand read).
+        ct = x.dtype if quant_kv else kc.dtype
         live = jnp.arange(cfg.max_seq) <= pos
         if G == 1:
-            s = jnp.einsum("bhd,bshd->bhs", q.astype(kc.dtype), kc,
+            s = jnp.einsum("bhd,bshd->bhs", q.astype(ct), kc.astype(ct),
                            preferred_element_type=jnp.float32) * scale
+            if quant_kv:
+                s = s * jnp.transpose(ksc_l, (0, 2, 1))
             s = jnp.where(live[None, None], s, -1e30)
             p = jax.nn.softmax(s, axis=-1)
-            a = jnp.einsum("bhs,bshd->bhd", p.astype(vc.dtype), vc,
+            if quant_kv:
+                # fold V's per-token scales into the softmax weights:
+                # sum_s p_s (v_q[s] * vs_s) == sum_s (p_s * vs_s) v_q[s]
+                p = p * jnp.transpose(vsc_l, (0, 2, 1))
+            a = jnp.einsum("bhs,bshd->bhd", p.astype(ct), vc.astype(ct),
                            preferred_element_type=jnp.float32)
         else:
             # GQA: query heads grouped per KV head (q head h -> kv head
             # h // G), attending over the UN-repeated cache — the KV
             # read, decode's dominant traffic, shrinks by G
             qg = q.reshape(B, kv_local, G, D)
-            s = jnp.einsum("bkgd,bskd->bkgs", qg.astype(kc.dtype), kc,
+            s = jnp.einsum("bkgd,bskd->bkgs", qg.astype(ct),
+                           kc.astype(ct),
                            preferred_element_type=jnp.float32) * scale
+            if quant_kv:
+                s = s * jnp.transpose(ksc_l, (0, 2, 1))[:, :, None]
             s = jnp.where(live[None, None, None], s, -1e30)
             p = jax.nn.softmax(s, axis=-1)
-            a = jnp.einsum("bkgs,bskd->bkgd", p.astype(vc.dtype), vc,
+            if quant_kv:
+                p = p * jnp.transpose(vsc_l, (0, 2, 1))[:, :, None]
+            a = jnp.einsum("bkgs,bskd->bkgd", p.astype(ct), vc.astype(ct),
                            preferred_element_type=jnp.float32)
         a = a.reshape(B, h_local * D).astype(x.dtype)
         x = x + row_parallel(a, blk["wo"], blk["bo"])
@@ -426,7 +475,7 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
         h = jax.nn.gelu(h.astype(jnp.float32),
                         approximate=False).astype(x.dtype)
         x = x + row_parallel(h, blk["w2"], blk["b2"])
-        return x, kcache, vcache
+        return x, kv
 
     blocks = params["blocks"]
     if isinstance(blocks, dict):
@@ -436,20 +485,21 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
         # 3.5x faster than threading per-layer slices through xs/ys
         # (exp_decode_carry.py / exp_decode_bisect.py).
         def body(carry, inp):
-            x, kcache, vcache = carry
+            x, kv = carry
             blk, li = inp
-            x, kcache, vcache = layer(x, blk, kcache, vcache, li)
-            return (x, kcache, vcache), None
+            x, kv = layer(x, blk, kv, li)
+            return (x, kv), None
 
-        L = kcache.shape[0]
-        (x, kcache, vcache), _ = jax.lax.scan(
-            body, (x, kcache, vcache), (blocks, jnp.arange(L)))
+        L = kv["k"].shape[0]
+        (x, kv), _ = jax.lax.scan(
+            body, (x, kv), (blocks, jnp.arange(L)))
     else:
         for li, blk in enumerate(blocks):
-            x, kcache, vcache = layer(x, blk, kcache, vcache, li)
+            x, kv = layer(x, blk, kv, li)
     x = _ln(x, params["lnf_g"], params["lnf_b"])
     logits = _dot(x, params["lm_head"])
-    cache = {"k": kcache, "v": vcache, "pos": pos + 1}
+    cache = dict(kv)
+    cache["pos"] = pos + 1
     return logits, cache
 
 
@@ -564,11 +614,16 @@ def make_tp_decode_step(mesh, cfg: GptConfig, tp_axis: str = "tp",
 
 def decode_cache_specs(cfg: GptConfig, tp_axis: str = "tp"):
     """KV cache (L, B, max_seq, kv_h, D) shards the KV-heads dim over
-    tp."""
+    tp; an int8-quantized cache's (L, B, max_seq, kv_h) scale arrays
+    shard the same head dim."""
     from jax.sharding import PartitionSpec as P
 
     kv = P(None, None, None, tp_axis, None)
-    return {"k": kv, "v": kv, "pos": P()}
+    specs = {"k": kv, "v": kv, "pos": P()}
+    if cfg.kv_quant == "int8":
+        specs["k_s"] = P(None, None, None, tp_axis)
+        specs["v_s"] = P(None, None, None, tp_axis)
+    return specs
 
 
 def make_sampler(temperature: float = 0.0, top_k: int = 0,

@@ -114,6 +114,20 @@ def dequantize_params(params):
                         is_leaf=lambda x: isinstance(x, QTensor))
 
 
+def quantize_tokens(x, axis: int = -1):
+    """Per-token symmetric int8 over ``axis`` (default: the trailing
+    head_dim) — the KV-cache form: each written (token, head) vector gets
+    its own scale, so cache error tracks the token's own magnitude.
+    Returns (q int8 with x's shape, scale f32 with ``axis`` dropped)."""
+    import jax.numpy as jnp
+
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=axis)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.round(xf / jnp.expand_dims(scale, axis)).astype(jnp.int8)
+    return q, scale
+
+
 def quantized_bytes(params):
     """Total parameter bytes as stored (int8 leaves count 1 byte) — the
     decode bandwidth denominator."""
