@@ -1,0 +1,79 @@
+"""Speculative decoding tests: the headline property is EXACTNESS —
+greedy speculative output must equal the target model's own greedy
+continuation regardless of the draft (the draft only changes speed)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpp_mlir_tpu.serving import (GptConfig, init_params, make_generate,
+                                  make_speculative_generate,
+                                  quantize_params, stack_params)
+
+TCFG = GptConfig(vocab=96, embed=64, heads=4, layers=3, mlp_ratio=4,
+                 max_seq=48, dtype="f32")
+DCFG = GptConfig(vocab=96, embed=32, heads=2, layers=1, mlp_ratio=2,
+                 max_seq=48, dtype="f32")
+
+STEPS = 10
+
+
+def _prompt(seed, t=6):
+    return jnp.asarray(np.random.default_rng(seed).integers(
+        0, TCFG.vocab, (1, t)), jnp.int32)
+
+
+def test_speculative_equals_target_greedy():
+    """An unrelated random draft model: acceptance will be poor, output
+    must STILL be exactly the target greedy stream."""
+    params = init_params(TCFG, seed=0)
+    draft = init_params(DCFG, seed=99)
+    ids = _prompt(0)
+    want = make_generate(TCFG, STEPS, temperature=0.0, use_pallas=False)(
+        params, ids, jax.random.PRNGKey(0))
+    got, stats = make_speculative_generate(
+        TCFG, DCFG, STEPS, k=3, use_pallas=False)(params, draft, ids)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert int(stats["accepted"]) <= int(stats["drafted"])
+    assert int(stats["macro_steps"]) >= 1
+
+
+def test_speculative_self_draft_accepts_everything():
+    """Draft == target: every proposal matches the target argmax, so
+    every macro step emits k+1 tokens and acceptance is 100%."""
+    params = init_params(TCFG, seed=1)
+    ids = _prompt(1)
+    k = 4
+    got, stats = make_speculative_generate(
+        TCFG, TCFG, STEPS, k=k, use_pallas=False)(params, params, ids)
+    want = make_generate(TCFG, STEPS, temperature=0.0, use_pallas=False)(
+        params, ids, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert int(stats["accepted"]) == int(stats["drafted"])
+
+
+def test_speculative_with_quantized_draft():
+    """The production combo: full-precision target, int8 draft — still
+    exactly the target's greedy output."""
+    params = init_params(TCFG, seed=2)
+    draft = stack_params(quantize_params(init_params(DCFG, seed=3)))
+    ids = _prompt(2)
+    want = make_generate(TCFG, STEPS, temperature=0.0, use_pallas=False)(
+        params, ids, jax.random.PRNGKey(0))
+    got, _ = make_speculative_generate(
+        TCFG, DCFG, STEPS, k=3, use_pallas=False)(params, draft, ids)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_speculative_prompt_budget_guard():
+    params = init_params(TCFG, seed=4)
+    draft = init_params(DCFG, seed=5)
+    gen = make_speculative_generate(TCFG, DCFG, steps=40, k=4,
+                                    use_pallas=False)
+    try:
+        gen(params, draft, _prompt(4, t=8))
+    except AssertionError as e:
+        assert "max_seq" in str(e)
+    else:
+        raise AssertionError("expected the max_seq budget assert")

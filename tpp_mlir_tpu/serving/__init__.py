@@ -4,15 +4,18 @@ quant.py for weight-only int8 (decode is bandwidth-bound — int8 weights
 halve the dominant HBM read)."""
 
 from .engine import (GptConfig, decode_cache_specs, decode_param_specs,
-                     init_params, make_decode_step, make_generate,
-                     make_prefill, make_sampler, make_tp_decode_step,
-                     params_from_torch, stack_params)
+                     init_params, make_decode_step, make_extend,
+                     make_generate, make_prefill, make_sampler,
+                     make_tp_decode_step, params_from_torch, stack_params)
 from .quant import (QTensor, dequantize, dequantize_params, quantize,
                     quantize_params, quantized_bytes)
+from .speculative import make_speculative_generate
 
 __all__ = ["GptConfig", "init_params", "params_from_torch",
-           "make_prefill", "make_decode_step", "make_generate",
+           "make_prefill", "make_decode_step", "make_extend",
+           "make_generate",
            "make_sampler", "make_tp_decode_step", "decode_param_specs",
            "decode_cache_specs", "stack_params",
            "QTensor", "quantize", "dequantize", "quantize_params",
-           "dequantize_params", "quantized_bytes"]
+           "dequantize_params", "quantized_bytes",
+           "make_speculative_generate"]

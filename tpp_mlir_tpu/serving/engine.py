@@ -522,6 +522,158 @@ def make_decode_step(cfg: GptConfig, donate: bool = False):
     return jax.jit(step, donate_argnums=(1,) if donate else ())
 
 
+def _gather_window(w, pos, T):
+    """Rows [pos, pos+T) of an embedding table (dynamic start, static
+    length) — QTensor-aware; returns f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from .quant import QTensor
+
+    if isinstance(w, QTensor):
+        q = jax.lax.dynamic_slice(w.q, (pos, 0), (T, w.q.shape[1]))
+        s = jax.lax.dynamic_slice(w.scale, (pos, 0), (T, 1))
+        return q.astype(jnp.float32) * s
+    return jax.lax.dynamic_slice(
+        w, (pos, 0), (T, w.shape[1])).astype(jnp.float32)
+
+
+def make_extend(cfg: GptConfig, donate: bool = False):
+    """Return jitted `extend(params, cache, tokens) -> (logits, cache)`:
+    the MULTI-token decode — append T tokens at positions
+    [pos, pos+T), attend each over the cache plus its causal prefix of
+    the chunk, and return logits for all T positions.
+
+    This is the serving primitive the single-token step can't express:
+    - chunked prefill (continuous batching ingests long prompts in
+      fixed-T chunks against a warm cache, one compile per chunk size);
+    - speculative-decoding verification (score K drafted tokens in ONE
+      pass — the weights are read once per K tokens instead of once per
+      token, which is the whole win in the bandwidth-bound regime; see
+      serving/speculative.py).
+
+    T is static (one compiled program per chunk size). Composes with
+    GQA, weight-only int8 (QTensor params) and the int8 KV cache.
+    Kept separate from `_decode_body`: the T=1 path's einsum forms and
+    carry layout are the measured-fastest decode (PERF.md serving) and
+    stay byte-identical; extend generalizes the same design to T>1
+    (the chunk dimension joins the query side of the attention)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .quant import quantize_tokens
+
+    H, D = cfg.heads, cfg.head_dim
+    KVH = cfg.kv_h
+    G = H // KVH
+    scale = D ** -0.5
+    quant_kv = cfg.kv_quant == "int8"
+
+    def extend(params, cache, tokens):
+        B, T = tokens.shape
+        pos = cache["pos"]
+        x = (_gather(params["wte"], tokens)
+             + _gather_window(params["wpe"], pos, T)[None]
+             ).astype(_np_dtype(cfg.dtype))        # (B, T, E)
+        kv = {key: val for key, val in cache.items() if key != "pos"}
+
+        def layer(x, blk, kv, li):
+            h = _ln(x, blk["ln1_g"], blk["ln1_b"])
+            q = _dot(h, blk["wq"], blk["bq"]).reshape(B, T, H, D)
+            k = _dot(h, blk["wk"], blk["bk"]).reshape(B, T, KVH, D)
+            v = _dot(h, blk["wv"], blk["bv"]).reshape(B, T, KVH, D)
+            kv = dict(kv)
+            if quant_kv:
+                k, ksc = quantize_tokens(k)
+                v, vsc = quantize_tokens(v)
+                kv["k_s"] = jax.lax.dynamic_update_slice(
+                    kv["k_s"], ksc[None], (li, 0, pos, 0))
+                kv["v_s"] = jax.lax.dynamic_update_slice(
+                    kv["v_s"], vsc[None], (li, 0, pos, 0))
+            kv["k"] = jax.lax.dynamic_update_slice(
+                kv["k"], k[None].astype(kv["k"].dtype), (li, 0, pos, 0, 0))
+            kv["v"] = jax.lax.dynamic_update_slice(
+                kv["v"], v[None].astype(kv["v"].dtype), (li, 0, pos, 0, 0))
+            slab = (1,) + kv["k"].shape[1:]
+            kc = jax.lax.dynamic_slice(
+                kv["k"], (li, 0, 0, 0, 0), slab)[0]
+            vc = jax.lax.dynamic_slice(
+                kv["v"], (li, 0, 0, 0, 0), slab)[0]
+            ct = x.dtype if quant_kv else kc.dtype
+            # query i sits at position pos+i: keys <= pos+i are live
+            allow = (jnp.arange(cfg.max_seq)[None]
+                     <= pos + jnp.arange(T)[:, None])          # (T, S)
+            if G == 1:
+                s = jnp.einsum("bthd,bshd->bhts", q.astype(ct),
+                               kc.astype(ct),
+                               preferred_element_type=jnp.float32) * scale
+                if quant_kv:
+                    sslab = (1,) + kv["k_s"].shape[1:]
+                    ksc_l = jax.lax.dynamic_slice(
+                        kv["k_s"], (li, 0, 0, 0), sslab)[0]    # (B, S, H)
+                    s = s * jnp.transpose(ksc_l, (0, 2, 1))[:, :, None]
+                s = jnp.where(allow[None, None], s, -1e30)
+                p = jax.nn.softmax(s, axis=-1)
+                if quant_kv:
+                    vsc_l = jax.lax.dynamic_slice(
+                        kv["v_s"], (li, 0, 0, 0), sslab)[0]
+                    p = p * jnp.transpose(vsc_l, (0, 2, 1))[:, :, None]
+                a = jnp.einsum("bhts,bshd->bthd", p.astype(ct),
+                               vc.astype(ct),
+                               preferred_element_type=jnp.float32)
+            else:
+                qg = q.reshape(B, T, KVH, G, D)
+                s = jnp.einsum("btkgd,bskd->bkgts", qg.astype(ct),
+                               kc.astype(ct),
+                               preferred_element_type=jnp.float32) * scale
+                if quant_kv:
+                    sslab = (1,) + kv["k_s"].shape[1:]
+                    ksc_l = jax.lax.dynamic_slice(
+                        kv["k_s"], (li, 0, 0, 0), sslab)[0]    # (B, S, KVH)
+                    s = s * jnp.transpose(
+                        ksc_l, (0, 2, 1))[:, :, None, None]
+                s = jnp.where(allow[None, None, None], s, -1e30)
+                p = jax.nn.softmax(s, axis=-1)
+                if quant_kv:
+                    vsc_l = jax.lax.dynamic_slice(
+                        kv["v_s"], (li, 0, 0, 0), sslab)[0]
+                    p = p * jnp.transpose(
+                        vsc_l, (0, 2, 1))[:, :, None, None]
+                a = jnp.einsum("bkgts,bskd->btkgd", p.astype(ct),
+                               vc.astype(ct),
+                               preferred_element_type=jnp.float32)
+            a = a.reshape(B, T, H * D).astype(x.dtype)
+            x = x + _dot(a, blk["wo"], blk["bo"])
+            h = _ln(x, blk["ln2_g"], blk["ln2_b"])
+            h = _dot(h, blk["w1"], blk["b1"])
+            h = jax.nn.gelu(h.astype(jnp.float32),
+                            approximate=False).astype(x.dtype)
+            x = x + _dot(h, blk["w2"], blk["b2"])
+            return x, kv
+
+        blocks = params["blocks"]
+        if isinstance(blocks, dict):
+            def body(carry, inp):
+                x, kv = carry
+                blk, li = inp
+                x, kv = layer(x, blk, kv, li)
+                return (x, kv), None
+
+            L = kv["k"].shape[0]
+            (x, kv), _ = jax.lax.scan(
+                body, (x, kv), (blocks, jnp.arange(L)))
+        else:
+            for li, blk in enumerate(blocks):
+                x, kv = layer(x, blk, kv, li)
+        x = _ln(x, params["lnf_g"], params["lnf_b"])
+        logits = _dot(x, params["lm_head"])
+        cache = dict(kv)
+        cache["pos"] = pos + T
+        return logits, cache
+
+    return jax.jit(extend, donate_argnums=(1,) if donate else ())
+
+
 def decode_param_specs(cfg: GptConfig, tp_axis: str = "tp",
                        stacked: bool = False, quantized: bool = False):
     """PartitionSpecs for tp decode: q/k/v and fc1 column-parallel (heads

@@ -1,0 +1,132 @@
+"""Speculative decoding: draft-model proposal + single-pass target
+verification (greedy — provably EXACT vs the target's own greedy output).
+
+Decode is HBM-bandwidth-bound: every single-token step re-reads all
+target weights (PERF.md "serving"). Speculative decoding turns that
+around: a small DRAFT model proposes K tokens with K cheap steps, then
+the TARGET scores all K+1 positions in ONE `make_extend` pass — one
+target-weight read per ~(accepted+1) tokens instead of per token. With
+greedy acceptance (accept while target argmax == draft token, then take
+the target's own argmax at the first mismatch) the emitted stream is
+IDENTICAL to target-only greedy decoding, so the technique is pure
+latency win — acceptance rate only changes the speed, never the output.
+
+TPU-native shape discipline:
+- The macro step is ONE jitted program: a `lax.scan` of K draft steps,
+  one target extend of static width K+1, and the accept/emit logic in
+  vectorized lax ops (cumprod-of-matches acceptance count) — no
+  data-dependent shapes anywhere.
+- The generate loop is a `lax.while_loop` carrying both KV caches, an
+  output buffer written with dynamic_update_slice at a token cursor
+  (over-written speculative tails are overwritten by the next macro
+  step), and acceptance counters.
+- Rejected speculative cache entries are NOT rolled back: positions
+  beyond `pos` are dead by the position mask and the next macro step
+  overwrites them — the same static-shape argument as the decode cache.
+
+Batch is restricted to B=1: acceptance length is data-dependent PER
+SEQUENCE, and the engine's cache keeps one scalar `pos` (the right
+trade for the latency regime speculative decoding targets).
+
+The reference framework has no serving loop at all (SURVEY.md §2); this
+composes the extend primitive with the measured decode path.
+"""
+
+from __future__ import annotations
+
+from .engine import GptConfig, make_decode_step, make_extend, make_prefill
+
+
+def make_speculative_generate(cfg: GptConfig, draft_cfg: GptConfig,
+                              steps: int, k: int = 4,
+                              use_pallas: bool | None = None):
+    """Return jitted `generate(params, draft_params, ids) ->
+    (tokens (1, steps), stats)` emitting exactly the target's greedy
+    continuation. `stats` = {"macro_steps", "drafted", "accepted"}
+    (device scalars; acceptance rate = accepted / drafted).
+
+    Requires ids.shape[1] + steps + k + 1 <= cfg.max_seq (the verify
+    pass writes k+1 speculative cache rows past the frontier; the
+    static-shape cache must hold them)."""
+    import jax
+    import jax.numpy as jnp
+
+    assert cfg.vocab == draft_cfg.vocab, "draft must share the vocab"
+    assert cfg.max_seq == draft_cfg.max_seq, \
+        "draft cache must cover the same positions"
+
+    prefill_t = make_prefill(cfg, use_pallas)
+    prefill_d = make_prefill(draft_cfg, use_pallas)
+    draft_step = make_decode_step(draft_cfg)
+    verify = make_extend(cfg)
+
+    def macro(params, draft_params, tcache, dcache, tok):
+        """One speculative round. tok: (1,) the current frontier token
+        (sits at position pos, not yet scored). Returns updated caches,
+        emit (k+1,) tokens of which `count` are valid, and count."""
+        pos = tcache["pos"]
+
+        def dstep(carry, _):
+            dcache, t = carry
+            logits, dcache = draft_step(draft_params, dcache, t)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (dcache, nxt), nxt[0]
+
+        (dcache, _), drafts = jax.lax.scan(
+            dstep, (dcache, tok), None, length=k)          # drafts (k,)
+
+        u = jnp.concatenate([tok, drafts])[None]           # (1, k+1)
+        logits, tcache = verify(params, tcache, u)         # (1, k+1, V)
+        t = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # (k+1,)
+
+        # accept the longest prefix where the draft equals the target's
+        # own greedy choice; cumprod turns the match mask into a prefix
+        n = jnp.sum(jnp.cumprod((drafts == t[:k]).astype(jnp.int32)))
+        # emit drafts[:n] then the target's token at the first mismatch
+        # (or the bonus token when all k were accepted)
+        emit = jnp.where(jnp.arange(k + 1) < n,
+                         jnp.concatenate([drafts, drafts[-1:]]), t)
+        count = n + 1
+        newpos = pos + count
+        tcache = dict(tcache)
+        dcache = dict(dcache)
+        tcache["pos"] = newpos
+        dcache["pos"] = newpos
+        return tcache, dcache, emit, count
+
+    def generate(params, draft_params, ids):
+        B, s0 = ids.shape
+        assert B == 1, "speculative decoding serves the B=1 latency path"
+        assert s0 + steps + k + 1 <= cfg.max_seq, \
+            f"prompt {s0} + steps {steps} + k+1 {k + 1} exceeds " \
+            f"max_seq {cfg.max_seq}"
+        logits, tcache = prefill_t(params, ids)
+        _, dcache = prefill_d(draft_params, ids)
+        tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+        buf = jnp.zeros((steps + k + 1,), jnp.int32)
+        buf = buf.at[0].set(tok0[0])
+
+        def cond(carry):
+            _, _, _, _, cursor, _, _ = carry
+            return cursor < steps
+
+        def body(carry):
+            tcache, dcache, tok, buf, cursor, macros, accepted = carry
+            tcache, dcache, emit, count = macro(
+                params, draft_params, tcache, dcache, tok)
+            buf = jax.lax.dynamic_update_slice(buf, emit, (cursor,))
+            tok = emit[count - 1][None]
+            return (tcache, dcache, tok, buf, cursor + count,
+                    macros + 1, accepted + count - 1)
+
+        carry = (tcache, dcache, tok0, buf,
+                 jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
+                 jnp.asarray(0, jnp.int32))
+        _, _, _, buf, _, macros, accepted = jax.lax.while_loop(
+            cond, body, carry)
+        stats = {"macro_steps": macros, "drafted": macros * k,
+                 "accepted": accepted}
+        return buf[None, :steps], stats
+
+    return jax.jit(generate)
