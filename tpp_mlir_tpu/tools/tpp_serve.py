@@ -39,6 +39,18 @@ def main(argv=None) -> int:
     p.add_argument("--top-p", type=float, default=0.0,
                    help="nucleus sampling: smallest mass >= p")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quant", choices=["int8"], default="",
+                   help="weight-only int8 (matmul weights + LM head, "
+                        "per-out-channel scales)")
+    p.add_argument("--kv-quant", choices=["int8"], default="",
+                   help="int8 KV cache with per-(token, head) scales")
+    p.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="speculative decoding: draft K tokens per round "
+                        "with a small draft model, verify in one target "
+                        "pass (greedy; exact vs target greedy)")
+    p.add_argument("--draft-layers", type=int, default=2,
+                   help="layer count of the synthetic draft model "
+                        "(with --speculative)")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel decode over a tp-way mesh")
     p.add_argument("--platform", default="",
@@ -66,22 +78,54 @@ def main(argv=None) -> int:
     cfg = GptConfig(vocab=args.vocab, embed=args.embed, heads=args.heads,
                     layers=args.layers, mlp_ratio=args.mlp_ratio,
                     max_seq=args.max_seq, dtype=args.dtype,
-                    kv_heads=args.kv_heads or None)
-    if args.prompt_len + args.steps > cfg.max_seq:
-        print(f"prompt+steps ({args.prompt_len}+{args.steps}) exceeds "
-              f"--max-seq {cfg.max_seq}", file=sys.stderr)
+                    kv_heads=args.kv_heads or None,
+                    kv_quant=args.kv_quant or None)
+    spec_slack = (args.speculative + 1) if args.speculative else 0
+    if args.prompt_len + args.steps + spec_slack > cfg.max_seq:
+        print(f"prompt+steps ({args.prompt_len}+{args.steps}"
+              f"{f'+{spec_slack} speculative slack' if spec_slack else ''})"
+              f" exceeds --max-seq {cfg.max_seq}", file=sys.stderr)
         return 2
     # stacked layers run under one lax.scan: ~L x smaller HLO, which keeps
     # deep models inside the remote-compile tunnel's request size limit
     params = stack_params(init_params(cfg, seed=args.seed))
+    if args.quant:
+        from tpp_mlir_tpu.serving import quantize_params
+
+        params = quantize_params(params)
     ids = jnp.asarray(np.random.default_rng(args.seed).integers(
         0, cfg.vocab, (args.batch, args.prompt_len)), jnp.int32)
 
-    if args.tp:
+    if args.speculative:
+        from tpp_mlir_tpu.serving import make_speculative_generate
+
+        if args.batch != 1:
+            print("--speculative serves the B=1 latency path",
+                  file=sys.stderr)
+            return 2
+        dcfg = GptConfig(vocab=cfg.vocab, embed=cfg.embed, heads=cfg.heads,
+                         layers=args.draft_layers, mlp_ratio=cfg.mlp_ratio,
+                         max_seq=cfg.max_seq, dtype=cfg.dtype,
+                         kv_heads=cfg.kv_heads, kv_quant=cfg.kv_quant)
+        draft = stack_params(init_params(dcfg, seed=args.seed + 1))
+        gen = make_speculative_generate(cfg, dcfg, args.steps,
+                                        k=args.speculative)
+        t0 = time.perf_counter()
+        out, stats = gen(params, draft, ids)
+        out = np.asarray(out)
+        dt = time.perf_counter() - t0
+        acc = int(stats["accepted"])
+        drafted = int(stats["drafted"])
+        print(f"# speculative K={args.speculative}: {args.steps} tokens in "
+              f"{dt:.2f}s incl. compile; {int(stats['macro_steps'])} "
+              f"rounds, acceptance {acc}/{drafted} "
+              f"({100 * acc / max(drafted, 1):.0f}%)")
+    elif args.tp:
         from tpp_mlir_tpu.parallel import make_mesh
 
         mesh = make_mesh({"tp": args.tp})
-        step = make_tp_decode_step(mesh, cfg, stacked=True)
+        step = make_tp_decode_step(mesh, cfg, stacked=True,
+                                   quantized=bool(args.quant))
         _, cache = make_prefill(cfg, use_pallas=False)(params, ids)
         tok = jnp.full((args.batch,), 1, jnp.int32)
         toks = []
