@@ -50,3 +50,41 @@ if cfg.heads % tp == 0 and tp > 1:
     print(f"tp={tp} decode matches:",
           bool(jnp.allclose(tp_logits, step(params, cache, tok)[0],
                             atol=1e-4)))
+
+# --- weight-only int8 + int8 KV cache: the low-bit serving stack ---
+# decode re-reads all weights + the live KV window per token (HBM-bound),
+# so int8 storage is ~2x tokens/s at the same logits +- quantization noise
+from tpp_mlir_tpu.serving import quantize_params, quantized_bytes
+
+qcfg = GptConfig(vocab=512, embed=256, heads=4, layers=4, mlp_ratio=4,
+                 max_seq=128, dtype="f32", kv_quant="int8")
+qparams = quantize_params(params)          # QTensor pytree leaves
+full = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+print(f"int8 params: {quantized_bytes(qparams):,} bytes "
+      f"(full {full:,})")
+qlogits, qcache = make_prefill(qcfg)(qparams, prompt)
+qtok = jnp.argmax(qlogits[:, -1], axis=-1).astype(jnp.int32)
+qlog2, _ = make_decode_step(qcfg)(qparams, qcache, qtok)
+_, fcache = make_prefill(cfg)(params, prompt)   # same position, full prec
+flog2, _ = step(params, fcache, qtok)
+drift = float(jnp.linalg.norm(qlog2 - flog2)
+              / jnp.linalg.norm(flog2))
+print(f"int8 stack logits drift vs full precision: {drift:.3%} "
+      "(bounds tested in tests/serving/test_quant.py)")
+
+# --- speculative decoding: draft K tokens, verify in ONE target pass ---
+# greedy speculative emits EXACTLY the target's greedy stream; the draft
+# only changes the speed (here a random draft: acceptance ~0, output
+# still exact — tests/serving/test_speculative.py)
+from tpp_mlir_tpu.serving import make_speculative_generate
+
+dcfg = GptConfig(vocab=512, embed=128, heads=4, layers=1, mlp_ratio=2,
+                 max_seq=128, dtype="f32")
+draft = stack_params(init_params(dcfg, seed=7))
+spec = make_speculative_generate(cfg, dcfg, steps=10, k=3)
+stoks, stats = spec(params, draft, prompt[:1])
+greedy = make_generate(cfg, steps=10, temperature=0.0)(
+    params, prompt[:1], jax.random.PRNGKey(0))
+print("speculative == target greedy:",
+      bool((stoks == greedy).all()),
+      f"(acceptance {int(stats['accepted'])}/{int(stats['drafted'])})")
