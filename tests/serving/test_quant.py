@@ -154,6 +154,24 @@ def test_quantized_tp_decode_matches_single_device():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    """QTensor leaves are plain pytree structure, so orbax checkpointing
+    of a quantized serving model needs no special handling — the
+    deployment flow (quantize once, checkpoint, restore in the server)."""
+    from tpp_mlir_tpu.parallel.checkpoint import (restore_checkpoint,
+                                                  save_checkpoint)
+
+    params = stack_params(quantize_params(init_params(CFG, seed=13)))
+    save_checkpoint(str(tmp_path / "q"), params, step=1)
+    got, step = restore_checkpoint(str(tmp_path / "q"), params, step=1)
+    assert step == 1
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(params)):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    blk = got["blocks"]["wq"]
+    assert isinstance(blk, QTensor) and blk.q.dtype == jnp.int8
+
+
 def test_quantized_generate_smoke():
     params = init_params(CFG, seed=6)
     qparams = stack_params(quantize_params(params, include_embed=True))
