@@ -3,6 +3,8 @@ GPT model family. See engine.py for the TPU-native design rationale;
 quant.py for weight-only int8 (decode is bandwidth-bound — int8 weights
 halve the dominant HBM read)."""
 
+from .batching import (BatchingEngine, init_slot_cache, make_decode_loop,
+                       make_insert)
 from .engine import (GptConfig, decode_cache_specs, decode_param_specs,
                      init_params, make_decode_step, make_extend,
                      make_generate, make_prefill, make_sampler,
@@ -11,7 +13,9 @@ from .quant import (QTensor, dequantize, dequantize_params, quantize,
                     quantize_params, quantized_bytes)
 from .speculative import make_speculative_generate
 
-__all__ = ["GptConfig", "init_params", "params_from_torch",
+__all__ = ["BatchingEngine", "init_slot_cache", "make_decode_loop",
+           "make_insert",
+           "GptConfig", "init_params", "params_from_torch",
            "make_prefill", "make_decode_step", "make_extend",
            "make_generate",
            "make_sampler", "make_tp_decode_step", "decode_param_specs",

@@ -367,6 +367,11 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
         kv_local = h_local
     G = h_local // kv_local        # query heads per KV head (1 = MHA)
     pos = cache["pos"]
+    # slotted = per-slot positions (continuous batching, serving/batching.py):
+    # pos is (B,), each batch row sits at its own sequence position. The
+    # scalar-pos trace below is byte-identical to the measured-fastest T=1
+    # decode (PERF.md serving) — the slotted branches are additive only.
+    slotted = getattr(pos, "ndim", 0) == 1
     x = (_gather(params["wte"], token)
          + _gather(params["wpe"], pos)
          ).astype(_np_dtype(cfg.dtype))    # (B, E)
@@ -410,16 +415,32 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
             # the slab reads from HBM at 1 byte per element.
             k, ksc = quantize_tokens(k)
             v, vsc = quantize_tokens(v)
-            kv["k_s"] = jax.lax.dynamic_update_slice(
-                kv["k_s"], ksc[None, :, None], (li, 0, pos, 0))
-            kv["v_s"] = jax.lax.dynamic_update_slice(
-                kv["v_s"], vsc[None, :, None], (li, 0, pos, 0))
-        kv["k"] = jax.lax.dynamic_update_slice(
-            kv["k"], k[None, :, None].astype(kv["k"].dtype),
-            (li, 0, pos, 0, 0))
-        kv["v"] = jax.lax.dynamic_update_slice(
-            kv["v"], v[None, :, None].astype(kv["v"].dtype),
-            (li, 0, pos, 0, 0))
+        if slotted:
+            # per-slot write positions: one scatter over the batch dim.
+            # mode="drop" makes out-of-range positions (the free-slot
+            # sentinel pos == max_seq, or a full cache) silent no-ops.
+            bidx = jnp.arange(B)
+            if quant_kv:
+                kv["k_s"] = kv["k_s"].at[li, bidx, pos].set(
+                    ksc, mode="drop")
+                kv["v_s"] = kv["v_s"].at[li, bidx, pos].set(
+                    vsc, mode="drop")
+            kv["k"] = kv["k"].at[li, bidx, pos].set(
+                k.astype(kv["k"].dtype), mode="drop")
+            kv["v"] = kv["v"].at[li, bidx, pos].set(
+                v.astype(kv["v"].dtype), mode="drop")
+        else:
+            if quant_kv:
+                kv["k_s"] = jax.lax.dynamic_update_slice(
+                    kv["k_s"], ksc[None, :, None], (li, 0, pos, 0))
+                kv["v_s"] = jax.lax.dynamic_update_slice(
+                    kv["v_s"], vsc[None, :, None], (li, 0, pos, 0))
+            kv["k"] = jax.lax.dynamic_update_slice(
+                kv["k"], k[None, :, None].astype(kv["k"].dtype),
+                (li, 0, pos, 0, 0))
+            kv["v"] = jax.lax.dynamic_update_slice(
+                kv["v"], v[None, :, None].astype(kv["v"].dtype),
+                (li, 0, pos, 0, 0))
         slab = (1,) + kv["k"].shape[1:]
         kc = jax.lax.dynamic_slice(
             kv["k"], (li, 0, 0, 0, 0), slab)[0]
@@ -438,13 +459,18 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
         # an int8 cache contracts cast to the activation dtype (the
         # convert fuses into the matvec's tiled operand read).
         ct = x.dtype if quant_kv else kc.dtype
-        live = jnp.arange(cfg.max_seq) <= pos
+        if slotted:
+            live = jnp.arange(cfg.max_seq)[None] <= pos[:, None]  # (B, S)
+            lv1, lvg = live[:, None], live[:, None, None]
+        else:
+            live = jnp.arange(cfg.max_seq) <= pos
+            lv1, lvg = live[None, None], live[None, None, None]
         if G == 1:
             s = jnp.einsum("bhd,bshd->bhs", q.astype(ct), kc.astype(ct),
                            preferred_element_type=jnp.float32) * scale
             if quant_kv:
                 s = s * jnp.transpose(ksc_l, (0, 2, 1))
-            s = jnp.where(live[None, None], s, -1e30)
+            s = jnp.where(lv1, s, -1e30)
             p = jax.nn.softmax(s, axis=-1)
             if quant_kv:
                 # fold V's per-token scales into the softmax weights:
@@ -462,7 +488,7 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
                            preferred_element_type=jnp.float32) * scale
             if quant_kv:
                 s = s * jnp.transpose(ksc_l, (0, 2, 1))[:, :, None]
-            s = jnp.where(live[None, None, None], s, -1e30)
+            s = jnp.where(lvg, s, -1e30)
             p = jax.nn.softmax(s, axis=-1)
             if quant_kv:
                 p = p * jnp.transpose(vsc_l, (0, 2, 1))[:, :, None]
