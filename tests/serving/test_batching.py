@@ -148,3 +148,19 @@ def test_batching_cache_capacity_cap():
     assert len(got[rid]) == 3  # max_seq - len(prompt)
     ref = _reference_generate(params, CFG, prompt, 50)
     assert got[rid] == ref
+
+
+def test_tpp_serve_continuous_cli(capsys):
+    from tpp_mlir_tpu.tools import tpp_serve
+
+    rc = tpp_serve.main(["--platform", "cpu", "--embed", "32", "--heads",
+                         "4", "--layers", "2", "--mlp-ratio", "2",
+                         "--vocab", "97", "--max-seq", "32",
+                         "--prompt-len", "6", "--steps", "4", "--batch",
+                         "2", "--continuous", "3", "--sync-steps", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "# continuous: 3 requests through 2 slots" in out
+    lines = [ln for ln in out.splitlines() if ln.startswith("req ")]
+    assert len(lines) == 3 and all(len(ln.split(": ")[1].split()) == 4
+                                   for ln in lines)

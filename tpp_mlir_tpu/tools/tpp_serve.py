@@ -51,6 +51,13 @@ def main(argv=None) -> int:
     p.add_argument("--draft-layers", type=int, default=2,
                    help="layer count of the synthetic draft model "
                         "(with --speculative)")
+    p.add_argument("--continuous", type=int, default=0, metavar="N",
+                   help="continuous batching: serve N queued requests "
+                        "(random prompt lengths <= --prompt-len) through "
+                        "--batch slots, admitting into freed slots as "
+                        "requests finish (serving/batching.py)")
+    p.add_argument("--sync-steps", type=int, default=8,
+                   help="decode steps per host sync in --continuous mode")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel decode over a tp-way mesh")
     p.add_argument("--platform", default="",
@@ -120,6 +127,39 @@ def main(argv=None) -> int:
               f"{dt:.2f}s incl. compile; {int(stats['macro_steps'])} "
               f"rounds, acceptance {acc}/{drafted} "
               f"({100 * acc / max(drafted, 1):.0f}%)")
+    elif args.continuous:
+        from tpp_mlir_tpu.serving import BatchingEngine, init_params as _ip
+
+        # the scheduler wants the hybrid layout: UNSTACKED params for the
+        # slotted decode (static layer indices), stacking for prefill
+        # happens inside the engine
+        uparams = _ip(cfg, seed=args.seed)
+        if args.quant:
+            from tpp_mlir_tpu.serving import quantize_params
+
+            uparams = quantize_params(uparams)
+        rng = np.random.default_rng(args.seed)
+        prompts = [rng.integers(0, cfg.vocab, int(n)).astype(np.int32)
+                   for n in rng.integers(1, args.prompt_len + 1,
+                                         args.continuous)]
+        eng = BatchingEngine(uparams, cfg, slots=args.batch,
+                             sync_steps=args.sync_steps,
+                             temperature=args.temperature,
+                             top_k=args.top_k, top_p=args.top_p,
+                             seed=args.seed)
+        rids = [eng.submit(pr, max_new=args.steps) for pr in prompts]
+        t0 = time.perf_counter()
+        done = eng.run()
+        dt = time.perf_counter() - t0
+        total = sum(len(v) for v in done.values())
+        print(f"# continuous: {args.continuous} requests through "
+              f"{args.batch} slots, sync every {args.sync_steps} steps: "
+              f"{total} tokens in {dt:.2f}s incl. compile "
+              f"({total / dt:,.0f} tok/s)")
+        out = np.asarray([])
+        for rid in rids:
+            print(f"req {rid} ({len(prompts[rid])}-token prompt): "
+                  + " ".join(str(t) for t in done[rid]))
     elif args.tp:
         from tpp_mlir_tpu.parallel import make_mesh
 
