@@ -32,12 +32,11 @@ def _trace(rng, n, buckets, max_new_lo, max_new_hi, vocab):
     return prompts, max_new
 
 
-def _run_continuous(params, cfg, prompts, max_new, slots, sync_steps,
-                    buckets):
-    from tpp_mlir_tpu.serving import BatchingEngine
-
-    eng = BatchingEngine(params, cfg, slots=slots, sync_steps=sync_steps,
-                         buckets=buckets)
+def _run_continuous(eng, prompts, max_new):
+    """One full trace through a (possibly pre-warmed) engine: reset
+    scheduling state, submit, run. The engine's compiled programs are
+    reused across calls — call once to warm, again to measure."""
+    eng.reset()
     for p, m in zip(prompts, max_new):
         eng.submit(p, max_new=m)
     t0 = time.perf_counter()
@@ -46,11 +45,13 @@ def _run_continuous(params, cfg, prompts, max_new, slots, sync_steps,
     return sum(len(v) for v in done.values()), dt
 
 
-def _run_static(params, cfg, prompts, max_new, slots, buckets, sync):
-    """Static batching baseline: fill a batch of `slots`, decode until
-    EVERY row hit its max_new (rows that finish early idle), then the
-    next batch. Same slotted step (padded batch, bucketed prompts) and
-    the same compiled scan chunk, so the comparison isolates
+def _make_static_runner(params, cfg, slots, buckets, sync):
+    """Build the static-batching baseline ONCE (jitted prefill/insert/
+    loop persist across calls, so a first call warms the compiles and a
+    second measures): fill a batch of `slots`, decode until EVERY row
+    hit its max_new (rows that finish early idle), then the next batch.
+    Same slotted step (padded batch, bucketed prompts) and the same
+    compiled scan chunk as the scheduler, so the comparison isolates
     SCHEDULING, not kernels or sync granularity."""
     import jax
     import jax.numpy as jnp
@@ -65,27 +66,31 @@ def _run_static(params, cfg, prompts, max_new, slots, buckets, sync):
     prefill = make_prefill(cfg)
     insert = make_insert(cfg)
     loop = make_decode_loop(cfg, sync)
-    rng = jax.random.PRNGKey(0)
-    total, t0 = 0, time.perf_counter()
-    for i in range(0, len(prompts), slots):
-        batch = list(zip(prompts[i:i + slots], max_new[i:i + slots]))
-        cache = init_slot_cache(cfg, slots)
-        tok = jnp.zeros((slots,), jnp.int32)
-        for b, (p, _) in enumerate(batch):
-            n = len(p)
-            bucket = next(bk for bk in buckets if bk >= n)
-            ids = np.zeros((1, bucket), np.int32)
-            ids[0, :n] = p
-            logits, pcache = prefill(sparams, jnp.asarray(ids))
-            cache = insert(cache, pcache, b, n)
-            tok = tok.at[b].set(jnp.argmax(logits[0, n - 1]))
-        # every row runs to the batch's longest generation
-        steps = max(m for _, m in batch) - 1
-        for _ in range((steps + sync - 1) // sync):
-            _, cache, tok, rng = loop(params, cache, tok, rng)
-        float(jnp.sum(tok))  # force completion (tunnel-safe)
-        total += sum(m for _, m in batch)
-    return total, time.perf_counter() - t0
+
+    def run(prompts, max_new):
+        rng = jax.random.PRNGKey(0)
+        total, t0 = 0, time.perf_counter()
+        for i in range(0, len(prompts), slots):
+            batch = list(zip(prompts[i:i + slots], max_new[i:i + slots]))
+            cache = init_slot_cache(cfg, slots)
+            tok = jnp.zeros((slots,), jnp.int32)
+            for b, (p, _) in enumerate(batch):
+                n = len(p)
+                bucket = next(bk for bk in buckets if bk >= n)
+                ids = np.zeros((1, bucket), np.int32)
+                ids[0, :n] = p
+                logits, pcache = prefill(sparams, jnp.asarray(ids))
+                cache = insert(cache, pcache, b, n)
+                tok = tok.at[b].set(jnp.argmax(logits[0, n - 1]))
+            # every row runs to the batch's longest generation
+            steps = max(m for _, m in batch) - 1
+            for _ in range((steps + sync - 1) // sync):
+                _, cache, tok, rng = loop(params, cache, tok, rng)
+            float(jnp.sum(tok))  # force completion (tunnel-safe)
+            total += sum(m for _, m in batch)
+        return total, time.perf_counter() - t0
+
+    return run
 
 
 def main() -> int:
@@ -128,21 +133,23 @@ def main() -> int:
                           "layers": cfg.layers, "dtype": cfg.dtype,
                           "max_new": [new_lo, new_hi]}}
 
+    from tpp_mlir_tpu.serving import BatchingEngine
+
     for sync in sweeps:
-        _run_continuous(params, cfg, prompts, max_new, args.slots, sync,
-                        buckets)                      # warm compiles
-        toks, dt = _run_continuous(params, cfg, prompts, max_new,
-                                   args.slots, sync, buckets)
+        eng = BatchingEngine(params, cfg, slots=args.slots,
+                             sync_steps=sync, buckets=buckets)
+        _run_continuous(eng, prompts, max_new)        # warm compiles
+        toks, dt = _run_continuous(eng, prompts, max_new)
         results[f"continuous_sync{sync}"] = {
             "tokens": toks, "seconds": round(dt, 3),
             "tok_per_s": round(toks / dt, 1)}
         print(f"continuous sync={sync}: {toks} tok in {dt:.2f}s "
               f"= {toks / dt:,.0f} tok/s")
 
-    sync0 = sweeps[0]
-    _run_static(params, cfg, prompts, max_new, args.slots, buckets, sync0)
-    toks, dt = _run_static(params, cfg, prompts, max_new, args.slots,
-                           buckets, sync0)
+    static = _make_static_runner(params, cfg, args.slots, buckets,
+                                 sweeps[0])
+    static(prompts, max_new)                          # warm compiles
+    toks, dt = static(prompts, max_new)
     results["static"] = {"tokens": toks, "seconds": round(dt, 3),
                          "tok_per_s": round(toks / dt, 1)}
     print(f"static batch:  {toks} tok in {dt:.2f}s = {toks / dt:,.0f} tok/s")

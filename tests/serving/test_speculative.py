@@ -77,3 +77,24 @@ def test_speculative_prompt_budget_guard():
         assert "max_seq" in str(e)
     else:
         raise AssertionError("expected the max_seq budget assert")
+
+
+def test_speculative_self_draft_long_horizon():
+    """Regression: with only k draft steps per round, the last consumed
+    proposal's KV row was never written to the draft cache, so after the
+    first fully-accepted round the draft attended a garbage row forever
+    and acceptance silently degraded (measured 35/52 at 60 steps before
+    the k+1-step fix). A long horizon forces many fully-accepted rounds;
+    self-draft acceptance must stay exactly 100% the whole way."""
+    cfg = GptConfig(vocab=96, embed=64, heads=4, layers=2, mlp_ratio=2,
+                    max_seq=96, dtype="f32")
+    params = init_params(cfg, seed=4)
+    ids = jnp.asarray(np.random.default_rng(4).integers(
+        0, cfg.vocab, (1, 6)), jnp.int32)
+    steps, k = 60, 4
+    got, stats = make_speculative_generate(
+        cfg, cfg, steps, k=k, use_pallas=False)(params, params, ids)
+    want = make_generate(cfg, steps, temperature=0.0, use_pallas=False)(
+        params, ids, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert int(stats["accepted"]) == int(stats["drafted"]), stats

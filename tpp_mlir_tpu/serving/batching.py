@@ -168,6 +168,7 @@ class BatchingEngine:
         self._sample = jax.jit(make_sampler(temperature, top_k, top_p))
         self.cache = init_slot_cache(cfg, slots)
         self.tok = jnp.zeros((slots,), jnp.int32)
+        self._seed = seed
         self._rng = jax.random.PRNGKey(seed)
         self.slot_req: list[Request | None] = [None] * slots
         self.queue: deque[Request] = deque()
@@ -175,6 +176,19 @@ class BatchingEngine:
         self._next_rid = 0
 
     # -- client API -------------------------------------------------------
+    def reset(self) -> None:
+        """Clear all scheduling state (cache, slots, queue, results) but
+        keep every compiled program — e.g. to replay a trace warm."""
+        import jax
+
+        self.cache = init_slot_cache(self.cfg, self.slots)
+        self.tok = self._jnp.zeros((self.slots,), self._jnp.int32)
+        self._rng = jax.random.PRNGKey(self._seed)
+        self.slot_req = [None] * self.slots
+        self.queue.clear()
+        self.finished = {}
+        self._next_rid = 0
+
     def submit(self, ids, max_new: int = 32) -> int:
         """Enqueue a prompt (1-D int sequence). Returns the request id."""
         ids = self._np.asarray(ids, self._np.int32).reshape(-1)

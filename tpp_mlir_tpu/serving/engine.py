@@ -571,8 +571,12 @@ def make_extend(cfg: GptConfig, donate: bool = False):
     the chunk, and return logits for all T positions.
 
     This is the serving primitive the single-token step can't express:
-    - chunked prefill (continuous batching ingests long prompts in
-      fixed-T chunks against a warm cache, one compile per chunk size);
+    - chunked prefill (ingest a long prompt in fixed-T chunks against a
+      warm cache, one compile per chunk size). Scalar-pos caches only:
+      the batch shares one position, so chunked admission runs at B=1
+      BEFORE a slot insert (batching.py admits whole bucketed prompts
+      instead; a per-slot-pos extend would need per-row windowed
+      gathers and is not implemented);
     - speculative-decoding verification (score K drafted tokens in ONE
       pass — the weights are read once per K tokens instead of once per
       token, which is the whole win in the bandwidth-bound regime; see
@@ -828,8 +832,8 @@ def make_sampler(temperature: float = 0.0, top_k: int = 0,
             # nucleus: keep the smallest prefix of the sorted distribution
             # reaching mass top_p (the first token is always kept)
             srt = jnp.sort(x, axis=-1)[..., ::-1]
-            csum = jnp.cumsum(jax.nn.softmax(srt, axis=-1), axis=-1)
-            keep = csum - jax.nn.softmax(srt, axis=-1) < top_p
+            probs = jax.nn.softmax(srt, axis=-1)
+            keep = jnp.cumsum(probs, axis=-1) - probs < top_p
             cut = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
                           keepdims=True)
             x = jnp.where(x < cut, -jnp.inf, x)

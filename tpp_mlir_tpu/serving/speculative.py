@@ -72,8 +72,17 @@ def make_speculative_generate(cfg: GptConfig, draft_cfg: GptConfig,
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (dcache, nxt), nxt[0]
 
+        # k+1 steps, not k: the last proposal drafts[k-1] must itself be
+        # FED THROUGH a draft step so its KV row (position pos+k) is
+        # written — on a fully-accepted round newpos = pos+k+1 and the
+        # next round's draft attends over position pos+k; with only k
+        # steps that row held garbage forever and acceptance silently
+        # degraded (measured: self-draft at 35/52 instead of 52/52).
+        # The k+1'th proposal is unused; the extra step is one cheap
+        # draft forward per round.
         (dcache, _), drafts = jax.lax.scan(
-            dstep, (dcache, tok), None, length=k)          # drafts (k,)
+            dstep, (dcache, tok), None, length=k + 1)
+        drafts = drafts[:k]                                # (k,)
 
         u = jnp.concatenate([tok, drafts])[None]           # (1, k+1)
         logits, tcache = verify(params, tcache, u)         # (1, k+1, V)

@@ -166,17 +166,19 @@ def main(argv=None) -> int:
         mesh = make_mesh({"tp": args.tp})
         step = make_tp_decode_step(mesh, cfg, stacked=True,
                                    quantized=bool(args.quant))
-        _, cache = make_prefill(cfg, use_pallas=False)(params, ids)
-        tok = jnp.full((args.batch,), 1, jnp.int32)
-        toks = []
+        logits, cache = make_prefill(cfg, use_pallas=False)(params, ids)
+        # start from the model's own continuation so the tp stream is
+        # comparable token-for-token against the single-device modes
+        tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        toks = [np.asarray(tok)]
         t0 = time.perf_counter()
-        for _ in range(args.steps):
+        for _ in range(args.steps - 1):
             logits, cache = step(params, cache, tok)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             toks.append(np.asarray(tok))
         dt = time.perf_counter() - t0
         out = np.stack(toks, axis=1)
-        print(f"# tp={args.tp} decode: {args.steps} steps in {dt:.2f}s")
+        print(f"# tp={args.tp} decode: {args.steps - 1} steps in {dt:.2f}s")
     else:
         gen = make_generate(cfg, args.steps, temperature=args.temperature,
                             top_k=args.top_k, top_p=args.top_p)
