@@ -66,22 +66,44 @@ def test_train_step_dp_tp():
 
 
 def test_train_step_matches_single_device():
-    """The sharded step computes the same loss as an unsharded reference."""
+    """The sharded step computes the same loss AND the same parameter
+    update as an unsharded reference. (Regression: with lr=0 this test
+    once hid a real gradient bug — shard_map's check_vma=False
+    transposes over-counted collective duals by the tp degree and never
+    reduced grads over dp; see parallel/collectives.py.)"""
     mesh = make_mesh({"dp": 2, "tp": 2})
     layers = (32, 64, 32)
+    lr = 1e-2
     params = mlp_init(layers, seed=1)
-    step = make_train_step(mesh, layers, lr=0.0, use_pallas=False)
+    step = make_train_step(mesh, layers, lr=lr, use_pallas=False)
 
     x = jax.random.normal(jax.random.PRNGKey(5), (16, 32), jnp.float32)
     y = jax.random.normal(jax.random.PRNGKey(6), (16, 32), jnp.float32)
-    _, loss = step(params, x, y)
 
-    # unsharded reference
-    h = x
-    for i, (w, b) in enumerate(params):
-        h = jnp.maximum(h @ w + b, 0)
-    want = jnp.mean((h - y) ** 2)
-    np.testing.assert_allclose(float(loss), float(want), rtol=1e-5)
+    # unsharded reference: same loss and the same SGD update, twice
+    def loss_fn(p):
+        h = x
+        for w, b in p:
+            h = jnp.maximum(h @ w + b, 0)
+        return jnp.mean((h - y) ** 2)
+
+    ref = params
+    ref_losses = []
+    for _ in range(2):
+        l, g = jax.value_and_grad(loss_fn)(ref)
+        ref = jax.tree.map(lambda p, gg: p - lr * gg, ref, g)
+        ref_losses.append(float(l))
+
+    losses = []
+    for _ in range(2):
+        params, loss = step(params, x, y)
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-5)
+    for (gw, gb), (ww, wb) in zip(params, ref):
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(ww),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(wb),
+                                   atol=1e-5, rtol=1e-5)
 
 
 def test_train_step_pallas_interpret():

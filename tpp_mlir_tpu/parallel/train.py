@@ -59,17 +59,25 @@ def param_specs(n_layers: int, tp_axis: str = "tp"):
 
 
 def _forward_local(params, x, tp_axis: str, use_pallas: bool):
-    """Per-shard forward. Shapes are local to the shard."""
+    """Per-shard forward. Shapes are local to the shard. Every collective
+    (and every point where a tp-replicated activation meets a tp-sharded
+    weight) goes through the custom-VJP wrappers in collectives.py so the
+    backward pass is correct under shard_map's check_vma=False (see that
+    module: unchecked transposes over-count by the tp degree)."""
     import jax
     import jax.numpy as jnp
 
     from ..ops import trainable
+    from .collectives import gather_cols, mark_replicated, row_parallel_psum
 
     h = x
     n = len(params)
     for i, (w, b) in enumerate(params):
         if i % 2 == 0:
-            # column parallel: local fused kernel, output sharded on tp
+            # column parallel: local fused kernel, output sharded on tp.
+            # h is tp-replicated here; its cotangent from the sliced
+            # contraction is partial — mark it.
+            h = mark_replicated(h, tp_axis)
             if use_pallas:
                 h = trainable.mlp_layer(h, w, b)
             else:
@@ -82,11 +90,11 @@ def _forward_local(params, x, tp_axis: str, use_pallas: bool):
                 z = trainable.matmul(h, w)
             else:
                 z = jnp.dot(h, w, preferred_element_type=jnp.float32)
-            z = jax.lax.psum(z, tp_axis)
+            z = row_parallel_psum(z, tp_axis)
             h = jnp.maximum(z + b, 0).astype(h.dtype)
     if n % 2 == 1:
         # odd layer count ends column-parallel: gather the feature dim
-        h = jax.lax.all_gather(h, tp_axis, axis=1, tiled=True)
+        h = gather_cols(h, tp_axis, 1)
     return h
 
 
@@ -107,15 +115,18 @@ def make_train_step(mesh, layers, lr: float = 1e-3, dp_axis: str = "dp",
 
     def local_step(params, x, y):
         def loss_fn(p):
+            # dp-LOCAL loss only: no collective inside the differentiated
+            # region (collectives.py convention); the dp mean is applied
+            # to the grads afterwards, where no transpose is involved
             out = _forward_local(p, x, tp_axis, use_pallas)
-            local = jnp.mean((out.astype(jnp.float32)
-                              - y.astype(jnp.float32)) ** 2)
-            return jax.lax.pmean(local, dp_axis)
+            return jnp.mean((out.astype(jnp.float32)
+                             - y.astype(jnp.float32)) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, dp_axis), grads)
         new_params = jax.tree.map(lambda p, g: (p - lr * g).astype(p.dtype),
                                   params, grads)
-        return new_params, loss
+        return new_params, jax.lax.pmean(loss, dp_axis)
 
     sharded = jax.shard_map(
         local_step, mesh=mesh,
