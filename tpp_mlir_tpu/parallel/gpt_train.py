@@ -1,0 +1,146 @@
+"""GPT training step: dp x tp Megatron sharding over the serving model
+family (serving/engine.py), next-token cross-entropy, any optax
+optimizer, optional ZeRO-1 — the training counterpart of the tp decode
+path, sharing its parameter layout (`decode_param_specs`) so a model
+trains and serves under the SAME pytree and PartitionSpecs.
+
+Sharding (the Megatron transformer recipe, one psum per row GEMM):
+  - batch over dp; grads pmean'd over dp after a dp-LOCAL loss;
+  - q/k/v and fc1 column-parallel (heads / fc1 columns on tp),
+    attention entirely local to each shard's heads, out-proj and fc2
+    row-parallel with `row_parallel_psum`;
+  - embeddings, LayerNorms and the LM head replicated: logits come out
+    tp-identical, so the cross-entropy needs no vocab-parallel song and
+    dance (vocab-column-sharding the LM head is the next step up and
+    orthogonal to this layout);
+  - the layer stack runs under one `lax.scan` over stacked params
+    (stack_params layout — the compile-size discipline of the serving
+    engine, PERF.md).
+
+Differentiation correctness under check_vma=False comes from the
+custom-VJP collective duals in collectives.py (see that module: the
+unchecked transposes over-count by the tp degree); every mode is pinned
+to a single-device oracle in tests/parallel/test_gpt_train.py.
+
+The reference framework has no training at all (SURVEY.md §2.12); this
+is the beyond-parity "train the flagship family" piece, matching the
+role torch+DDP plays around the reference's kernels in its
+torch-dynamo benchmarks (/root/reference/benchmarks/config/pytorch/).
+"""
+
+from __future__ import annotations
+
+from ..serving.engine import GptConfig, _dot, _gather, _ln, _mm, _np_dtype
+from .collectives import mark_replicated, row_parallel_psum
+from .optim import make_sharded_optim_step
+
+
+def _causal_attention_local(q, k, v, scale: float):
+    """Causal attention over the shard's local heads, f32 math.
+    q: (B, S, HL, D); k/v: (B, S, KVL, D) — GQA broadcast if KVL < HL."""
+    import jax
+    import jax.numpy as jnp
+
+    B, S, HL, D = q.shape
+    KVL = k.shape[2]
+    if KVL != HL:
+        g = HL // KVL
+        k = jnp.repeat(k, g, axis=2)
+        v = jnp.repeat(v, g, axis=2)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    s = jnp.where(jnp.tril(jnp.ones((S, S), bool))[None, None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+
+
+def _gpt_forward_local(params, ids, cfg: GptConfig, tp_axis: str,
+                       h_local: int, kv_local: int):
+    """Per-tp-shard causal LM forward -> (B, S, V) logits (replicated
+    over tp). Mirrors serving prefill math (_ln/_dot/f32 accumulate) so
+    the step-0 loss is checkable against make_prefill logits."""
+    import jax
+    import jax.numpy as jnp
+
+    B, S = ids.shape
+    D = cfg.head_dim
+    scale = D ** -0.5
+    x = (_gather(params["wte"], ids)
+         + _gather(params["wpe"], jnp.arange(S))
+         ).astype(_np_dtype(cfg.dtype))
+
+    def layer(x, blk):
+        h = _ln(x, blk["ln1_g"], blk["ln1_b"])
+        # tp-replicated activation meets tp-sharded weights: mark, so
+        # the partial cotangents psum back into the complete one
+        h = mark_replicated(h, tp_axis)
+        q = _dot(h, blk["wq"], blk["bq"]).reshape(B, S, h_local, D)
+        k = _dot(h, blk["wk"], blk["bk"]).reshape(B, S, kv_local, D)
+        v = _dot(h, blk["wv"], blk["bv"]).reshape(B, S, kv_local, D)
+        a = _causal_attention_local(q, k, v, scale)
+        a = a.reshape(B, S, h_local * D).astype(x.dtype)
+        y = row_parallel_psum(_mm(a, blk["wo"]), tp_axis)
+        x = x + (y + blk["bo"].astype(jnp.float32)).astype(x.dtype)
+        h = _ln(x, blk["ln2_g"], blk["ln2_b"])
+        h = mark_replicated(h, tp_axis)
+        h = _dot(h, blk["w1"], blk["b1"])
+        h = jax.nn.gelu(h.astype(jnp.float32),
+                        approximate=False).astype(x.dtype)
+        y = row_parallel_psum(_mm(h, blk["w2"]), tp_axis)
+        x = x + (y + blk["b2"].astype(jnp.float32)).astype(x.dtype)
+        return x, None
+
+    x, _ = jax.lax.scan(layer, x, params["blocks"])
+    x = _ln(x, params["lnf_g"], params["lnf_b"])
+    return _mm(x, params["lm_head"])            # (B, S, V) f32
+
+
+def next_token_loss(logits, ids):
+    """Mean next-token cross-entropy: logits[:, t] scores ids[:, t+1]."""
+    import jax
+    import jax.numpy as jnp
+
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    tgt = ids[:, 1:]
+    picked = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return -jnp.mean(picked)
+
+
+def make_gpt_train_step(mesh, cfg: GptConfig, optimizer,
+                        dp_axis: str = "dp", tp_axis: str = "tp",
+                        zero1: bool = False, donate: bool = False):
+    """Return `(step, init_opt_state)`: jitted
+    `step(params, opt_state, ids) -> (params, opt_state, loss)` over
+    `mesh` for STACKED serving params (stack_params layout —
+    train-and-serve under one pytree)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from ..serving.engine import decode_param_specs
+
+    ntp = mesh.shape[tp_axis]
+    assert cfg.heads % ntp == 0, (cfg.heads, ntp)
+    assert cfg.kv_h % ntp == 0, \
+        f"GQA tp training needs kv_heads {cfg.kv_h} divisible by tp {ntp}"
+    h_local = cfg.heads // ntp
+    kv_local = cfg.kv_h // ntp
+    pspecs = decode_param_specs(cfg, tp_axis, stacked=True)
+
+    def local_grads(params, ids):
+        def loss_fn(p):
+            logits = _gpt_forward_local(p, ids, cfg, tp_axis, h_local,
+                                        kv_local)
+            return next_token_loss(logits, ids)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return (jax.lax.pmean(loss, dp_axis),
+                jax.tree.map(lambda g: jax.lax.pmean(g, dp_axis), grads))
+
+    grads_fn = jax.shard_map(
+        local_grads, mesh=mesh,
+        in_specs=(pspecs, P(dp_axis, None)),
+        out_specs=(P(), pspecs),
+        check_vma=False)
+
+    return make_sharded_optim_step(mesh, optimizer, pspecs, grads_fn,
+                                   dp_axis, zero1, donate)

@@ -70,6 +70,43 @@ def opt_state_shardings(optimizer, params, mesh, pspec_tree,
         transform_non_params=lambda _: NamedSharding(mesh, P()))
 
 
+def make_sharded_optim_step(mesh, optimizer, pspec_tree, grads_fn,
+                            dp_axis: str = "dp", zero1: bool = False,
+                            donate: bool = False):
+    """Generic sharded-optimizer wiring: `grads_fn(params, *batch) ->
+    (loss, grads)` (already shard_mapped; grads laid out per pspec_tree),
+    optax update under GSPMD with the moment shardings (dp-split when
+    zero1), param sharding constraint re-forming the updated params.
+    Returns (jitted step, init_opt_state)."""
+    import jax
+    import optax
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspec_tree,
+                            is_leaf=lambda x: isinstance(x, P))
+
+    def step(params, opt_state, *batch):
+        loss, grads = grads_fn(params, *batch)
+        # the update runs OUTSIDE shard_map: GSPMD computes each moment
+        # where it lives (dp-sharded under zero1 — each dp shard updates
+        # its slice), and the param constraint re-gathers the result
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_params = jax.lax.with_sharding_constraint(new_params, param_sh)
+        return new_params, opt_state, loss
+
+    def init_opt_state(params):
+        shardings = opt_state_shardings(optimizer, params, mesh,
+                                        pspec_tree, dp_axis, zero1)
+        return jax.jit(optimizer.init, out_shardings=shardings)(params)
+
+    # donate=True aliases params+state buffers across steps (the
+    # production loop); off by default so callers may keep references
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ()), \
+        init_opt_state
+
+
 def make_optim_train_step(mesh, layers, optimizer, dp_axis: str = "dp",
                           tp_axis: str = "tp", accum_steps: int = 1,
                           zero1: bool = False, donate: bool = False,
@@ -84,8 +121,6 @@ def make_optim_train_step(mesh, layers, optimizer, dp_axis: str = "dp",
     """
     import jax
     import jax.numpy as jnp
-    import optax
-    from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
     from ..utils.target import on_tpu
@@ -139,30 +174,5 @@ def make_optim_train_step(mesh, layers, optimizer, dp_axis: str = "dp",
         out_specs=(P(), pspecs),
         check_vma=False)
 
-    param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
-                            is_leaf=lambda x: isinstance(x, P))
-
-    def step(params, opt_state, x, y):
-        loss, grads = grads_fn(params, x, y)
-        # the update runs OUTSIDE shard_map: GSPMD computes each moment
-        # where it lives (dp-sharded under zero1 — each dp shard updates
-        # its slice), and the param constraint re-gathers the result
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        new_params = jax.lax.with_sharding_constraint(new_params, param_sh)
-        return new_params, opt_state, loss
-
-    def init_opt_state(params):
-        shardings = opt_state_shardings(optimizer, params, mesh,
-                                        jax.tree.map(
-                                            lambda s: s, pspecs,
-                                            is_leaf=lambda x: isinstance(
-                                                x, P)),
-                                        dp_axis, zero1)
-        return jax.jit(optimizer.init,
-                       out_shardings=shardings)(params)
-
-    # donate=True aliases params+state buffers across steps (the
-    # production loop); off by default so callers may keep references
-    return jax.jit(step, donate_argnums=(0, 1) if donate else ()), \
-        init_opt_state
+    return make_sharded_optim_step(mesh, optimizer, pspecs, grads_fn,
+                                   dp_axis, zero1, donate)
