@@ -30,11 +30,11 @@ from .runner import data_parallel_run, shard_run
 from .sequence import make_ring_attention, ring_attention_reference
 from .gpt_train import make_gpt_train_step
 from .optim import make_optim_train_step, opt_state_shardings
-from .train import TrainState, make_train_step, mlp_init
+from .train import make_train_step, mlp_init
 from .transformer import make_mha_forward, mha_param_specs, mha_params
 
 __all__ = ["make_mesh", "task_grid_mesh", "data_parallel_run", "shard_run",
-           "TrainState", "make_train_step", "mlp_init",
+           "make_train_step", "mlp_init",
            "make_optim_train_step", "opt_state_shardings",
            "make_gpt_train_step",
            "make_mha_forward", "mha_params", "mha_param_specs",

@@ -30,28 +30,10 @@ torch-dynamo benchmarks (/root/reference/benchmarks/config/pytorch/).
 
 from __future__ import annotations
 
-from ..serving.engine import GptConfig, _dot, _gather, _ln, _mm, _np_dtype
+from ..serving.engine import (GptConfig, _dot, _gather, _ln, _mm,
+                              _np_dtype, composed_causal_attention)
 from .collectives import mark_replicated, row_parallel_psum
 from .optim import make_sharded_optim_step
-
-
-def _causal_attention_local(q, k, v, scale: float):
-    """Causal attention over the shard's local heads, f32 math.
-    q: (B, S, HL, D); k/v: (B, S, KVL, D) — GQA broadcast if KVL < HL."""
-    import jax
-    import jax.numpy as jnp
-
-    B, S, HL, D = q.shape
-    KVL = k.shape[2]
-    if KVL != HL:
-        g = HL // KVL
-        k = jnp.repeat(k, g, axis=2)
-        v = jnp.repeat(v, g, axis=2)
-    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                   k.astype(jnp.float32)) * scale
-    s = jnp.where(jnp.tril(jnp.ones((S, S), bool))[None, None], s, -1e30)
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
 
 
 def _gpt_forward_local(params, ids, cfg: GptConfig, tp_axis: str,
@@ -63,6 +45,8 @@ def _gpt_forward_local(params, ids, cfg: GptConfig, tp_axis: str,
     import jax.numpy as jnp
 
     B, S = ids.shape
+    assert S <= cfg.max_seq, \
+        f"sequence {S} exceeds max_seq {cfg.max_seq} (wpe table)"
     D = cfg.head_dim
     scale = D ** -0.5
     x = (_gather(params["wte"], ids)
@@ -77,7 +61,7 @@ def _gpt_forward_local(params, ids, cfg: GptConfig, tp_axis: str,
         q = _dot(h, blk["wq"], blk["bq"]).reshape(B, S, h_local, D)
         k = _dot(h, blk["wk"], blk["bk"]).reshape(B, S, kv_local, D)
         v = _dot(h, blk["wv"], blk["bv"]).reshape(B, S, kv_local, D)
-        a = _causal_attention_local(q, k, v, scale)
+        a = composed_causal_attention(q, k, v, scale)
         a = a.reshape(B, S, h_local * D).astype(x.dtype)
         y = row_parallel_psum(_mm(a, blk["wo"]), tp_axis)
         x = x + (y + blk["bo"].astype(jnp.float32)).astype(x.dtype)
@@ -100,6 +84,8 @@ def next_token_loss(logits, ids):
     import jax
     import jax.numpy as jnp
 
+    assert ids.shape[1] >= 2, \
+        "next-token loss needs at least 2 tokens per sequence"
     logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
     tgt = ids[:, 1:]
     picked = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]

@@ -85,6 +85,7 @@ def make_sharded_optim_step(mesh, optimizer, pspec_tree, grads_fn,
 
     param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspec_tree,
                             is_leaf=lambda x: isinstance(x, P))
+    state_sh_cell = []        # filled by init_opt_state (lazy: needs params)
 
     def step(params, opt_state, *batch):
         loss, grads = grads_fn(params, *batch)
@@ -92,6 +93,13 @@ def make_sharded_optim_step(mesh, optimizer, pspec_tree, grads_fn,
         # where it lives (dp-sharded under zero1 — each dp shard updates
         # its slice), and the param constraint re-gathers the result
         updates, opt_state = optimizer.update(grads, opt_state, params)
+        if state_sh_cell:
+            # pin the UPDATED state too: elementwise optimizers preserve
+            # the dp split by propagation, but one whose update does
+            # cross-element work could legally come out replicated —
+            # silently forfeiting the ZeRO-1 memory saving
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, state_sh_cell[0])
         new_params = optax.apply_updates(params, updates)
         new_params = jax.lax.with_sharding_constraint(new_params, param_sh)
         return new_params, opt_state, loss
@@ -99,6 +107,7 @@ def make_sharded_optim_step(mesh, optimizer, pspec_tree, grads_fn,
     def init_opt_state(params):
         shardings = opt_state_shardings(optimizer, params, mesh,
                                         pspec_tree, dp_axis, zero1)
+        state_sh_cell[:] = [shardings]
         return jax.jit(optimizer.init, out_shardings=shardings)(params)
 
     # donate=True aliases params+state buffers across steps (the
@@ -150,7 +159,7 @@ def make_optim_train_step(mesh, layers, optimizer, dp_axis: str = "dp",
             return dp_mean(*jax.value_and_grad(loss_fn)(params, x, y))
         B = x.shape[0]
         assert B % accum_steps == 0, \
-            f"local batch {B} must divide accum_steps {accum_steps}"
+            f"local batch {B} must be divisible by accum_steps {accum_steps}"
         xm = x.reshape(accum_steps, B // accum_steps, *x.shape[1:])
         ym = y.reshape(accum_steps, B // accum_steps, *y.shape[1:])
 

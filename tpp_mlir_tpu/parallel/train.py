@@ -2,8 +2,9 @@
 
 The flagship model is the mlir-gen MLP chain; this module trains it SPMD:
 
-  * dp: batch dimension sharded over the 'dp' mesh axis; gradient psum is
-    inserted by shard_map's transpose rules.
+  * dp: batch dimension sharded over the 'dp' mesh axis; the loss is
+    dp-LOCAL and the grads take one explicit pmean over dp (shard_map's
+    check_vma=False transposes must not be relied on — collectives.py).
   * tp: Megatron-style alternating tensor parallelism over the 'tp' axis —
     even layers column-parallel (W sharded on N, bias local, relu local,
     fused Pallas kernel per shard), odd layers row-parallel (W sharded on K,
@@ -16,16 +17,7 @@ collectives ride ICI via the mesh.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Any
-
 import numpy as np
-
-
-@dataclass
-class TrainState:
-    params: Any
-    step: int = 0
 
 
 def mlp_init(layers, dtype="float32", seed: int = 0):

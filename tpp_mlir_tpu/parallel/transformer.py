@@ -93,17 +93,13 @@ def make_mha_forward(mesh, embed: int, heads: int, scale: float | None = None,
                 scale=att_scale, causal=causal)
             att = build_kernel(key)(q, k, v)
         else:
+            from ..serving.engine import composed_causal_attention
+
             def sp(t):
                 return t.reshape(B, S, h_local, D)
-            s = jnp.einsum("bqhd,bkhd->bhqk", sp(q).astype(jnp.float32),
-                           sp(k).astype(jnp.float32)) * att_scale
-            if causal:
-                s = jnp.where(jnp.tril(jnp.ones((S, S), bool))[None, None],
-                              s, -1e30)
-            p = jax.nn.softmax(s, axis=-1)
-            att = jnp.einsum("bhqk,bkhd->bqhd", p,
-                             sp(v).astype(jnp.float32)
-                             ).reshape(B, S, -1).astype(x.dtype)
+            att = composed_causal_attention(
+                sp(q), sp(k), sp(v), att_scale, causal=causal
+            ).reshape(B, S, -1).astype(x.dtype)
 
         # row-parallel out projection: local contraction + ONE psum over tp
         z = jnp.dot(att.reshape(B * S, -1), params["wo"],

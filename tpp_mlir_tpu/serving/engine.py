@@ -226,6 +226,30 @@ def _gather(w, idx):
     return jnp.take(w, idx, axis=0).astype(jnp.float32)
 
 
+def composed_causal_attention(q, k, v, scale, causal: bool = True):
+    """Composed (XLA-fused) attention over (B, S, H, D) heads-split
+    operands, f32 math, GQA KV broadcast if k/v carry fewer heads.
+    Returns (B, S, H, D) f32. The ONE shared definition of the
+    einsum→mask→softmax→einsum sequence — serving prefill, the tp MHA
+    forward and the GPT train step all call it, so their numerics stay
+    in lock-step (the train-vs-prefill parity test depends on that)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, S, H, D = q.shape
+    if k.shape[2] != H:
+        g = H // k.shape[2]
+        k = jnp.repeat(k, g, axis=2)
+        v = jnp.repeat(v, g, axis=2)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    if causal:
+        s = jnp.where(jnp.tril(jnp.ones((S, S), bool))[None, None],
+                      s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+
+
 def _attention_full(q, k, v, cfg: GptConfig, use_pallas: bool):
     """Causal attention over token-layout (B, S, E) projections: the flash
     kernel family under the measured delegation policy, else composed."""
@@ -257,12 +281,8 @@ def _attention_full(q, k, v, cfg: GptConfig, use_pallas: bool):
     def sp(t):
         return t.reshape(B, S, H, D)
 
-    s = jnp.einsum("bqhd,bkhd->bhqk", sp(q).astype(jnp.float32),
-                   sp(k).astype(jnp.float32)) * scale
-    s = jnp.where(jnp.tril(jnp.ones((S, S), bool))[None, None], s, -1e30)
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bkhd->bqhd", p, sp(v).astype(jnp.float32)
-                      ).reshape(B, S, E).astype(q.dtype)
+    return composed_causal_attention(sp(q), sp(k), sp(v), scale).reshape(
+        B, S, E).astype(q.dtype)
 
 
 def _prefill_layer(x, blk, cfg: GptConfig, use_pallas: bool):
