@@ -27,6 +27,10 @@ def main() -> int:
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", default="")
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--gpt", action="store_true",
+                   help="also run the GPT-2-small-class train step "
+                        "(parallel/gpt_train.py: fwd+bwd+adamw through "
+                        "the scan'd transformer stack)")
     p.add_argument("--json", default="")
     args = p.parse_args()
 
@@ -95,6 +99,73 @@ def main() -> int:
                          "pct_compute_roof": round(100 * tf / roof, 1)}
         print(f"{name}: {per*1e3:.3f} ms/step, {tf:.1f} TF = "
               f"{100 * tf / roof:.1f}% of compute roof", flush=True)
+
+    if args.gpt:
+        import optax
+
+        from tpp_mlir_tpu.parallel import make_gpt_train_step
+        from tpp_mlir_tpu.serving import (GptConfig, init_params,
+                                          stack_params)
+
+        if args.tiny:
+            cfg = GptConfig(vocab=128, embed=64, heads=4, layers=2,
+                            mlp_ratio=2, max_seq=32, dtype="f32")
+            B, S = 4, 16
+            g1, g2 = 2, 6
+        else:
+            cfg = GptConfig(vocab=50304, embed=768, heads=12, layers=12,
+                            mlp_ratio=4, max_seq=512, dtype="bf16")
+            B, S = 8, 512
+            g1, g2 = 4, 20
+        params = stack_params(init_params(cfg, seed=0))
+        step, init_state = make_gpt_train_step(
+            mesh, cfg, optax.adamw(1e-3), donate=False)
+        state = init_state(params)
+        ids = jnp.asarray(np.random.default_rng(1).integers(
+            0, cfg.vocab, (B, S)), jnp.int32)
+
+        @functools.partial(jax.jit, static_argnums=3)
+        def run_gpt(params, state, ids, n):
+            def body(carry, _):
+                params, state = carry
+                params, state, loss = step(params, state, ids)
+                return (params, state), loss
+            (_, _), losses = jax.lax.scan(
+                body, (params, state), None, length=n)
+            return losses
+
+        float(jnp.sum(run_gpt(params, state, ids, g1)))
+        float(jnp.sum(run_gpt(params, state, ids, g2)))
+        slopes = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            float(jnp.sum(run_gpt(params, state, ids, g1)))
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(jnp.sum(run_gpt(params, state, ids, g2)))
+            tl = time.perf_counter() - t0
+            slopes.append((tl - ts) / (g2 - g1))
+        slopes.sort()
+        per = slopes[len(slopes) // 2]
+        # matmul flops only (fwd 2MNK; bwd dgrad+wgrad = 2x fwd); the
+        # attention square terms included, LN/softmax/adamw excluded
+        E, L, V = cfg.embed, cfg.layers, cfg.vocab
+        per_layer = (2 * B * S * E * (3 * E)      # qkv
+                     + 2 * 2 * B * S * S * E      # QK^T and PV
+                     + 2 * B * S * E * E          # out proj
+                     + 2 * 2 * B * S * E * (cfg.mlp_ratio * E))  # fc1+fc2
+        fwd = L * per_layer + 2 * B * S * E * V   # + LM head
+        flops = 3 * fwd
+        tf = flops / per / 1e12
+        roof = roofline_flops(cfg.dtype) / 1e12
+        tok_s = B * S / per
+        results["train_gpt"] = {
+            "ms_per_step": round(per * 1e3, 3), "tflops": round(tf, 1),
+            "pct_compute_roof": round(100 * tf / roof, 1),
+            "tokens_per_s": round(tok_s, 0)}
+        print(f"train_gpt b{B} s{S} {cfg.dtype}: {per*1e3:.2f} ms/step, "
+              f"{tf:.1f} TF = {100 * tf / roof:.1f}% of compute roof "
+              f"({tok_s:,.0f} tok/s)", flush=True)
 
     if args.json:
         json.dump(results, open(args.json, "w"), indent=1)
