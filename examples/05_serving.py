@@ -88,3 +88,18 @@ greedy = make_generate(cfg, steps=10, temperature=0.0)(
 print("speculative == target greedy:",
       bool((stoks == greedy).all()),
       f"(acceptance {int(stats['accepted'])}/{int(stats['drafted'])})")
+
+# --- continuous batching: slot scheduler over the slotted decode step ---
+# requests of different lengths flow through a fixed array of slots; a
+# finished slot is immediately re-filled from the queue (no batch drain)
+from tpp_mlir_tpu.serving import BatchingEngine, init_params as _init
+
+uparams = _init(cfg, seed=0)      # hybrid layout: engine stacks for prefill
+eng = BatchingEngine(uparams, cfg, slots=2, sync_steps=4,
+                     buckets=(16, 32), seed=0)
+rng = np.random.default_rng(1)
+rids = [eng.submit(rng.integers(0, cfg.vocab, n), max_new=8)
+        for n in (5, 20, 9, 31, 13)]
+done = eng.run()
+for rid in rids:
+    print(f"continuous req {rid}: {done[rid]}")
