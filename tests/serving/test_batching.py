@@ -164,3 +164,31 @@ def test_tpp_serve_continuous_cli(capsys):
     lines = [ln for ln in out.splitlines() if ln.startswith("req ")]
     assert len(lines) == 3 and all(len(ln.split(": ")[1].split()) == 4
                                    for ln in lines)
+
+
+def test_batching_tp_decode_matches_single_device():
+    """Continuous batching over a tensor-parallel decode mesh (heads +
+    KV cache sharded over tp) must emit exactly the single-device
+    engine's tokens on the same trace."""
+    from tpp_mlir_tpu.parallel import make_mesh
+
+    params = init_params(CFG, seed=7)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, CFG.vocab, n).astype(np.int32)
+               for n in (4, 11, 7)]
+
+    single = BatchingEngine(params, CFG, slots=2, sync_steps=2,
+                            buckets=(4, 8, 16), use_pallas=False)
+    want = {}
+    for p in prompts:
+        want[single.submit(p, max_new=7)] = None
+    want = single.run()
+
+    mesh = make_mesh({"tp": 4})
+    tp = BatchingEngine(params, CFG, slots=2, sync_steps=2,
+                        buckets=(4, 8, 16), tp_mesh=mesh,
+                        use_pallas=False)
+    rids = [tp.submit(p, max_new=7) for p in prompts]
+    got = tp.run()
+    for rid in rids:
+        assert got[rid] == want[rid], rid

@@ -91,16 +91,25 @@ def make_insert(cfg: GptConfig):
 
 def make_decode_loop(cfg: GptConfig, sync_steps: int,
                      temperature: float = 0.0, top_k: int = 0,
-                     top_p: float = 0.0):
+                     top_p: float = 0.0, mesh=None, tp_axis: str = "tp",
+                     quantized: bool = False):
     """Return jitted ``loop(params, cache, tok, rng) ->
     (toks (sync_steps, B), cache, tok, rng)``: ``sync_steps`` decode
     iterations under one `lax.scan`, sampling on device, emitting only
     the (sync_steps, B) int32 token ids to the host — the per-sync
-    transfer is bytes, not logits."""
+    transfer is bytes, not logits. With ``mesh`` the step is the
+    Megatron tensor-parallel decode (heads + KV cache sharded over
+    ``tp_axis``; shard_map reshards the inputs to the decode specs)."""
     import jax
     import jax.numpy as jnp
 
-    step = make_decode_step(cfg)
+    if mesh is None:
+        step = make_decode_step(cfg)
+    else:
+        from .engine import make_tp_decode_step
+
+        step = make_tp_decode_step(mesh, cfg, tp_axis,
+                                   quantized=quantized)
     sample = make_sampler(temperature, top_k, top_p)
 
     def loop(params, cache, tok, rng):
@@ -144,10 +153,13 @@ class BatchingEngine:
                  sync_steps: int = 4, eos_id: int | None = None,
                  buckets=DEFAULT_BUCKETS, temperature: float = 0.0,
                  top_k: int = 0, top_p: float = 0.0, seed: int = 0,
+                 tp_mesh=None, tp_axis: str = "tp",
                  use_pallas: bool | None = None):
         import jax
         import jax.numpy as jnp
         import numpy as np
+
+        from .quant import QTensor
 
         self._np, self._jnp = np, jnp
         self.cfg, self.slots, self.sync_steps = cfg, slots, sync_steps
@@ -163,8 +175,14 @@ class BatchingEngine:
                          else stack_params(params))
         self._prefill = make_prefill(cfg, use_pallas)
         self._insert = make_insert(cfg)
+        quantized = any(isinstance(leaf, QTensor) for leaf in
+                        jax.tree.leaves(
+                            params, is_leaf=lambda x: isinstance(
+                                x, QTensor)))
         self._loop = make_decode_loop(cfg, sync_steps, temperature,
-                                      top_k, top_p)
+                                      top_k, top_p, mesh=tp_mesh,
+                                      tp_axis=tp_axis,
+                                      quantized=quantized)
         self._sample = jax.jit(make_sampler(temperature, top_k, top_p))
         self.cache = init_slot_cache(cfg, slots)
         self.tok = jnp.zeros((slots,), jnp.int32)

@@ -142,11 +142,16 @@ def main(argv=None) -> int:
         prompts = [rng.integers(0, cfg.vocab, int(n)).astype(np.int32)
                    for n in rng.integers(1, args.prompt_len + 1,
                                          args.continuous)]
+        tp_mesh = None
+        if args.tp:
+            from tpp_mlir_tpu.parallel import make_mesh
+
+            tp_mesh = make_mesh({"tp": args.tp})
         eng = BatchingEngine(uparams, cfg, slots=args.batch,
                              sync_steps=args.sync_steps,
                              temperature=args.temperature,
                              top_k=args.top_k, top_p=args.top_p,
-                             seed=args.seed)
+                             seed=args.seed, tp_mesh=tp_mesh)
         rids = [eng.submit(pr, max_new=args.steps) for pr in prompts]
         t0 = time.perf_counter()
         done = eng.run()
