@@ -70,7 +70,7 @@ def main() -> int:
     p.add_argument("--kv-heads", type=int, default=0,
                    help="GQA: KV heads < query heads (0 = MHA); shrinks "
                         "the decode KV read by heads/kv_heads")
-    p.add_argument("--quant", choices=["int8"], default="",
+    p.add_argument("--quant", choices=["int8", "int4"], default="",
                    help="weight-only quantization: matmul weights + LM "
                         "head stored int8 with per-out-channel scales "
                         "(serving/quant.py) — halves the bf16 weight "
@@ -122,10 +122,10 @@ def main() -> int:
     params = init_params(cfg, seed=0)
     if args.quant:
         from tpp_mlir_tpu.serving import quantize_params
-        params = quantize_params(params)
+        params = quantize_params(params, bits=int(args.quant[3:]))
     sparams = stack_params(params)
-    param_bytes = sum(x.size * x.dtype.itemsize
-                      for x in jax.tree.leaves(params))
+    from tpp_mlir_tpu.serving import quantized_bytes
+    param_bytes = quantized_bytes(params)   # int4 counts 0.5 B/elem
     tgt = current_target()
     results = {"config": {"embed": cfg.embed, "layers": cfg.layers,
                           "heads": cfg.heads, "vocab": cfg.vocab,

@@ -307,3 +307,54 @@ def test_quantized_gqa_decode():
     dlog, _ = step(dparams, dcache, tok)
     np.testing.assert_allclose(np.asarray(qlog), np.asarray(dlog),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_int4_roundtrip_error_bound():
+    w = jax.random.normal(jax.random.PRNGKey(9), (48, 96), jnp.float32)
+    qt = quantize(w, bits=4)
+    assert qt.q.dtype == jnp.int4 and qt.q.shape == w.shape
+    err = np.abs(np.asarray(dequantize(qt)) - np.asarray(w))
+    bound = np.asarray(qt.scale)[0] / 2 + 1e-7   # |err| <= scale/2
+    assert (err <= bound[None, :]).all()
+
+
+def test_int4_prefill_matches_dequantized_reference():
+    """The factoring (x @ q) * scale is exact for int4 too: the int4
+    engine must match the full-precision engine on DEQUANTIZED params
+    to float tolerance (quantization error itself cancels out)."""
+    params = stack_params(init_params(CFG, seed=10))
+    qparams = quantize_params(params, bits=4)
+    ids = jnp.asarray(np.random.default_rng(10).integers(
+        0, CFG.vocab, (2, 8)), jnp.int32)
+    prefill = make_prefill(CFG, use_pallas=False)
+    ql, qc = prefill(qparams, ids)
+    from tpp_mlir_tpu.serving import dequantize_params
+    fl, fc = prefill(dequantize_params(qparams), ids)
+    np.testing.assert_allclose(np.asarray(ql), np.asarray(fl),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(qc["k"]), np.asarray(fc["k"]),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_int4_bytes_half_of_int8():
+    params = init_params(CFG, seed=0)
+    b8 = quantized_bytes(quantize_params(params))
+    b4 = quantized_bytes(quantize_params(params, bits=4))
+    assert b4 < b8   # matmul weights halve again (0.5 B/elem packed)
+    w = params["blocks"][0]["wq"]
+    scale_bytes = quantize(w).scale.size * 4
+    payload8 = quantized_bytes({"w": quantize(w)}) - scale_bytes
+    payload4 = quantized_bytes({"w": quantize(w, bits=4)}) - scale_bytes
+    assert payload4 * 2 == payload8
+
+
+def test_int4_generate_and_batching_smoke():
+    params = init_params(CFG, seed=11)
+    q = quantize_params(params, bits=4)
+    from tpp_mlir_tpu.serving import BatchingEngine
+    eng = BatchingEngine(q, CFG, slots=2, sync_steps=2, buckets=(8,),
+                         use_pallas=False)
+    rids = [eng.submit(np.arange(1, 6) % CFG.vocab, max_new=4)
+            for _ in range(3)]
+    out = eng.run()
+    assert all(len(out[r]) == 4 for r in rids)

@@ -42,15 +42,25 @@ class QTensor(NamedTuple):
     scale: object   # f32 array, shape[..., 1, out]
 
 
-def quantize(w, axis: int = -2):
+def quantize(w, axis: int = -2, bits: int = 8):
     """Quantize one weight matrix per-output-channel along ``axis`` (the
-    contraction/in dim; default -2 for (in, out) layouts)."""
+    contraction/in dim; default -2 for (in, out) layouts).
+
+    bits: 8 (int8, qmax 127) or 4 (int4, qmax 7 — XLA:TPU stores int4
+    PACKED in HBM, so the weight read drops to half a byte per element;
+    per-channel int4 is coarse — max abs err max|col|/14 — acceptable
+    for bandwidth experiments, production int4 wants finer groups)."""
     import jax.numpy as jnp
 
+    assert bits in (8, 4), bits
+    qmax = {8: 127.0, 4: 7.0}[bits]
+    dt = {8: jnp.int8, 4: jnp.int4}[bits]
     wf = jnp.asarray(w).astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
-    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    q = jnp.round(wf / scale).astype(jnp.int8)
+    scale = jnp.where(amax > 0, amax / qmax, 1.0)
+    # round-to-nearest in int8 precision first: jnp.round->astype(int4)
+    # would wrap values outside [-8, 7] from fp rounding at the clip edge
+    q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(dt)
     return QTensor(q=q, scale=scale)
 
 
@@ -70,12 +80,13 @@ def dequantize(t):
 _BLOCK_MATMUL_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2")
 
 
-def quantize_params(params, include_embed: bool = False):
+def quantize_params(params, include_embed: bool = False, bits: int = 8):
     """Quantize every block matmul weight + the LM head of a serving
     params pytree (engine.init_params / params_from_torch layouts,
     stacked or unstacked). ``include_embed`` also quantizes wte/wpe
     (gather-only traffic: saves memory footprint, not decode bandwidth;
-    wte uses per-ROW scales since rows are gathered).
+    wte uses per-ROW scales since rows are gathered). ``bits``: 8 or 4
+    (see `quantize`).
 
     Returns a new pytree in which quantized leaves are QTensor nodes —
     everything downstream (jit/scan/shard_map/stack_params) treats them
@@ -85,22 +96,19 @@ def quantize_params(params, include_embed: bool = False):
     def qblock(blk):
         b = dict(blk)
         for k in _BLOCK_MATMUL_KEYS:
-            b[k] = quantize(b[k])
+            b[k] = quantize(b[k], bits=bits)
         return b
 
     blocks = params["blocks"]
     if isinstance(blocks, dict):     # stacked (L, in, out): axis=-2 = in
-        b = dict(blocks)
-        for k in _BLOCK_MATMUL_KEYS:
-            b[k] = quantize(b[k])
-        out["blocks"] = b
+        out["blocks"] = qblock(blocks)
     else:
         out["blocks"] = [qblock(blk) for blk in blocks]
-    out["lm_head"] = quantize(params["lm_head"])
+    out["lm_head"] = quantize(params["lm_head"], bits=bits)
     if include_embed:
         # embeddings are GATHERED by row -> per-row scales (axis=-1)
-        out["wte"] = quantize(params["wte"], axis=-1)
-        out["wpe"] = quantize(params["wpe"], axis=-1)
+        out["wte"] = quantize(params["wte"], axis=-1, bits=bits)
+        out["wpe"] = quantize(params["wpe"], axis=-1, bits=bits)
     return out
 
 
@@ -129,8 +137,16 @@ def quantize_tokens(x, axis: int = -1):
 
 
 def quantized_bytes(params):
-    """Total parameter bytes as stored (int8 leaves count 1 byte) — the
-    decode bandwidth denominator."""
+    """Total parameter bytes as stored — the decode bandwidth
+    denominator. int8 leaves count 1 byte; int4 counts HALF a byte
+    (XLA:TPU packs two int4 per byte in HBM; host-side emulation may
+    report itemsize 1, which would overstate the read)."""
     import jax
+    import jax.numpy as jnp
 
-    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    def nbytes(x):
+        if x.dtype == jnp.int4:
+            return x.size * 0.5
+        return x.size * x.dtype.itemsize
+
+    return int(sum(nbytes(x) for x in jax.tree.leaves(params)))

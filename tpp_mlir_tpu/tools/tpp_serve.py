@@ -39,9 +39,9 @@ def main(argv=None) -> int:
     p.add_argument("--top-p", type=float, default=0.0,
                    help="nucleus sampling: smallest mass >= p")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--quant", choices=["int8"], default="",
-                   help="weight-only int8 (matmul weights + LM head, "
-                        "per-out-channel scales)")
+    p.add_argument("--quant", choices=["int8", "int4"], default="",
+                   help="weight-only quantization (matmul weights + LM head, "
+                        "per-out-channel scales; int4 packs 2/byte on TPU)")
     p.add_argument("--kv-quant", choices=["int8"], default="",
                    help="int8 KV cache with per-(token, head) scales")
     p.add_argument("--speculative", type=int, default=0, metavar="K",
@@ -99,7 +99,7 @@ def main(argv=None) -> int:
     if args.quant:
         from tpp_mlir_tpu.serving import quantize_params
 
-        params = quantize_params(params)
+        params = quantize_params(params, bits=int(args.quant[3:]))
     ids = jnp.asarray(np.random.default_rng(args.seed).integers(
         0, cfg.vocab, (args.batch, args.prompt_len)), jnp.int32)
 
@@ -137,7 +137,7 @@ def main(argv=None) -> int:
         if args.quant:
             from tpp_mlir_tpu.serving import quantize_params
 
-            uparams = quantize_params(uparams)
+            uparams = quantize_params(uparams, bits=int(args.quant[3:]))
         rng = np.random.default_rng(args.seed)
         prompts = [rng.integers(0, cfg.vocab, int(n)).astype(np.int32)
                    for n in rng.integers(1, args.prompt_len + 1,
