@@ -24,7 +24,8 @@ tested against unsharded oracles:
 
 from .mesh import make_mesh, task_grid_mesh
 from .moe import make_moe_forward, moe_init, moe_reference
-from .pipeline import (make_pipeline_forward, pipeline_init,
+from .pipeline import (make_pipeline_forward, make_pipeline_train_step,
+                       pipeline_init, pipeline_param_specs,
                        pipeline_reference)
 from .runner import data_parallel_run, shard_run
 from .sequence import make_ring_attention, ring_attention_reference
@@ -38,6 +39,7 @@ __all__ = ["make_mesh", "task_grid_mesh", "data_parallel_run", "shard_run",
            "make_optim_train_step", "opt_state_shardings",
            "make_gpt_train_step",
            "make_mha_forward", "mha_params", "mha_param_specs",
-           "make_pipeline_forward", "pipeline_init", "pipeline_reference",
+           "make_pipeline_forward", "make_pipeline_train_step",
+           "pipeline_init", "pipeline_param_specs", "pipeline_reference",
            "make_moe_forward", "moe_init", "moe_reference",
            "make_ring_attention", "ring_attention_reference"]
