@@ -22,7 +22,36 @@ LAYERS = (1024, 1024, 1024, 1024)
 BATCH = 256
 
 
+def _device_available(timeout_s: float = 600.0) -> bool:
+    """Backend init in a daemon thread with a bound: a dead axon tunnel
+    makes jax.devices() hang forever, which would wedge the driver's
+    round-end bench run — fail fast with a diagnostic line instead."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+
+        ok.append(len(jax.devices()) > 0)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok and ok[0])
+
+
 def main() -> int:
+    if not _device_available():
+        print(json.dumps({
+            "metric": f"fused_mlp_{len(LAYERS)-1}x{LAYERS[1]}_{DTYPE}"
+                      "_gflops",
+            "value": 0.0, "unit": "GFLOP/s", "vs_baseline": 0.0,
+            "error": "device backend unavailable (tunnel down?) after "
+                     "600s probe",
+        }))
+        return 1
+
     import jax.numpy as jnp
     import numpy as np
 
