@@ -115,3 +115,83 @@ def test_tpp_run_n_falls_back_when_unchainable():
     res = run_module(m, "entry", n=4, out_stream=out)
     assert res["mean_seconds"] > 0           # harness fallback still times
     assert "perf.bench" not in print_module(res["module"])
+
+
+LN_GEMM = """func @step(%x: tensor<64x128xf32>, %g: tensor<128xf32>, %b: tensor<128xf32>, %w: tensor<128x128xf32>, %bias: tensor<128xf32>) {
+  %0 = tl.layer_norm %x, %g, %b {eps = 1e-05} : tensor<64x128xf32>
+  %1 = tl.constant {init = "zero"} : tensor<64x128xf32>
+  %2 = tl.matmul %0, %w, %1 : tensor<64x128xf32>
+  %3 = tl.add %2, %bias : tensor<64x128xf32>
+  %4 = tl.gelu %3 : tensor<64x128xf32>
+  return %4 : tensor<64x128xf32>
+}
+"""
+
+
+def test_ln_prologue_not_extracted_and_bench_keeps_ln():
+    """Regression: a fused_brgemm carrying an LN prologue must NOT ride
+    the ChainKey warm extraction (ChainKey cannot express the prologue —
+    the warm bench would time AND return a different computation); the
+    scan lowering must produce the LN-included value."""
+    from tpp_mlir_tpu.passes import run_pipeline
+    from tpp_mlir_tpu.runtime.executor import extract_bench_kernel
+    from tpp_mlir_tpu.runtime import interpret
+
+    m = parse_module(LN_GEMM)
+    run_pipeline(m, "default-tpp-passes")
+    s = print_module(m)
+    assert 'prologue = "layer_norm"' in s, "precondition: LN fused"
+    assert extract_bench_kernel(m, "step") is None
+
+    # the bench wrapper (scan lowering) returns the LN-included result
+    from tpp_mlir_tpu.tools.tpp_run import wrap_bench_main
+
+    ref = parse_module(LN_GEMM)
+    args = (rng(64, 128), rng(128, seed=1) * 0.1 + 1.0,
+            rng(128, seed=2) * 0.1, rng(128, 128, seed=3) * 0.05,
+            rng(128, seed=4))
+    # perf.bench chains n applications: result feeds back as %x
+    cur = args[0]
+    for _ in range(3):
+        out = interpret(ref, "step", cur, *args[1:])
+        cur = out[0] if isinstance(out, tuple) else out
+    wrapper = wrap_bench_main(m, "step", 3)
+    outs = tpp_compile(m, wrapper, jit=False)(*args)
+    np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(cur),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_perf_ops_refuse_jitted_compile():
+    """Host timers inside a jitted program would bake trace-time
+    constants into the HLO — compile(jit=True) of perf IR raises."""
+    text = """func @main(%x: tensor<8x16xf32>) {
+  %t0 = perf.timer_start : tensor<i64>
+  %e = perf.timer_stop %t0 : tensor<f32>
+  return %x : tensor<8x16xf32>
+}
+"""
+    m = parse_module(text)
+    fn = tpp_compile(m, "main", jit=True)
+    with pytest.raises(NotImplementedError, match="jitted"):
+        fn(rng(8, 16))
+
+
+def test_bench_scan_path_with_check_ops():
+    """Regression: the scan bench compiles its callee with checks NOT
+    enforced — the check wrapper's host bool() would crash on tracers
+    inside the scan body."""
+    text = """func @step(%x: tensor<8x16xf32>, %w: tensor<16x16xf32>) {
+  %0 = tl.constant {init = "zero"} : tensor<8x16xf32>
+  %1 = tl.matmul %x, %w, %0 : tensor<8x16xf32>
+  check.expect_sane %1
+  return %1 : tensor<8x16xf32>
+}
+func @main(%x: tensor<8x16xf32>, %w: tensor<16x16xf32>) {
+  %t, %r = perf.bench %x, %w {callee = "step", n = 4} : tensor<f32>, tensor<8x16xf32>
+  return %t, %r : tensor<f32>, tensor<8x16xf32>
+}
+"""
+    m = parse_module(text)
+    t, r = tpp_compile(m, "main", jit=False)(rng(8, 16),
+                                             rng(16, 16, seed=1))
+    assert float(t) > 0 and np.isfinite(np.asarray(r)).all()

@@ -438,3 +438,22 @@ def test_flash_causal_auto_routes_twocall_at_2048():
     np.testing.assert_allclose(np.asarray(kfn(q, k, v), np.float32),
                                np.asarray(rfn(q, k, v), np.float32),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_flash_block_overrides_must_divide():
+    """Regression: the blocked path has no tail masking — a user bq/bk
+    override that doesn't divide seq/seq_kv would let padded KV columns
+    add unmasked mass to the softmax denominator. Reject loudly."""
+    import pytest
+
+    from tpp_mlir_tpu.xsmm import build_kernel
+    from tpp_mlir_tpu.xsmm.flags import FlashMhaKey
+
+    with pytest.raises(ValueError, match="must divide"):
+        build_kernel(FlashMhaKey(batch=2, seq=256, seq_kv=384,
+                                 head_dim=64, strategy="blocked", bk=256),
+                     interpret=True)
+    with pytest.raises(ValueError, match="must divide"):
+        build_kernel(FlashMhaKey(batch=2, seq=384, seq_kv=256,
+                                 head_dim=64, strategy="blocked", bq=256),
+                     interpret=True)

@@ -179,8 +179,6 @@ def _eval_tl(op: Operation, vals: list, interpret_kernels: bool):
         from ..ir.affine import eval_generic
         return eval_generic(op, vals)
     if name == "tl.layer_norm":
-        import jax
-
         x = acc32(vals[0])
         mean = jnp.mean(x, axis=-1, keepdims=True)
         d = x - mean
@@ -479,7 +477,8 @@ def _eval_xsmm(op: Operation, vals: list,
 # ---------------------------------------------------------------------------
 
 def _run_func(func: Function, args, interpret_kernels: bool | None,
-              with_checks: bool, check_cb=None, preset=None):
+              with_checks: bool, check_cb=None, preset=None,
+              host_timers: bool = True):
     env: dict[int, Any] = dict(preset) if preset else {}
     for a, v in zip(func.args, args):
         env[id(a)] = v
@@ -495,7 +494,8 @@ def _run_func(func: Function, args, interpret_kernels: bool | None,
                 continue
             res = _eval_xsmm(op, vals, interpret_kernels)
         elif op.opname.startswith("perf."):
-            res = _eval_perf(op, vals, interpret_kernels)
+            res = _eval_perf(op, vals, interpret_kernels,
+                             host_timers=host_timers)
         elif op.opname.startswith("check."):
             if with_checks and check_cb is not None:
                 check_cb(op, vals)
@@ -513,7 +513,17 @@ def _run_func(func: Function, args, interpret_kernels: bool | None,
     return tuple(env[id(v)] for v in func.returns)
 
 
-def _eval_perf(op: Operation, vals, interpret_kernels=None):
+def _eval_perf(op: Operation, vals, interpret_kernels=None,
+               host_timers: bool = True):
+    if not host_timers and op.opname != "perf.sink":
+        # under jit tracing, a host perf_counter difference would bake
+        # into the HLO as a constant (meaningless timing) and perf.bench's
+        # completion forces would crash on tracers — refuse loudly; the
+        # CLI bench paths compile with jit=False (run_module/_eval_bench)
+        raise NotImplementedError(
+            f"{op.opname} cannot run inside a jitted program; compile "
+            "with jit=False (the bench harness times whole compiled "
+            "programs instead)")
     if op.opname == "perf.timer_start":
         return time.perf_counter_ns()
     if op.opname == "perf.timer_stop":
@@ -572,16 +582,33 @@ def _eval_bench(op: Operation, vals, interpret_kernels):
             import dataclasses
 
             key, get_operands = ext
-            fn = global_cache().dispatch(
-                dataclasses.replace(key, repeats=n), interpret_kernels)
+            try:
+                fn = global_cache().dispatch(
+                    dataclasses.replace(key, repeats=n),
+                    interpret_kernels)
+            except ValueError:
+                # warm builder rejected the shape (e.g. attention KV +
+                # scores exceed the VMEM gate): fall back to the scan
+                # chain instead of crashing the bench run
+                ext = None
+        if ext is not None:
             operands = get_operands(vals)
             _force(fn(*operands))  # compile, excluded
             best, out = timed(lambda: fn(*operands))
+            # re-apply any skipped layout tail (tl.unpack/tl.reshape) so
+            # the bench RESULT carries the op's declared type, not the
+            # kernel's packed layout
+            post = getattr(get_operands, "post", None)
+            if post is not None:
+                out = post(out)
             return (jnp.float32(best / n), out)
 
-    # Lowering 2: scan chain
+    # Lowering 2: scan chain. Checks are enforced on the single-shot
+    # result path, not inside the timed scan: the check wrapper's host
+    # bool() would crash on tracers in the scan body and it hides
+    # raw_fn/hoisted_literals (the >=64KB-literal HTTP-413 hazard).
     step = compile(module, callee, interpret_kernels=interpret_kernels,
-                   jit=not interp)
+                   jit=not interp, enforce_checks=False)
     if interp:
         # eager host loop — the interpreter's reference semantics
         cur = list(vals)
@@ -667,9 +694,10 @@ def compile(module: Module, func_name: str = "entry",
     (lib/TPP/Conversion/ConvertCheckToLoops/ConvertCheckToLoops.cpp:1-191),
     which compiles checks into the optimized binary so integration tests
     assert on the real artifact. Programs without check ops pay nothing
-    (no extra outputs, no host sync). perf.* ops are skipped — the bench
-    harness times whole compiled programs on device, matching perf.bench
-    semantics.
+    (no extra outputs, no host sync). perf.* ops require jit=False (host
+    timers inside a traced program would bake trace-time constants into
+    the HLO; _eval_perf raises) — the bench harness times whole compiled
+    programs on device, matching perf.bench semantics.
 
     Large tl.constant values (>= HOIST_MIN_BYTES) are evaluated once here
     and passed to the jitted program as trailing arguments (see
@@ -691,7 +719,8 @@ def compile(module: Module, func_name: str = "entry",
         def fn(*args):
             preset = dict(zip(hoist_ids, args[n_args:]))
             outs = _run_func(func, args[:n_args], interpret_kernels,
-                             with_checks=False, preset=preset)
+                             with_checks=False, preset=preset,
+                             host_timers=not jit)
             return outs[0] if len(outs) == 1 else outs
 
         if not jit:
@@ -715,7 +744,8 @@ def compile(module: Module, func_name: str = "entry",
 
         preset = dict(zip(hoist_ids, args[n_args:]))
         outs = _run_func(func, args[:n_args], interpret_kernels,
-                         with_checks=True, check_cb=cb, preset=preset)
+                         with_checks=True, check_cb=cb, preset=preset,
+                         host_timers=not jit)
         res = outs[0] if len(outs) == 1 else outs
         return res, tuple(statuses)
 
@@ -778,12 +808,34 @@ def extract_bench_kernel(module: Module, func_name: str = "entry"):
     # allow a pure-layout epilogue (unpack/reshape) between invoke and
     # return: boundary relayout is one-time teardown, excluded from the
     # warm timed region exactly like the input packs are
+    tail_ops = []
     tail = func.returns[0].owner
     while tail is not None and tail is not inv \
             and tail.opname in ("tl.unpack", "tl.reshape"):
+        tail_ops.append(tail)
         tail = tail.operands[0].owner
     if tail is not inv:
         return None
+    tail_ops.reverse()
+
+    def _with_post(get_operands):
+        """Attach a .post that re-applies the skipped layout tail to the
+        bench output, so the result carries the op's DECLARED type (the
+        unpacked shape), matching what the scan path returns."""
+        if tail_ops:
+            def post(out):
+                import jax.numpy as jnp
+
+                for top in tail_ops:
+                    if top.opname == "tl.reshape":
+                        out = jnp.reshape(out, top.result.type.shape)
+                    else:
+                        out = _unpack_val(out, top.attrs,
+                                          top.result.type.shape)
+                return out
+            get_operands.post = post
+        return get_operands
+
     d = inv.operands[0].owner
 
     if inv.opname == "xsmm.fused_chain":
@@ -795,6 +847,8 @@ def extract_bench_kernel(module: Module, func_name: str = "entry"):
         # weight stays VMEM-resident, output feeds back as the packed
         # activation — legal for square feedback only
         a = d.attrs
+        if a.get("prologue"):
+            return None   # BlockedMatmulKey cannot express an LN prologue
         key = _dispatch_key(d, inv)
         if key.Nb != key.Kb or key.nb != key.kb:
             return None
@@ -824,7 +878,7 @@ def extract_bench_kernel(module: Module, func_name: str = "entry"):
             # kernel signature is fn(a, b, c=None, d=None); beta_0 -> no c
             return ((vals[0], vals[1], None, vals[2]) if _bias
                     else (vals[0], vals[1]))
-        return key, get_operands
+        return key, _with_post(get_operands)
     elif inv.opname in ("xsmm.fused_brgemm", "xsmm.gemm"):
         a = d.attrs
         if a.get("layout", "flat") != "flat" or a.get("batch", 1) != 1:
@@ -833,11 +887,22 @@ def extract_bench_kernel(module: Module, func_name: str = "entry"):
             return None
         if a.get("vnni") or "transpose_b" in a.get("flags", ()):
             return None
+        if a.get("prologue"):
+            # LN-prologue fused GEMM (fuse-ln-gemm): ChainKey cannot
+            # express the prologue — extracting without it would time and
+            # RETURN a different computation; the scan bench handles it
+            return None
         has_bias = (inv.opname == "xsmm.fused_brgemm"
                     and a.get("binary_kind") == "add"
                     and a.get("binary_bcast", "bcast_col") == "bcast_col")
         if inv.opname == "xsmm.fused_brgemm" \
                 and a.get("binary_kind") not in ("add", "none", None):
+            return None
+        if inv.opname == "xsmm.fused_brgemm" \
+                and a.get("binary_kind") == "add" and not has_bias:
+            # an add with non-bcast_col broadcast can't ride the chain
+            # kernel's bias slot — dropping it would mis-time AND
+            # mis-compute; scan bench instead
             return None
         un = a.get("unary_kind")
         key = ChainKey(
@@ -858,7 +923,8 @@ def extract_bench_kernel(module: Module, func_name: str = "entry"):
         # the scan bench.
         key = _dispatch_key(d, inv)
         wb_ops = list(inv.operands[1:])
-        return key, _make_operand_eval(func, inv, wb_ops, reshape2d=False)
+        return key, _with_post(
+            _make_operand_eval(func, inv, wb_ops, reshape2d=False))
     else:
         return None
 
@@ -892,7 +958,8 @@ def extract_bench_kernel(module: Module, func_name: str = "entry"):
     if weights + biases + bufs > int(current_target().vmem_bytes * 0.9):
         return None
 
-    return key, _make_operand_eval(func, inv, wb_ops, reshape2d=True)
+    return key, _with_post(
+        _make_operand_eval(func, inv, wb_ops, reshape2d=True))
 
 
 def _make_operand_eval(func, inv, wb_ops, reshape2d: bool):

@@ -1300,6 +1300,17 @@ def _build_flash_mha(key, interpret: bool):
     bk = key.bk or _divisor_block(Skv, 1024, lane if Skv % lane == 0 else sub)
     while 4 * bq * bk > current_target().vmem_bytes // 3 and bk > 256:
         bk //= 2
+    # blocks must DIVIDE: the grid has no tail masking, so a padded final
+    # KV block would add unmasked mass to the softmax denominator (and a
+    # padded q block would write garbage rows). User overrides that don't
+    # divide are rejected loudly; the VMEM halving re-snaps to a divisor.
+    if Skv % bk:
+        if key.bk:
+            raise ValueError(
+                f"flash bk override {key.bk} must divide seq_kv {Skv}")
+        bk = _divisor_block(Skv, bk, sub)
+    if S % bq:
+        raise ValueError(f"flash bq override {key.bq} must divide seq {S}")
     nq = pl.cdiv(S, bq)
     nk = pl.cdiv(Skv, bk)
     if key.strategy == "grouped":
@@ -1430,9 +1441,10 @@ def _build_chain_bench_pingpong(key, interpret: bool):
     contract the state with the SAME resident weight on its n axis to
     return to width k. Every repeat is one full m*k*n MXU contraction with
     a hard data dependency on the previous one, so nothing folds away;
-    the output is the state after the last FORWARD step (== a single fc
-    application for any even repeat count, which the differential test
-    uses)."""
+    the output is the state after the last FORWARD step. NOTE: W^T is not
+    W^-1, so that state equals a single fc application ONLY at R == 2 —
+    for larger R it is the end of the fwd/back sequence (the differential
+    test, tests/xsmm/test_chain.py, models exactly that sequence)."""
     m, (k, n) = key.m, key.dims
     mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
     out_dtype = _jdt(key.out_dtype or key.dtype)
@@ -1613,7 +1625,9 @@ def _build_flash_bench(key, interpret: bool):
     fixed = 2 * Skv * D * dsz
 
     def need(bq_):
-        return (fixed + bq_ * D * (2 * dsz + 4) + 8 * bq_ * Skv)
+        # q/out blocks double-buffered (changing indices); the f32
+        # feedback scratch is persistent (single)
+        return (fixed + bq_ * D * (4 * dsz + 4) + 8 * bq_ * Skv)
 
     bq = 0
     cand = S
@@ -1930,8 +1944,10 @@ def _build_flash_mha_qblock(key, interpret: bool):
     fixed = 2 * Skv * D * dsz                      # resident K + V
 
     def need(bq_):
-        # q + out blocks, f32 scores + one f32-sized temp for exp/p
-        return (fixed + bq_ * D * (dsz + jnp.dtype(out_dtype).itemsize)
+        # q + out blocks DOUBLE-BUFFERED (changing block indices — the
+        # CLAUDE.md r3 VMEM lesson), f32 scores + one f32-sized temp
+        return (fixed
+                + 2 * bq_ * D * (dsz + jnp.dtype(out_dtype).itemsize)
                 + 8 * bq_ * Skv)
 
     bq = 0
