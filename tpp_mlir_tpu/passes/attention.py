@@ -72,7 +72,8 @@ class AttentionFusionPass(Pass):
                 # softmax(s) @ V with s from elsewhere: fuse the softmax into
                 # the batched matmul (the out-softmax-times-value kernel)
                 if len(sm.result.uses) == 1 and post_scale is None \
-                        and post_add is None and scale == 1.0:
+                        and post_add is None and scale == 1.0 \
+                        and not any(v is sm.result for v in func.returns):
                     op.set_operand(0, s_val)
                     op.attrs["softmax_lhs"] = True
                     if not sm.result.uses:

@@ -35,7 +35,12 @@ def get_tile_for_dim(dim: int, target: int, mult: int,
                      min_factor: int = 2) -> int:
     """Reference getTileForDim heuristic
     (TileConsumerAndFuseProducers.cpp:457): largest aligned divisor <= target
-    that still leaves at least `min_factor` tiles, else the dim itself."""
+    that still leaves at least `min_factor` tiles, else the dim itself.
+
+    Parity artifact, NOT the production path: tile selection goes through
+    `pick_blocks` (the MXU/VMEM-measured heuristic) — this formula models
+    cache-locality tiling on a CPU and is kept so the reference's behavior
+    stays comparable (pinned by tests/passes/test_passes.py)."""
     best = dim
     t = min(dim, target)
     t -= t % mult

@@ -84,9 +84,10 @@ class PackMatmulPass(Pass):
             if M % mb or N % nb or K % kb:
                 continue
             if M // mb < 1 or (M // mb) * (N // nb) * (K // kb) < min_dim:
-                # packing a single-tile matmul is pure overhead
-                if (M // mb, N // nb, K // kb) == (1, 1, 1):
-                    continue
+                # too few tiles to pay for the relayout (min_dim is the
+                # reference's tiny-matmul threshold; the old nested check
+                # only ever skipped the exact (1,1,1) case)
+                continue
 
             def emit(bb):
                 pa = bb.pack(A, (0, 1), (mb, kb))

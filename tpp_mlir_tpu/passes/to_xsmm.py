@@ -50,10 +50,20 @@ def infer_bcast(out_shape, operand_shape) -> str:
         n *= d
     if n == 1:
         return "bcast_scalar"
-    if len(operand_shape) >= 1 and operand_shape[-1] == out_shape[-1]:
+    aligned = (1,) * (len(out_shape) - len(operand_shape)) \
+        + tuple(operand_shape)
+    if operand_shape[-1] == out_shape[-1] \
+            and (len(aligned) < 2 or aligned[-2] == 1):
+        # a column (per-channel) bias must be CONSTANT along the row
+        # (-2) axis: a (Q, K) addend against a (N, P, Q, K) conv output
+        # varies along Q and is NOT a channel bias -- the old last-dim-
+        # only check classified it bcast_col and the kernel's
+        # reshape(1, K) crashed. Leading dims may match the output
+        # (blocked layouts carry the Nb block axis in the bias).
         return "bcast_col"
     if len(operand_shape) >= 2 and operand_shape[-2] == out_shape[-2] \
-            and operand_shape[-1] == 1:
+            and operand_shape[-1] == 1 \
+            and all(d == 1 for d in aligned[:-2]):
         return "bcast_row"
     return "none"
 
@@ -465,8 +475,13 @@ class ConvertTlToXsmmPass(Pass):
         return changed
 
 
-def _single_user(op: Operation):
+def _single_user(op: Operation, func: Function | None = None):
+    # Sole consuming op of op's single result, or None. func.returns
+    # count as an ESCAPE (they are NOT in .uses -- the systemic hole
+    # that let passes rewrite or erase returned values).
     if len(op.results) != 1 or len(op.result.uses) != 1:
+        return None
+    if func is not None and any(v is op.result for v in func.returns):
         return None
     return op.result.uses[0][0]
 
@@ -534,7 +549,7 @@ class CombineXsmmPass(Pass):
             binary_op = None
             unary_op = None
             cur = op
-            user = _single_user(cur)
+            user = _single_user(cur, func)
             bias = None
             if user is not None and user.opname == "xsmm.binary":
                 ud = user.operands[0].owner
@@ -547,7 +562,12 @@ class CombineXsmmPass(Pass):
                 # check operand order).
                 order_ok = (kind in ("add", "mul", "max")
                             or user.operands[1] is cur.result)
-                if kind in ("add", "mul", "sub", "div", "max") and order_ok:
+                # the fused kernel writes the CONTRACTION's shape: a
+                # broadcast-up binary (e.g. (1,N) gemm + (M,N) addend)
+                # must not fuse -- it would silently change m
+                shape_ok = (user.result.type.shape == cur.result.type.shape)
+                if kind in ("add", "mul", "sub", "div", "max") \
+                        and order_ok and shape_ok:
                     # bias operand is whichever isn't the contraction result
                     others = [v for v in user.operands[1:]
                               if v is not cur.result]
@@ -555,7 +575,7 @@ class CombineXsmmPass(Pass):
                         binary_op = user
                         bias = others[0]
                         cur = user
-                        user = _single_user(cur)
+                        user = _single_user(cur, func)
             if user is not None and user.opname == "xsmm.unary":
                 ud = user.operands[0].owner
                 if ud.attrs["kind"] in ("relu", "gelu", "tanh", "exp",
@@ -626,7 +646,9 @@ class CombineXsmmPass(Pass):
             # erase the chain, now dead, from last to first
             for dead in (unary_op, binary_op, op):
                 if dead is not None and dead.parent is not None \
-                        and not dead.result.uses:
+                        and not dead.result.uses \
+                        and not any(v is dead.result
+                                    for v in func.returns):
                     dd = dead.operands[0].owner
                     func.erase(dead)
                     if dd is not None and dd.parent is not None \
@@ -668,11 +690,7 @@ class FoldXsmmFlagsPass(Pass):
                 # covers lowered transposes/reshapes of constant zeros too
                 new_c = C
             elif is_zero_op(producer):
-                if is_pure_zero(producer):
-                    # pure zero (constant, incl. reshaped): safe to flag even
-                    # when shared across invokes (CSE merges identical inits)
-                    new_c = C  # keep the value; kernel won't read it
-                elif producer.opname in ("tl.zero", "tl.fill") \
+                if producer.opname in ("tl.zero", "tl.fill") \
                         and len(C.uses) == 1:
                     new_c = producer.operands[0]
                 elif len(C.uses) == 1:
@@ -773,6 +791,10 @@ class FoldResidualAccPass(Pass):
                     continue
                 if len(prod.result.uses) != 1:
                     continue  # the contraction output escapes elsewhere
+                if any(x is prod.result for x in func.returns) or (
+                        reshape is not None and any(
+                            x is reshape.result for x in func.returns)):
+                    continue  # returned: rewiring would change its value
                 pd = prod.operands[0].owner
                 flags = tuple(pd.attrs.get("flags", ()))
                 # the pass runs before fold-xsmm-flags, so "acc is dead"
@@ -796,7 +818,7 @@ class FoldResidualAccPass(Pass):
                 # reads unary_kind (executor.py: un_kind gated on fused),
                 # so absorbing there would erase the activation from the
                 # IR without ever executing it. Type must round-trip too.
-                unary_op = _single_user(op)
+                unary_op = _single_user(op, func)
                 if (unary_op is not None
                         and unary_op.opname == "xsmm.unary"
                         and prod.opname == "xsmm.fused_brgemm"
@@ -978,7 +1000,8 @@ class QkvMergePass(Pass):
             for r, p, d in zip(reshapes, prods, pds):
                 if not r.result.uses:
                     func.erase(r)
-                if not p.result.uses:
+                if not p.result.uses and not any(
+                        v is p.result for v in func.returns):
                     func.erase(p)
                 if d.parent is not None and not d.result.uses:
                     func.erase(d)
@@ -1013,13 +1036,13 @@ class FuseLnGemmPass(Pass):
             if op.parent is None or op.opname != "xsmm.layer_norm":
                 continue
             ld = op.operands[0].owner
-            user = _single_user(op)
+            user = _single_user(op, func)
             if user is None:
                 continue
             reshape = None
             if user.opname == "tl.reshape":
                 reshape = user
-                user = _single_user(user)
+                user = _single_user(user, func)
                 if user is None:
                     continue
             if user.opname != "xsmm.fused_brgemm":
@@ -1072,7 +1095,8 @@ class FuseLnGemmPass(Pass):
                 func.erase(gd)
             if reshape is not None and not reshape.result.uses:
                 func.erase(reshape)
-            if not op.result.uses:
+            if not op.result.uses and not any(
+                    v is op.result for v in func.returns):
                 func.erase(op)
                 if ld.parent is not None and not ld.result.uses:
                     func.erase(ld)
