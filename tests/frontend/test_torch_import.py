@@ -385,3 +385,83 @@ def test_gpt_driver_row_builds():
     ids = np.asarray(args[0])
     assert ids.dtype == np.int32
     assert ids.min() >= 0 and ids.max() < 96
+
+
+def test_pool_with_padding_refused():
+    """The tl pool cannot express padding/dilation/ceil_mode: importing
+    them silently (a 3x3/s2/p1 ResNet stem pool!) diverged from torch."""
+    import torch.nn as nn
+
+    from tpp_mlir_tpu.frontend.torch_import import import_torch
+
+    with pytest.raises(NotImplementedError, match="padding"):
+        import_torch(nn.MaxPool2d(3, stride=2, padding=1), (2, 8, 8, 8))
+    with pytest.raises(NotImplementedError, match="ceil_mode"):
+        import_torch(nn.AvgPool2d(2, ceil_mode=True), (2, 8, 8, 8))
+
+
+def test_fx_attn_mask_without_is_causal_refused():
+    """attn_mask passed WITHOUT is_causal=True must not silently import
+    as bidirectional attention."""
+    import torch
+    import torch.nn as nn
+
+    from tpp_mlir_tpu.frontend.torch_import import import_torch_fx
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.attn = nn.MultiheadAttention(32, 4, batch_first=True)
+            self.register_buffer(
+                "mask", torch.triu(torch.ones(8, 8, dtype=torch.bool), 1))
+
+        def forward(self, x):
+            return self.attn(x, x, x, attn_mask=self.mask,
+                             need_weights=False)[0]
+
+    with pytest.raises(NotImplementedError, match="attn_mask"):
+        import_torch_fx(M(), (2, 8, 32))
+
+
+def test_fx_multiple_inputs_refused():
+    """Two placeholders would silently alias the single entry arg."""
+    import torch.nn as nn
+
+    from tpp_mlir_tpu.frontend.torch_import import import_torch_fx
+
+    class M(nn.Module):
+        def forward(self, x, y):
+            return x + y
+
+    with pytest.raises(NotImplementedError, match="multiple model inputs"):
+        import_torch_fx(M(), (4, 8))
+
+
+def test_fx_scalar_add_refused():
+    import torch.nn as nn
+
+    from tpp_mlir_tpu.frontend.torch_import import import_torch_fx
+
+    class M(nn.Module):
+        def forward(self, x):
+            return x + 1.0
+
+    with pytest.raises(NotImplementedError, match="scalar"):
+        import_torch_fx(M(), (4, 8))
+
+
+def test_fx_flatten_start_dim():
+    import torch
+    import torch.nn as nn
+
+    from tpp_mlir_tpu.frontend.torch_import import import_torch_fx
+    from tpp_mlir_tpu.runtime import interpret
+
+    class M(nn.Module):
+        def forward(self, x):
+            return torch.flatten(x, 2)
+
+    m = import_torch_fx(M(), (2, 3, 4, 5))
+    out = interpret(m, "entry", np.zeros((2, 3, 4, 5), np.float32))
+    got = out[0] if isinstance(out, tuple) else out
+    assert got.shape == (2, 3, 20)

@@ -208,3 +208,31 @@ def test_gather_bad_result_shape():
   return %0 : tensor<2x16x32xf32>
 }
 """, "tl.gather")
+
+
+def test_erase_refuses_returned_value():
+    """Function.erase guards the returns-escape invariant at the IR
+    level (the 39cdbae bug class: returns are not in .uses)."""
+    import pytest
+
+    from tpp_mlir_tpu.ir import parse_module
+
+    m = parse_module("""func @f(%x: tensor<4x4xf32>) {
+  %0 = tl.relu %x : tensor<4x4xf32>
+  return %0 : tensor<4x4xf32>
+}
+""")
+    f = m["f"]
+    op = f.ops[0]
+    with pytest.raises(ValueError, match="returned"):
+        f.erase(op)
+
+
+def test_parser_truncated_body_is_parse_error():
+    import pytest
+
+    from tpp_mlir_tpu.ir import parse_module
+    from tpp_mlir_tpu.ir.parser import ParseError
+
+    with pytest.raises(ParseError, match="end of input"):
+        parse_module("func @f(%x: tensor<4xf32>) {")

@@ -24,13 +24,6 @@ from __future__ import annotations
 from ..ir import Function, Module, TensorType, TppBuilder
 
 
-def _dtype_of(t) -> str:
-    import torch
-
-    return {torch.float32: "f32", torch.bfloat16: "bf16",
-            torch.float16: "f16"}[t]
-
-
 def _pair(v):
     return v if isinstance(v, tuple) else (v, v)
 
@@ -139,6 +132,14 @@ class _LayerLowering:
         if isinstance(layer, (nn.MaxPool2d, nn.AvgPool2d)):
             ks = _pair(layer.kernel_size)
             st = _pair(layer.stride or ks)
+            # refuse what the tl pool cannot express rather than import
+            # silently-wrong semantics (the Conv2d handler's discipline)
+            if _pair(getattr(layer, "padding", 0)) != (0, 0):
+                raise NotImplementedError("pool2d padding != 0")
+            if _pair(getattr(layer, "dilation", 1)) not in ((1, 1),):
+                raise NotImplementedError("pool2d dilation != 1")
+            if getattr(layer, "ceil_mode", False):
+                raise NotImplementedError("pool2d ceil_mode")
             opn = ("tl.max_pool2d" if isinstance(layer, nn.MaxPool2d)
                    else "tl.avg_pool2d")
             return b.pool2d(opn, x, ks, st)
@@ -281,13 +282,17 @@ class _LayerLowering:
 
 
 def import_torch(model, example_shape, dtype: str = "f32",
-                 name: str = "entry") -> Module:
+                 name: str = "entry",
+                 input_dtype: str | None = None) -> Module:
     """Convert a torch.nn module to a tensor-IR Module.
 
-    example_shape: input tensor shape (batch included)."""
+    example_shape: input tensor shape (batch included). input_dtype
+    overrides the entry argument's dtype (token-id inputs of
+    Embedding-first models want i32)."""
     model = model.eval()
     m = Module()
-    f = m.add(Function(name, [TensorType(tuple(example_shape), dtype)],
+    f = m.add(Function(name, [TensorType(tuple(example_shape),
+                                         input_dtype or dtype)],
                        ["x"]))
     b = TppBuilder(f)
     lowering = _LayerLowering(m, b, dtype, "t")
@@ -343,8 +348,15 @@ def import_torch_fx(model, example_shape, dtype: str = "f32",
             v = env[name] = lowering.const_of(v, tuple(v.shape))
         return v
 
+    seen_placeholder = False
     for node in graph_module.graph.nodes:
         if node.op == "placeholder":
+            if seen_placeholder:
+                raise NotImplementedError(
+                    "fx import: multiple model inputs are not supported "
+                    "(every placeholder would alias the single entry "
+                    "argument)")
+            seen_placeholder = True
             env[node.name] = f.args[0]
         elif node.op == "get_attr":
             # registered buffers / bare parameters read in forward (e.g. a
@@ -363,6 +375,19 @@ def import_torch_fx(model, example_shape, dtype: str = "f32",
                     raise NotImplementedError(
                         f"fx import: cross-attention (distinct q/k/v) is "
                         f"not supported at {node.target}")
+            dropped = [k for k, v in node.kwargs.items()
+                       if hasattr(v, "name")]
+            # a tensor attn_mask may be dropped ONLY when is_causal=True
+            # rides along (the lowering applies causal masking, identical
+            # semantics); an attn_mask alone would silently import
+            # BIDIRECTIONAL attention — refuse loudly
+            if dropped and not (set(dropped) == {"attn_mask"}
+                                and node.kwargs.get("is_causal") is True):
+                raise NotImplementedError(
+                    f"fx import: tensor-valued kwargs {dropped} at "
+                    f"{node.target} are not supported (a causal mask must "
+                    f"come WITH is_causal=True; other masks are "
+                    f"unsupported)")
             kw = {k: v for k, v in node.kwargs.items()
                   if not hasattr(v, "name")}
             env[node.name] = lowering.lower(modules[node.target],
@@ -371,16 +396,30 @@ def import_torch_fx(model, example_shape, dtype: str = "f32",
             if node.target is operator.getitem:
                 env[node.name] = env[node.args[0].name][node.args[1]]
             elif node.target in (operator.add, torch.add):
+                if not all(hasattr(a, "name") for a in node.args[:2]):
+                    raise NotImplementedError(
+                        "fx import: add with a Python-scalar operand "
+                        "(fold the constant into the model instead)")
                 env[node.name] = b.add(val(node.args[0].name),
                                        val(node.args[1].name))
             elif node.target in (torch.relu, F.relu):
                 env[node.name] = b.relu(val(node.args[0].name))
             elif node.target is torch.flatten:
                 x = val(node.args[0].name)
-                n = 1
-                for d in x.type.shape[1:]:
-                    n *= d
-                env[node.name] = b.reshape(x, (x.type.shape[0], n))
+                start = (node.args[1] if len(node.args) > 1
+                         else node.kwargs.get("start_dim", 0))
+                end = (node.args[2] if len(node.args) > 2
+                       else node.kwargs.get("end_dim", -1))
+                shape = list(x.type.shape)
+                if end == -1 or end == len(shape) - 1:
+                    n = 1
+                    for d in shape[start:]:
+                        n *= d
+                    env[node.name] = b.reshape(
+                        x, tuple(shape[:start]) + (n,))
+                else:
+                    raise NotImplementedError(
+                        f"fx import: flatten end_dim={end}")
             else:
                 raise NotImplementedError(
                     f"fx import: unsupported function {node.target}")

@@ -206,7 +206,7 @@ def infer_bcast_from_map(out_map, operand_map) -> str:
         return "bcast_scalar"
     if mp == om[-1:]:
         return "bcast_col"   # operand indexed by the minor dim: a row vector
-    if mp == om[-2:-1] or (len(om) >= 2 and mp == (om[-2],)):
+    if len(om) >= 2 and mp == (om[-2],):
         return "bcast_row"   # operand indexed by the major dim: a column
     if mp == om[len(om) - len(mp):]:
         return "bcast_col"   # trailing projection

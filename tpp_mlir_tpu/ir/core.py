@@ -102,6 +102,12 @@ class Function:
         for r in op.results:
             if r.uses:
                 raise ValueError(f"erasing {op.opname} with live uses")
+            # returns are an ESCAPE that .uses does not record: erasing a
+            # returned op would leave the function returning an undefined
+            # value, caught only at the next verify, far from the cause
+            if any(v is r for v in self.returns):
+                raise ValueError(
+                    f"erasing {op.opname} whose result is returned")
         op.drop_uses()
         self.ops.remove(op)
         op.parent = None

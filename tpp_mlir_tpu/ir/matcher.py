@@ -99,8 +99,17 @@ class Matcher:
                          and pred(op.attrs["body"]))
 
     def single_use(self, i: int) -> "Matcher":
-        return self._add(
-            lambda op: i < len(op.operands) and len(op.operands[i].uses) == 1)
+        """Operand i's value has exactly one use AND is not returned
+        (func.returns escape .uses — the 39cdbae bug class)."""
+        def pred(op):
+            if i >= len(op.operands):
+                return False
+            v = op.operands[i]
+            if len(v.uses) != 1:
+                return False
+            func = op.parent
+            return func is None or not any(r is v for r in func.returns)
+        return self._add(pred)
 
 
 # -- value predicates --------------------------------------------------------

@@ -736,7 +736,8 @@ def _v_xsmm_fused_brgemm(op):
     ea, eb, ec = _brgemm_shapes(d)
     if a.shape != ea or b.shape != eb:
         _fail(op, f"dispatch expects A{ea} B{eb}, got {a.shape},{b.shape}")
-    if not d.attrs.get("flags") or "beta_0" not in d.attrs.get("flags", ()):
+    if "beta_0" not in d.attrs.get("flags", ()):
+        # C is read only without beta_0; its shape is unconstrained else
         if c.shape != ec:
             _fail(op, f"dispatch expects C{ec}, got {c.shape}")
     if d.attrs["binary_kind"] not in BINARY_KINDS:

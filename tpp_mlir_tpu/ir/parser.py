@@ -158,6 +158,9 @@ def _parse_function(c: _Cursor) -> Function:
                 raise ParseError(f"return of undefined value %{e.args[0]}")
             continue
         # results = opname operands {attrs} : types
+        if c.peek() is None:
+            raise ParseError("unexpected end of input inside a function "
+                             "body (missing '}'?)")
         result_names = []
         if c.peek().startswith("%"):
             result_names.append(c.next()[1:])
