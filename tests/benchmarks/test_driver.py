@@ -51,7 +51,7 @@ def test_driver_retries_transient_failures(tmp_path, monkeypatch, capsys):
     calls = {"n": 0}
     real = bench_driver.run_benchmark
 
-    def flaky(entry, iters, verbose, no_baseline=False):
+    def flaky(entry, iters, verbose, no_baseline=False, **kw):
         calls["n"] += 1
         if calls["n"] == 1:
             raise RuntimeError(
@@ -74,7 +74,7 @@ def test_driver_retries_transient_failures(tmp_path, monkeypatch, capsys):
     # non-transient: fails immediately, exactly one attempt
     calls["n"] = 0
 
-    def hard_fail(entry, iters, verbose, no_baseline=False):
+    def hard_fail(entry, iters, verbose, no_baseline=False, **kw):
         calls["n"] += 1
         raise ValueError("bad shape")
 

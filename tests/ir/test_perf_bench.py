@@ -195,3 +195,35 @@ func @main(%x: tensor<8x16xf32>, %w: tensor<16x16xf32>) {
     t, r = tpp_compile(m, "main", jit=False)(rng(8, 16),
                                              rng(16, 16, seed=1))
     assert float(t) > 0 and np.isfinite(np.asarray(r)).all()
+
+
+def test_bench_two_same_shaped_outputs_both_chain():
+    """Regression: two same-shaped outputs collapsed into ONE carry slot
+    (the second overwrote the first, whose producer XLA then DCE'd out
+    of the scan — inflated rates). Both must feed back, so the bench
+    result equals the manual two-track chain."""
+    text = """func @step(%x: tensor<8x16xf32>, %y: tensor<8x16xf32>, %w: tensor<16x16xf32>) {
+  %0 = tl.constant {init = "zero"} : tensor<8x16xf32>
+  %1 = tl.matmul %x, %w, %0 : tensor<8x16xf32>
+  %2 = tl.relu %1 : tensor<8x16xf32>
+  %3 = tl.matmul %y, %w, %0 : tensor<8x16xf32>
+  %4 = tl.tanh %3 : tensor<8x16xf32>
+  return %2, %4 : tensor<8x16xf32>, tensor<8x16xf32>
+}
+func @main(%x: tensor<8x16xf32>, %y: tensor<8x16xf32>, %w: tensor<16x16xf32>) {
+  %t, %a, %b = perf.bench %x, %y, %w {callee = "step", n = 3} : tensor<f32>, tensor<8x16xf32>, tensor<8x16xf32>
+  return %t, %a, %b : tensor<f32>, tensor<8x16xf32>, tensor<8x16xf32>
+}
+"""
+    from tpp_mlir_tpu.runtime import interpret
+
+    m = parse_module(text)
+    x, y, w = rng(8, 16), rng(8, 16, seed=1), rng(16, 16, seed=2) * 0.2
+    outs = tpp_compile(m, "main", jit=False)(x, y, w)
+    cx, cy = x, y
+    for _ in range(3):
+        cx, cy = interpret(m, "step", cx, cy, w)
+    np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(cx),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs[2]), np.asarray(cy),
+                               atol=1e-5, rtol=1e-5)

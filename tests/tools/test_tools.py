@@ -194,3 +194,27 @@ def test_profile_cli(tmp_path):
     prof = tmp_path / "trace"
     assert main([str(f), "--profile", str(prof)]) == 0
     assert prof.exists() and any(prof.rglob("*"))
+
+
+def test_fpcmp_equal_infinities_match():
+    """inf - inf = NaN fails both tolerance tests: byte-identical files
+    containing 'inf' compared as MISMATCH before the exact-equality
+    fast path (python and native cores)."""
+    from tpp_mlir_tpu.tools.fpcmp import compare_values
+
+    inf = float("inf")
+    ok, _ = compare_values([inf, 1.0], [inf, 1.0], 1e-6, 1e-4)
+    assert ok
+    ok, _ = compare_values([inf], [-inf], 1e-6, 1e-4)
+    assert not ok
+
+
+def test_tune_brgemm_operands_batched_accumulator_is_2d():
+    """Regression: a (B, m, n) C crashed pallas_call on every batch>1
+    non-beta0 key — the batch dim is reduced, C is always (m, n)."""
+    from tpp_mlir_tpu.tools.tpp_tune import _brgemm_operands
+    from tpp_mlir_tpu.xsmm.flags import BrgemmKey
+
+    key = BrgemmKey(batch=4, m=64, n=64, k=64, dtype="f32", beta0=False)
+    args = _brgemm_operands(key)
+    assert args[0].shape == (4, 64, 64) and args[2].shape == (64, 64)

@@ -40,13 +40,22 @@ def test_count_flops_attention():
 
 
 def test_logger_levels():
+    """The documented contract (bench_driver -v help): -v info,
+    -vv debug, -vvv trace; default prints errors only."""
     buf = io.StringIO()
     log = Logger(verbosity=1, stream=buf)
     log.info("hello")
     log.debug("world")
     log.trace("hidden")
     out = buf.getvalue()
-    assert "hello" in out and "world" in out and "hidden" not in out
+    assert "hello" in out and "world" not in out and "hidden" not in out
+
+    quiet = io.StringIO()
+    Logger(verbosity=0, stream=quiet).info("nope")
+    assert quiet.getvalue() == ""
+    loud = io.StringIO()
+    Logger(verbosity=2, stream=loud).debug("yes")
+    assert "yes" in loud.getvalue()
 
 
 def test_count_bytes_compulsory_traffic():

@@ -24,6 +24,7 @@ int tpp_fpcmp(const double* a, const double* b, int64_t n, double abs_tol,
               double rel_tol, int64_t* fail_index) {
   for (int64_t i = 0; i < n; ++i) {
     double x = a[i], y = b[i];
+    if (x == y) continue;  // exact match incl. equal infinities
     if (std::isnan(x) && std::isnan(y)) continue;
     double d = std::fabs(x - y);
     if (d <= abs_tol) continue;

@@ -27,7 +27,7 @@ from .moe import make_moe_forward, moe_init, moe_reference
 from .pipeline import (make_pipeline_forward, make_pipeline_train_step,
                        pipeline_init, pipeline_param_specs,
                        pipeline_reference)
-from .runner import data_parallel_run, shard_run
+from .runner import data_parallel_run, shard_run, task_grid_run
 from .sequence import make_ring_attention, ring_attention_reference
 from .gpt_train import make_gpt_train_step
 from .optim import make_optim_train_step, opt_state_shardings
@@ -35,6 +35,7 @@ from .train import make_train_step, mlp_init
 from .transformer import make_mha_forward, mha_param_specs, mha_params
 
 __all__ = ["make_mesh", "task_grid_mesh", "data_parallel_run", "shard_run",
+           "task_grid_run",
            "make_train_step", "mlp_init",
            "make_optim_train_step", "opt_state_shardings",
            "make_gpt_train_step",

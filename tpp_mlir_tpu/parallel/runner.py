@@ -39,3 +39,20 @@ def data_parallel_run(fn: Callable, mesh, batch_arg_indices: Sequence[int],
     specs = [P(axis) if i in set(batch_arg_indices) else P()
              for i in range(num_args)]
     return shard_run(fn, mesh, specs)
+
+
+def task_grid_run(inner, task_grid, num_args, batch_arg_indices=(0,)):
+    """Wire a compiled function over a --task-grid mesh: "DPxTP" (or
+    "DP,TP") shards the leading batch dim over dp, with tp available to
+    tensor-parallel programs. ONE definition shared by tpp-run and the
+    bench driver so grid parsing / mesh rules cannot drift."""
+    from .mesh import make_mesh
+
+    dims = [int(x) for x in str(task_grid).replace("x", ",").split(",")]
+    shape = {"dp": dims[0]}
+    if len(dims) > 1 and dims[1] > 1:
+        shape["tp"] = dims[1]
+    mesh = make_mesh(shape)
+    return data_parallel_run(inner, mesh,
+                             batch_arg_indices=list(batch_arg_indices),
+                             num_args=num_args)

@@ -61,10 +61,16 @@ def _chain(step: Callable, n: int):
             # shape/dtype) so iterations are sequentially dependent
             new_args = list(carry)
             fed_back = False
+            taken = set()   # one slot per output: two same-shaped
+            # outputs must not collapse into the same carry slot (the
+            # second overwrote the first, whose producer XLA then DCE'd
+            # out of the scan -> inflated rates)
             for o in outs:
                 for i, a in enumerate(new_args):
-                    if a.shape == o.shape and a.dtype == o.dtype:
+                    if i not in taken and a.shape == o.shape \
+                            and a.dtype == o.dtype:
                         new_args[i] = o
+                        taken.add(i)
                         fed_back = True
                         break
             if not fed_back:

@@ -68,7 +68,8 @@ def build_module(entry):
     raise ValueError(f"benchmark entry needs 'gen', 'model' or 'file': {entry}")
 
 
-def run_benchmark(entry, iters, verbose=False, no_baseline=False):
+def run_benchmark(entry, iters, verbose=False, no_baseline=False,
+                  iters_explicit=False):
     import jax.numpy as jnp
 
     from tpp_mlir_tpu.passes import run_pipeline
@@ -92,8 +93,9 @@ def run_benchmark(entry, iters, verbose=False, no_baseline=False):
 
     # Timing uses the two-length slope; start long enough that the adaptive
     # escalation (one remote compile per length) rarely triggers — each
-    # remote compile through the tunnel costs minutes.
-    bench_iters = max(iters, 4000)
+    # remote compile through the tunnel costs minutes. An EXPLICIT -n
+    # overrides the floor (CPU smoke runs want short chains).
+    bench_iters = iters if iters_explicit else max(iters, 4000)
 
     # XLA baseline: the same program, un-lowered (straight jnp under jit)
     if no_baseline:
@@ -110,17 +112,12 @@ def run_benchmark(entry, iters, verbose=False, no_baseline=False):
         # scaling rows (reference config/omp/*.json thread sweeps): shard
         # the batch dim over a dp(xtp) device mesh — ICI collectives on real
         # multi-chip, the virtual CPU mesh under --platform cpu --devices N
-        from tpp_mlir_tpu.parallel import data_parallel_run, make_mesh
+        from tpp_mlir_tpu.parallel import task_grid_run
+        from tpp_mlir_tpu.xsmm.kernels import interpret_default
 
-        dims = [int(x) for x in
-                str(entry["task_grid"]).replace("x", ",").split(",")]
-        shape = {"dp": dims[0]}
-        if len(dims) > 1 and dims[1] > 1:
-            shape["tp"] = dims[1]
-        mesh = make_mesh(shape)
-        inner = tpp_compile(module, jit=False)
-        fn = data_parallel_run(inner, mesh, batch_arg_indices=[0],
-                               num_args=len(args))
+        inner = tpp_compile(module, jit=False,
+                            interpret_kernels=interpret_default() or None)
+        fn = task_grid_run(inner, entry["task_grid"], len(args))
         res = bench(fn, args, iters=bench_iters, flops=flops)
         return res, base, "scan", bytes_cold
 
@@ -267,6 +264,7 @@ def main(argv=None) -> int:
                 print(f"{name}: SKIP (target gate {entry.get('targets')})")
                 continue
             iters = args.iters or entry.get("iters", 100)
+            iters_explicit = args.iters > 0
             log.debug(f"running {name} (iters={iters})")
             t0 = time.time()
             try:
@@ -274,7 +272,8 @@ def main(argv=None) -> int:
                     try:
                         res, base, mode, nbytes = run_benchmark(
                             entry, iters, args.verbose,
-                            no_baseline=args.no_baseline)
+                            no_baseline=args.no_baseline,
+                            iters_explicit=iters_explicit)
                         break
                     except Exception as e:
                         # the tunnel's remote-compile channel drops

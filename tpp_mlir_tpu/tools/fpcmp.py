@@ -34,6 +34,8 @@ def compare_values(a: list[float], b: list[float], abs_tol: float,
     except ImportError:
         pass
     for i, (x, y) in enumerate(zip(a, b)):
+        if x == y:             # exact match, incl. equal infinities
+            continue           # (inf - inf = NaN fails both tolerances)
         if x != x and y != y:  # both NaN
             continue
         d = abs(x - y)

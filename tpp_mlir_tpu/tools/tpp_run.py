@@ -124,17 +124,11 @@ def run_module(module: Module, func_name: str = "entry", n: int = 0,
         # devices: shard the leading (batch) dim of arg 0 over a mesh
         # (SURVEY.md 2.12); e.g. --task-grid 2x4 -> dp=2, tp=4 mesh with
         # batch sharded over dp
-        from ..parallel import data_parallel_run, make_mesh
+        from ..parallel import task_grid_run
 
-        dims = [int(x) for x in task_grid.replace("x", ",").split(",")]
-        shape = {"dp": dims[0]}
-        if len(dims) > 1 and dims[1] > 1:
-            shape["tp"] = dims[1]
-        mesh = make_mesh(shape)
         inner = tpp_compile(module, func_name, jit=False,
                             interpret_kernels=interpret_default() or None)
-        fn = data_parallel_run(inner, mesh, batch_arg_indices=[0],
-                               num_args=len(args))
+        fn = task_grid_run(inner, task_grid, len(args))
     result = {"module": module}
     if n > 0:
         if wrapper is not None:
@@ -238,14 +232,26 @@ def main(argv=None) -> int:
     if args.precision != "default":
         module.attrs["precision"] = args.precision
     if args.splat_to_random:
-        from ..ir.matcher import is_zero_op
+        CONTRACTIONS = ("tl.matmul", "tl.brgemm", "tl.vnni_brgemm",
+                        "tl.batch_matmul", "tl.blocked_matmul",
+                        "tl.conv2d_nhwc_hwcf", "tl.conv2d")
+
+        def only_accumulator(op):
+            # C operand (index 2) of a contraction: its ZERO value is
+            # semantics (beta_0), not a splat shortcut
+            return op.results and op.result.uses and all(
+                u.opname in CONTRACTIONS and i == 2
+                for u, i in op.result.uses)
+
         for f in module.funcs.values():
             for op in f.ops:
                 if op.opname != "tl.constant" or \
-                        op.attrs.get("init") not in ("const",):
+                        op.attrs.get("init") not in ("const", "zero"):
                     continue
-                # accumulator zeros keep their semantics; weight splats
-                # become random so benchmarks don't measure splat shortcuts
+                if op.attrs.get("init") == "zero" and only_accumulator(op):
+                    continue   # accumulator zeros keep their semantics
+                # weight/input splats become random so benchmarks don't
+                # measure splat-shortcut arithmetic (MLIRBench.cpp:111-164)
                 op.attrs["init"] = "rand"
                 op.attrs.setdefault("seed", args.seed)
 

@@ -65,8 +65,9 @@ def _brgemm_operands(key):
     b = jnp.asarray(
         tensor_init("normal", (B, k, n), key.dtype, seed=1)) * 0.03
     args = [a, b]
-    args.append(None if key.beta0 else jnp.zeros(
-        (m, n), a.dtype) if B == 1 else jnp.zeros((B, m, n), a.dtype))
+    # the batch dim is REDUCED: kernels take a 2-D (m, n) accumulator
+    # for every batch (a (B, m, n) C crashed pallas_call on batch > 1)
+    args.append(None if key.beta0 else jnp.zeros((m, n), a.dtype))
     if key.binary_kind is not None:
         shape = {"bcast_col": (n,), "bcast_row": (m,),
                  "bcast_scalar": ()}.get(key.binary_bcast, (m, n))

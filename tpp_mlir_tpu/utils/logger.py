@@ -16,8 +16,10 @@ class Logger:
         self._t0 = time.time()
 
     def _emit(self, level: int, msg: str):
+        # documented contract (bench_driver -v help): info needs -v,
+        # debug -vv, trace -vvv; errors always print
         if level <= self.verbosity:
-            tag = self.LEVELS[min(level + 1, len(self.LEVELS) - 1)]
+            tag = self.LEVELS[min(level, len(self.LEVELS) - 1)]
             print(f"[{time.time() - self._t0:8.2f}s {tag}] {msg}",
                   file=self.stream)
 
@@ -25,10 +27,10 @@ class Logger:
         print(f"[error] {msg}", file=self.stream)
 
     def info(self, msg: str):
-        self._emit(0, msg)
-
-    def debug(self, msg: str):
         self._emit(1, msg)
 
-    def trace(self, msg: str):
+    def debug(self, msg: str):
         self._emit(2, msg)
+
+    def trace(self, msg: str):
+        self._emit(3, msg)

@@ -82,7 +82,10 @@ def _load_calibration(kind: str) -> dict:
     except (OSError, ValueError):
         return {}
     for entry in data.get("targets", []):
-        if entry.get("device_kind", "").lower() in kind:
+        dk = entry.get("device_kind", "").lower()
+        # an empty device_kind would match EVERY chip ('' in s is always
+        # True) and silently scale other generations' roofline columns
+        if dk and dk in kind:
             return {k: float(v) for k, v in entry["peak_flops"].items()}
     return {}
 

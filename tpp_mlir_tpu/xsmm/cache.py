@@ -53,7 +53,10 @@ class KernelCache:
             # (XsmmRunnerUtils.cpp:132-137) — minus the exit(-1)
             raise type(e)(f"kernel dispatch failed for {key!r}: {e}") from e
         if self.capture_artifacts:
-            fn = self._capturing(key, fn)
+            # artifact key mirrors the kernel cache key: the
+            # interpret and compiled variants of one kernel key
+            # are different programs (interpret keeps f32)
+            fn = self._capturing(cache_key, fn)
         with self._lock:
             return self._kernels.setdefault(cache_key, fn)
 
@@ -106,8 +109,8 @@ def gemm_dispatch(m, n, k, dtype="f32", beta0=False, transpose_b=False,
     fn = _GLOBAL.dispatch(key, interpret)
 
     def gemm(a, b, c=None):
-        out = fn(a[None], b[None] if not transpose_b else b[None], c)
-        return out
+        # transpose_b is handled INSIDE the kernel (key.transpose_b)
+        return fn(a[None], b[None], c)
     return gemm
 
 
