@@ -67,6 +67,11 @@ def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--tiny", action="store_true",
                    help="tiny config for CPU smoke testing")
+    p.add_argument("--experts", type=int, default=0,
+                   help="Mixtral-class MoE expert count (0 = dense); "
+                        "decode reads top-k of n experts' FFN weights -- "
+                        "the MoE bandwidth win")
+    p.add_argument("--top-k-experts", type=int, default=2)
     p.add_argument("--kv-heads", type=int, default=0,
                    help="GQA: KV heads < query heads (0 = MHA); shrinks "
                         "the decode KV read by heads/kv_heads")
@@ -103,13 +108,15 @@ def main() -> int:
     if args.tiny:
         cfg = GptConfig(vocab=128, embed=64, heads=4, layers=2,
                         mlp_ratio=2, max_seq=64, dtype="f32",
-                        kv_heads=kvh, kv_quant=args.kv_quant or None)
+                        kv_heads=kvh, kv_quant=args.kv_quant or None,
+                        n_experts=args.experts, top_k=args.top_k_experts)
         s0, n_short, n_long = 16, 4, 12
         batches = (1, 2)
     else:
         cfg = GptConfig(vocab=50304, embed=768, heads=12, layers=12,
                         mlp_ratio=4, max_seq=640, dtype="bf16",
-                        kv_heads=kvh, kv_quant=args.kv_quant or None)
+                        kv_heads=kvh, kv_quant=args.kv_quant or None,
+                        n_experts=args.experts, top_k=args.top_k_experts)
         s0, n_short, n_long = 512, 16, 112
         batches = (1, 8)
 
@@ -126,13 +133,24 @@ def main() -> int:
     sparams = stack_params(params)
     from tpp_mlir_tpu.serving import quantized_bytes
     param_bytes = quantized_bytes(params)   # int4 counts 0.5 B/elem
+    expert_bytes = 0
+    if args.experts:
+        # MoE decode reads only the selected experts' FFN weights per
+        # step: at batch B that is at most min(B*top_k, n) of n experts
+        # (worst case, all distinct) — the per-B rows scale the expert
+        # share accordingly
+        blocks = params["blocks"]
+        blks = [blocks] if isinstance(blocks, dict) else blocks
+        expert_bytes = quantized_bytes(
+            [{k: b[k] for k in ("w1", "w2")} for b in blks])
     tgt = current_target()
     results = {"config": {"embed": cfg.embed, "layers": cfg.layers,
                           "heads": cfg.heads, "vocab": cfg.vocab,
                           "dtype": cfg.dtype, "prompt": s0,
                           "max_seq": cfg.max_seq,
                           "quant": args.quant or None,
-                          "kv_quant": args.kv_quant or None},
+                          "kv_quant": args.kv_quant or None,
+                          "experts": args.experts or None},
                "param_bytes": param_bytes, "target": tgt.name}
 
     step = make_decode_step(cfg)
@@ -164,7 +182,11 @@ def main() -> int:
             else (2 if cfg.dtype == "bf16" else 4)
         kv_bytes = (2 * cfg.layers * B * (s0 + (n_long + n_short) // 2)
                     * cfg.kv_dim * kv_elem_bytes)
-        bw = (param_bytes + kv_bytes) / per_tok / 1e9
+        step_param_bytes = param_bytes
+        if args.experts:
+            frac = min(B * args.top_k_experts, args.experts) / args.experts
+            step_param_bytes = param_bytes - int(expert_bytes * (1 - frac))
+        bw = (step_param_bytes + kv_bytes) / per_tok / 1e9
         row = {
             "tokens_per_s": round(tok_s, 1),
             "ms_per_token": round(per_tok * 1e3, 3),

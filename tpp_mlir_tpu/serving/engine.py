@@ -42,12 +42,21 @@ class GptConfig:
     dtype: str = "f32"   # compute/storage dtype: f32 | bf16
     kv_heads: int | None = None   # GQA: KV heads < query heads (None=MHA)
     kv_quant: str | None = None   # "int8": per-(token, head) KV cache quant
+    # Mixtral-class sparse-expert FFN: every block's MLP becomes
+    # n_experts expert FFNs with a linear router; each token runs its
+    # top_k experts, gates = renormalized softmax over the selected
+    # logits. 0 = dense (GPT-2 class).
+    n_experts: int = 0
+    top_k: int = 2
 
     def __post_init__(self):
         if self.kv_heads is not None:
             assert self.heads % self.kv_heads == 0, \
                 f"heads {self.heads} not divisible by kv_heads " \
                 f"{self.kv_heads}"
+        if self.n_experts:
+            assert 1 <= self.top_k <= self.n_experts, \
+                (self.top_k, self.n_experts)
 
     @property
     def head_dim(self) -> int:
@@ -124,9 +133,10 @@ def init_params(cfg: GptConfig, seed: int = 0):
         return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
 
     ks = iter(jax.random.split(key, 4 + 16 * cfg.layers))
+    F = cfg.mlp_ratio * E
     blocks = []
     for _ in range(cfg.layers):
-        blocks.append({
+        blk = {
             "ln1_g": jnp.ones((E,), dt), "ln1_b": jnp.zeros((E,), dt),
             "wq": nrm(next(ks), (E, E), E ** -0.5),
             "bq": jnp.zeros((E,), dt),
@@ -137,12 +147,19 @@ def init_params(cfg: GptConfig, seed: int = 0):
             "wo": nrm(next(ks), (E, E), E ** -0.5),
             "bo": jnp.zeros((E,), dt),
             "ln2_g": jnp.ones((E,), dt), "ln2_b": jnp.zeros((E,), dt),
-            "w1": nrm(next(ks), (E, cfg.mlp_ratio * E), E ** -0.5),
-            "b1": jnp.zeros((cfg.mlp_ratio * E,), dt),
-            "w2": nrm(next(ks), (cfg.mlp_ratio * E, E),
-                      (cfg.mlp_ratio * E) ** -0.5),
-            "b2": jnp.zeros((E,), dt),
-        })
+        }
+        if cfg.n_experts:
+            # expert FFNs are biasless (Mixtral convention); the router
+            # is a plain linear over the block input
+            blk["wr"] = nrm(next(ks), (E, cfg.n_experts), E ** -0.5)
+            blk["w1"] = nrm(next(ks), (cfg.n_experts, E, F), E ** -0.5)
+            blk["w2"] = nrm(next(ks), (cfg.n_experts, F, E), F ** -0.5)
+        else:
+            blk["w1"] = nrm(next(ks), (E, F), E ** -0.5)
+            blk["b1"] = jnp.zeros((F,), dt)
+            blk["w2"] = nrm(next(ks), (F, E), F ** -0.5)
+            blk["b2"] = jnp.zeros((E,), dt)
+        blocks.append(blk)
     return {
         "wte": nrm(next(ks), (V, E), 0.02),
         "wpe": nrm(next(ks), (S, E), 0.02),
@@ -211,6 +228,67 @@ def _dot(x, w, b=None):
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def _moe_gates(h, wr, top_k: int):
+    """Router: top_k expert ids + renormalized softmax gates (the
+    Mixtral convention — softmax over the SELECTED logits only).
+    h: (..., E) -> gates (..., k) f32, idx (..., k) i32."""
+    import jax
+    import jax.numpy as jnp
+
+    logits = _mm(h, wr)                       # (..., n_e) f32
+    vals, idx = jax.lax.top_k(logits, top_k)
+    return jax.nn.softmax(vals, axis=-1), idx
+
+
+def _moe_ffn_scan(h, blk, top_k: int):
+    """Exact scan-over-experts MoE FFN — the PREFILL form: every expert
+    FFN runs over all T tokens (dense compute, n_experts× the dense-FFN
+    flops, but weights stream once and nothing materializes beyond one
+    (T, F) activation per expert step). No capacity factor, no token
+    dropping: the sparse gates select exactly. h: (T, E) -> (T, E).
+
+    Perf roadmap (documented, not yet needed at current scales): a
+    sort-by-expert dispatch brings prefill back to top_k/n_experts of
+    this compute; the ep-sharded GShard path lives in parallel/moe.py."""
+    import jax
+    import jax.numpy as jnp
+
+    gates, idx = _moe_gates(h, blk["wr"], top_k)      # (T, k)
+    T = h.shape[0]
+    n_e = blk["wr"].shape[-1]
+    dense = jnp.zeros((T, n_e), jnp.float32).at[
+        jnp.arange(T)[:, None], idx].add(gates)       # (T, n_e)
+
+    def body(acc, ew):
+        w1, w2, g = ew
+        a = jax.nn.gelu(_mm(h, w1), approximate=False).astype(h.dtype)
+        return acc + g[:, None] * _mm(a, w2), None
+
+    acc0 = jnp.zeros(h.shape, jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0,
+                          (blk["w1"], blk["w2"], dense.T))
+    return acc.astype(h.dtype)
+
+
+def _moe_ffn_gather(h, blk, top_k: int):
+    """Gather-form MoE FFN — the DECODE form: only the selected experts'
+    weights are read (B·k expert reads instead of n_experts), which is
+    the whole MoE serving win in the bandwidth-bound decode regime.
+    h: (B, E) -> (B, E). Exact same math as the scan form."""
+    import jax
+    import jax.numpy as jnp
+
+    gates, idx = _moe_gates(h, blk["wr"], top_k)      # (B, k)
+    w1s = jnp.take(blk["w1"], idx, axis=0)            # (B, k, E, F)
+    w2s = jnp.take(blk["w2"], idx, axis=0)            # (B, k, F, E)
+    a = jnp.einsum("be,bkef->bkf", h, w1s,
+                   preferred_element_type=jnp.float32)
+    a = jax.nn.gelu(a, approximate=False).astype(h.dtype)
+    y = jnp.einsum("bkf,bkfe->bke", a, w2s,
+                   preferred_element_type=jnp.float32)
+    return jnp.sum(gates[..., None] * y, axis=1).astype(h.dtype)
 
 
 def _gather(w, idx):
@@ -301,10 +379,15 @@ def _prefill_layer(x, blk, cfg: GptConfig, use_pallas: bool):
     a = _attention_full(q, k, v, cfg, use_pallas)
     x = x + _dot(a, blk["wo"], blk["bo"])
     h = _ln(x, blk["ln2_g"], blk["ln2_b"])
-    h = _dot(h, blk["w1"], blk["b1"])
-    h = jax.nn.gelu(h.astype(jnp.float32),
-                    approximate=False).astype(x.dtype)
-    x = x + _dot(h, blk["w2"], blk["b2"])
+    if cfg.n_experts:
+        E_ = x.shape[-1]
+        x = x + _moe_ffn_scan(h.reshape(B * S0, E_), blk,
+                              cfg.top_k).reshape(B, S0, E_)
+    else:
+        h = _dot(h, blk["w1"], blk["b1"])
+        h = jax.nn.gelu(h.astype(jnp.float32),
+                        approximate=False).astype(x.dtype)
+        x = x + _dot(h, blk["w2"], blk["b2"])
     return x, k.reshape(B, S0, H, D), v.reshape(B, S0, H, D)
 
 
@@ -517,10 +600,16 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
         a = a.reshape(B, h_local * D).astype(x.dtype)
         x = x + row_parallel(a, blk["wo"], blk["bo"])
         h = _ln(x, blk["ln2_g"], blk["ln2_b"])
-        h = _dot(h, blk["w1"], blk["b1"])
-        h = jax.nn.gelu(h.astype(jnp.float32),
-                        approximate=False).astype(x.dtype)
-        x = x + row_parallel(h, blk["w2"], blk["b2"])
+        if cfg.n_experts:
+            # gather form: each token reads ONLY its top_k experts'
+            # weights (B*k expert reads vs n_experts) — the MoE win in
+            # the bandwidth-bound decode regime
+            x = x + _moe_ffn_gather(h, blk, cfg.top_k)
+        else:
+            h = _dot(h, blk["w1"], blk["b1"])
+            h = jax.nn.gelu(h.astype(jnp.float32),
+                            approximate=False).astype(x.dtype)
+            x = x + row_parallel(h, blk["w2"], blk["b2"])
         return x, kv
 
     blocks = params["blocks"]
@@ -695,10 +784,15 @@ def make_extend(cfg: GptConfig, donate: bool = False):
             a = a.reshape(B, T, H * D).astype(x.dtype)
             x = x + _dot(a, blk["wo"], blk["bo"])
             h = _ln(x, blk["ln2_g"], blk["ln2_b"])
-            h = _dot(h, blk["w1"], blk["b1"])
-            h = jax.nn.gelu(h.astype(jnp.float32),
-                            approximate=False).astype(x.dtype)
-            x = x + _dot(h, blk["w2"], blk["b2"])
+            if cfg.n_experts:
+                E_ = x.shape[-1]
+                x = x + _moe_ffn_scan(h.reshape(B * T, E_), blk,
+                                      cfg.top_k).reshape(B, T, E_)
+            else:
+                h = _dot(h, blk["w1"], blk["b1"])
+                h = jax.nn.gelu(h.astype(jnp.float32),
+                                approximate=False).astype(x.dtype)
+                x = x + _dot(h, blk["w2"], blk["b2"])
             return x, kv
 
         blocks = params["blocks"]
@@ -797,6 +891,10 @@ def make_tp_decode_step(mesh, cfg: GptConfig, tp_axis: str = "tp",
     assert cfg.heads % tp == 0, (cfg.heads, tp)
     assert cfg.kv_h % tp == 0, \
         f"GQA tp decode needs kv_heads {cfg.kv_h} divisible by tp {tp}"
+    assert not cfg.n_experts, \
+        "tp decode does not shard MoE experts (use the ep-sharded MoE " \
+        "in parallel/moe.py; Megatron-style expert sharding is future " \
+        "work)"
     h_local = cfg.heads // tp
     kv_local = cfg.kv_h // tp
 

@@ -95,7 +95,16 @@ def quantize_params(params, include_embed: bool = False, bits: int = 8):
 
     def qblock(blk):
         b = dict(blk)
+        moe = "wr" in b
         for k in _BLOCK_MATMUL_KEYS:
+            if k not in b:
+                continue
+            if moe and k in ("w1", "w2"):
+                # MoE expert stacks (n_e, E, F) are not quantized in v1:
+                # the expert einsum paths read raw arrays (attention
+                # weights + the lm_head still quantize; the router is
+                # O(E*n_e), irrelevant to bandwidth)
+                continue
             b[k] = quantize(b[k], bits=bits)
         return b
 

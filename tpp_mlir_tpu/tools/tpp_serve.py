@@ -44,6 +44,12 @@ def main(argv=None) -> int:
                         "per-out-channel scales; int4 packs 2/byte on TPU)")
     p.add_argument("--kv-quant", choices=["int8"], default="",
                    help="int8 KV cache with per-(token, head) scales")
+    p.add_argument("--experts", type=int, default=0,
+                   help="Mixtral-class MoE: expert count per block "
+                        "(0 = dense); decode reads only each token's "
+                        "top-k experts' weights")
+    p.add_argument("--top-k-experts", type=int, default=2,
+                   help="experts per token (with --experts)")
     p.add_argument("--speculative", type=int, default=0, metavar="K",
                    help="speculative decoding: draft K tokens per round "
                         "with a small draft model, verify in one target "
@@ -86,7 +92,9 @@ def main(argv=None) -> int:
                     layers=args.layers, mlp_ratio=args.mlp_ratio,
                     max_seq=args.max_seq, dtype=args.dtype,
                     kv_heads=args.kv_heads or None,
-                    kv_quant=args.kv_quant or None)
+                    kv_quant=args.kv_quant or None,
+                    n_experts=args.experts,
+                    top_k=args.top_k_experts)
     spec_slack = (args.speculative + 1) if args.speculative else 0
     if args.prompt_len + args.steps + spec_slack > cfg.max_seq:
         print(f"prompt+steps ({args.prompt_len}+{args.steps}"
