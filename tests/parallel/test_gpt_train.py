@@ -92,3 +92,21 @@ def test_gpt_train_zero1_shards_moments():
     mu_wq = state[0].mu["blocks"]["wq"]
     n_shard = mu_wq.addressable_shards[0].data.size
     assert n_shard < mu_wq.size, "zero1 moment not sharded"
+
+
+def test_gpt_train_moe():
+    """Sparse-expert GPT trains: dp-sharded MoE step matches the 1x1
+    oracle and the loss decreases (gates differentiable, expert grads
+    flow through the scan form)."""
+    cfg = GptConfig(vocab=64, embed=32, heads=4, layers=2, mlp_ratio=2,
+                    max_seq=16, dtype="f32", n_experts=4, top_k=2)
+    params = stack_params(init_params(cfg, seed=5))
+    ids = _ids(seed=5)
+    want, _, ref_losses = _run({"dp": 1, "tp": 1}, cfg, params, ids, 3)
+    got, _, losses = _run({"dp": 4, "tp": 1}, cfg, params, ids, 3)
+    np.testing.assert_allclose(losses, ref_losses, atol=1e-5, rtol=1e-5)
+    _assert_tree_close(got, want)
+    assert ref_losses[-1] < ref_losses[0]
+
+    with pytest.raises(AssertionError, match="ep"):
+        _run({"dp": 2, "tp": 2}, cfg, params, ids, 1)

@@ -31,7 +31,8 @@ torch-dynamo benchmarks (/root/reference/benchmarks/config/pytorch/).
 from __future__ import annotations
 
 from ..serving.engine import (GptConfig, _dot, _gather, _ln, _mm,
-                              _np_dtype, composed_causal_attention)
+                              _moe_ffn_scan, _np_dtype,
+                              composed_causal_attention)
 from .collectives import mark_replicated, row_parallel_psum
 from .optim import make_sharded_optim_step
 
@@ -66,12 +67,23 @@ def _gpt_forward_local(params, ids, cfg: GptConfig, tp_axis: str,
         y = row_parallel_psum(_mm(a, blk["wo"]), tp_axis)
         x = x + (y + blk["bo"].astype(jnp.float32)).astype(x.dtype)
         h = _ln(x, blk["ln2_g"], blk["ln2_b"])
-        h = mark_replicated(h, tp_axis)
-        h = _dot(h, blk["w1"], blk["b1"])
-        h = jax.nn.gelu(h.astype(jnp.float32),
-                        approximate=False).astype(x.dtype)
-        y = row_parallel_psum(_mm(h, blk["w2"]), tp_axis)
-        x = x + (y + blk["b2"].astype(jnp.float32)).astype(x.dtype)
+        if cfg.n_experts:
+            # sparse-expert FFN, the scan-over-experts form (exact, no
+            # token dropping): straight-through differentiable — the
+            # gates are softmax over top_k logits, the selection indices
+            # carry no gradient (standard MoE training semantics).
+            # Experts are tp-replicated (ep sharding is parallel/moe.py;
+            # make_gpt_train_step guards tp == 1 for MoE configs).
+            E_ = x.shape[-1]
+            x = x + _moe_ffn_scan(h.reshape(B * S, E_), blk,
+                                  cfg.top_k).reshape(B, S, E_)
+        else:
+            h = mark_replicated(h, tp_axis)
+            h = _dot(h, blk["w1"], blk["b1"])
+            h = jax.nn.gelu(h.astype(jnp.float32),
+                            approximate=False).astype(x.dtype)
+            y = row_parallel_psum(_mm(h, blk["w2"]), tp_axis)
+            x = x + (y + blk["b2"].astype(jnp.float32)).astype(x.dtype)
         return x, None
 
     x, _ = jax.lax.scan(layer, x, params["blocks"])
@@ -106,6 +118,9 @@ def make_gpt_train_step(mesh, cfg: GptConfig, optimizer,
 
     ntp = mesh.shape[tp_axis]
     assert cfg.heads % ntp == 0, (cfg.heads, ntp)
+    assert not (cfg.n_experts and ntp > 1), \
+        "MoE GPT training shards experts over ep (parallel/moe.py), " \
+        "not tp -- use a dp-only mesh"
     assert cfg.kv_h % ntp == 0, \
         f"GQA tp training needs kv_heads {cfg.kv_h} divisible by tp {ntp}"
     h_local = cfg.heads // ntp

@@ -850,9 +850,15 @@ def decode_param_specs(cfg: GptConfig, tp_axis: str = "tp",
         "wv": col(), "bv": P(tp_axis),
         "wo": row(), "bo": P(),
         "ln2_g": P(), "ln2_b": P(),
-        "w1": col(), "b1": P(tp_axis),
-        "w2": row(), "b2": P(),
     }
+    if cfg.n_experts:
+        # MoE: experts replicated here (tp decode guards MoE off; these
+        # specs serve the dp-only GPT train step — ep sharding of the
+        # experts lives in parallel/moe.py)
+        blk.update({"wr": P(), "w1": P(), "w2": P()})
+    else:
+        blk.update({"w1": col(), "b1": P(tp_axis),
+                    "w2": row(), "b2": P()})
 
     def _prepend_layer_dim(s):
         return P(None, *s)
