@@ -110,3 +110,18 @@ def test_gpt_train_moe():
 
     with pytest.raises(AssertionError, match="ep"):
         _run({"dp": 2, "tp": 2}, cfg, params, ids, 1)
+
+
+def test_gpt_train_vocab_parallel_matches_replicated_head():
+    """Megatron vocab-parallel LM head + CE: the tp-sharded head must
+    produce exactly the replicated-head step's losses and params."""
+    params = stack_params(init_params(CFG, seed=6))
+    ids = _ids(seed=6)
+    want, _, ref_losses = _run({"dp": 2, "tp": 2}, CFG, params, ids, 3)
+    got, state, losses = _run({"dp": 2, "tp": 2}, CFG, params, ids, 3,
+                              vocab_parallel=True)
+    np.testing.assert_allclose(losses, ref_losses, atol=1e-5, rtol=1e-5)
+    _assert_tree_close(got, want)
+    # the head is physically column-sharded over tp
+    lm = got["lm_head"]
+    assert lm.addressable_shards[0].data.shape[1] == CFG.vocab // 2

@@ -87,3 +87,27 @@ def _mr_bwd(axis, _, ct):
 
 
 mark_replicated.defvjp(_mr_fwd, _mr_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def pmax_stopgrad(x, axis):
+    """pmax over `axis` with a ZERO gradient (jax has no pmax
+    differentiation rule, and stop_gradient alone still traces the
+    primitive under JVP). For quantities that are exact invariances of
+    the loss — e.g. the max shift in a stable log-softmax — the zero
+    cotangent is exact, not an approximation."""
+    return jax.lax.pmax(x, axis)
+
+
+def _pmax_fwd(x, axis):
+    return jax.lax.pmax(x, axis), None
+
+
+def _pmax_bwd(axis, _, ct):
+    import jax.numpy as jnp
+
+    # pmax is shape-preserving: the zero cotangent matches ct's aval
+    return (jnp.zeros_like(ct),)
+
+
+pmax_stopgrad.defvjp(_pmax_fwd, _pmax_bwd)

@@ -9,10 +9,12 @@ Sharding (the Megatron transformer recipe, one psum per row GEMM):
   - q/k/v and fc1 column-parallel (heads / fc1 columns on tp),
     attention entirely local to each shard's heads, out-proj and fc2
     row-parallel with `row_parallel_psum`;
-  - embeddings, LayerNorms and the LM head replicated: logits come out
-    tp-identical, so the cross-entropy needs no vocab-parallel song and
-    dance (vocab-column-sharding the LM head is the next step up and
-    orthogonal to this layout);
+  - embeddings and LayerNorms replicated; the LM head replicated by
+    default (logits tp-identical, plain CE) or — with
+    `vocab_parallel=True` — column-sharded over the VOCAB with the
+    Megatron vocab-parallel cross-entropy (`_vocab_parallel_loss`):
+    the V×E head is the largest single tensor, and the loss assembles
+    from per-shard partials without ever materializing full logits;
   - the layer stack runs under one `lax.scan` over stacked params
     (stack_params layout — the compile-size discipline of the serving
     engine, PERF.md).
@@ -38,7 +40,8 @@ from .optim import make_sharded_optim_step
 
 
 def _gpt_forward_local(params, ids, cfg: GptConfig, tp_axis: str,
-                       h_local: int, kv_local: int):
+                       h_local: int, kv_local: int,
+                       with_head: bool = True):
     """Per-tp-shard causal LM forward -> (B, S, V) logits (replicated
     over tp). Mirrors serving prefill math (_ln/_dot/f32 accumulate) so
     the step-0 loss is checkable against make_prefill logits."""
@@ -88,6 +91,8 @@ def _gpt_forward_local(params, ids, cfg: GptConfig, tp_axis: str,
 
     x, _ = jax.lax.scan(layer, x, params["blocks"])
     x = _ln(x, params["lnf_g"], params["lnf_b"])
+    if not with_head:
+        return x                                 # (B, S, E) pre-head
     return _mm(x, params["lm_head"])            # (B, S, V) f32
 
 
@@ -104,13 +109,55 @@ def next_token_loss(logits, ids):
     return -jnp.mean(picked)
 
 
+def _vocab_parallel_loss(x, lm_head_local, ids, tp_axis: str, ntp: int):
+    """Next-token CE with the LM head column-sharded over the VOCAB (the
+    Megatron embedding-parallel recipe — the LM head is the single
+    largest tensor, V×E). Numerically the standard stable log-softmax,
+    assembled from per-shard partials with the collectives-dual
+    discipline:
+
+      - the global max shift is stop_gradient'ed (CE is exactly
+        invariant to it, so cutting its gradient path is exact and
+        avoids differentiating through pmax);
+      - sum-exp and the picked-target logit are per-shard PARTIALS
+        combined with row_parallel_psum (complete cotangent passes
+        through to each shard's partial — see collectives.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .collectives import (mark_replicated, pmax_stopgrad,
+                              row_parallel_psum)
+
+    x = mark_replicated(x, tp_axis)          # sliced contraction below
+    logits = _mm(x[:, :-1], lm_head_local)   # (B, S-1, Vl) f32
+    Vl = logits.shape[-1]
+    shard = jax.lax.axis_index(tp_axis)
+    m = pmax_stopgrad(jnp.max(logits, axis=-1), tp_axis)    # (B, S-1)
+    z = logits - m[..., None]
+    se = row_parallel_psum(jnp.sum(jnp.exp(z), axis=-1), tp_axis)
+    tgt = ids[:, 1:]
+    local = tgt - shard * Vl
+    valid = (local >= 0) & (local < Vl)
+    picked_part = jnp.where(
+        valid,
+        jnp.take_along_axis(z, jnp.clip(local, 0, Vl - 1)[..., None],
+                            axis=-1)[..., 0],
+        0.0)
+    picked = row_parallel_psum(picked_part, tp_axis)
+    return jnp.mean(jnp.log(se) - picked)
+
+
 def make_gpt_train_step(mesh, cfg: GptConfig, optimizer,
                         dp_axis: str = "dp", tp_axis: str = "tp",
-                        zero1: bool = False, donate: bool = False):
+                        zero1: bool = False, donate: bool = False,
+                        vocab_parallel: bool = False):
     """Return `(step, init_opt_state)`: jitted
     `step(params, opt_state, ids) -> (params, opt_state, loss)` over
     `mesh` for STACKED serving params (stack_params layout —
-    train-and-serve under one pytree)."""
+    train-and-serve under one pytree). vocab_parallel=True additionally
+    column-shards the LM head over tp with the Megatron vocab-parallel
+    cross-entropy (the V×E head is the largest single tensor)."""
     import jax
     from jax.sharding import PartitionSpec as P
 
@@ -126,9 +173,18 @@ def make_gpt_train_step(mesh, cfg: GptConfig, optimizer,
     h_local = cfg.heads // ntp
     kv_local = cfg.kv_h // ntp
     pspecs = decode_param_specs(cfg, tp_axis, stacked=True)
+    if vocab_parallel:
+        assert cfg.vocab % ntp == 0, (cfg.vocab, ntp)
+        pspecs = dict(pspecs)
+        pspecs["lm_head"] = P(None, tp_axis)
 
     def local_grads(params, ids):
         def loss_fn(p):
+            if vocab_parallel:
+                x = _gpt_forward_local(p, ids, cfg, tp_axis, h_local,
+                                       kv_local, with_head=False)
+                return _vocab_parallel_loss(x, p["lm_head"], ids,
+                                            tp_axis, ntp)
             logits = _gpt_forward_local(p, ids, cfg, tp_axis, h_local,
                                         kv_local)
             return next_token_loss(logits, ids)
