@@ -145,3 +145,22 @@ def test_tpp_serve_moe_cli(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert len(out.strip().splitlines()[-1].split()) == 4
+
+
+def test_moe_speculative_exact():
+    """Speculative decoding over a MoE target (the extend verify pass
+    runs the scan-form experts) stays exactly the target's greedy."""
+    from tpp_mlir_tpu.serving import make_speculative_generate
+
+    dcfg = GptConfig(vocab=97, embed=32, heads=4, layers=1, mlp_ratio=2,
+                     max_seq=32, dtype="f32")
+    params = stack_params(init_params(CFG, seed=7))
+    draft = stack_params(init_params(dcfg, seed=8))
+    ids = jnp.asarray(np.random.default_rng(7).integers(
+        0, CFG.vocab, (1, 5)), jnp.int32)
+    got, _ = make_speculative_generate(CFG, dcfg, steps=8, k=3,
+                                       use_pallas=False)(params, draft,
+                                                         ids)
+    want = make_generate(CFG, steps=8, use_pallas=False)(
+        params, ids, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
