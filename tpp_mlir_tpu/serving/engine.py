@@ -48,6 +48,23 @@ class GptConfig:
     # logits. 0 = dense (GPT-2 class).
     n_experts: int = 0
     top_k: int = 2
+    # LLaMA-class architecture axes (combine with kv_heads for the full
+    # LLaMA-2/3 recipe): rotary position embeddings instead of the
+    # learned wpe table, RMSNorm instead of LayerNorm (no mean, no
+    # bias), SwiGLU FFN (silu(h@w1) * (h@w3)) @ w2 instead of GELU.
+    rope: bool = False
+    rms_norm: bool = False
+    swiglu: bool = False
+    rope_theta: float = 10000.0
+
+    @classmethod
+    def llama(cls, **kw):
+        """LLaMA-2/3-class preset: RoPE + RMSNorm + SwiGLU (pass
+        kv_heads for GQA)."""
+        kw.setdefault("rope", True)
+        kw.setdefault("rms_norm", True)
+        kw.setdefault("swiglu", True)
+        return cls(**kw)
 
     def __post_init__(self):
         if self.kv_heads is not None:
@@ -57,6 +74,10 @@ class GptConfig:
         if self.n_experts:
             assert 1 <= self.top_k <= self.n_experts, \
                 (self.top_k, self.n_experts)
+            assert not self.swiglu, \
+                "MoE experts use GELU in v1 (SwiGLU experts: future work)"
+        if self.rope:
+            assert self.head_dim % 2 == 0, "RoPE needs an even head_dim"
 
     @property
     def head_dim(self) -> int:
@@ -137,7 +158,7 @@ def init_params(cfg: GptConfig, seed: int = 0):
     blocks = []
     for _ in range(cfg.layers):
         blk = {
-            "ln1_g": jnp.ones((E,), dt), "ln1_b": jnp.zeros((E,), dt),
+            "ln1_g": jnp.ones((E,), dt),
             "wq": nrm(next(ks), (E, E), E ** -0.5),
             "bq": jnp.zeros((E,), dt),
             "wk": nrm(next(ks), (E, cfg.kv_dim), E ** -0.5),
@@ -146,9 +167,17 @@ def init_params(cfg: GptConfig, seed: int = 0):
             "bv": jnp.zeros((cfg.kv_dim,), dt),
             "wo": nrm(next(ks), (E, E), E ** -0.5),
             "bo": jnp.zeros((E,), dt),
-            "ln2_g": jnp.ones((E,), dt), "ln2_b": jnp.zeros((E,), dt),
+            "ln2_g": jnp.ones((E,), dt),
         }
-        if cfg.n_experts:
+        if not cfg.rms_norm:
+            blk["ln1_b"] = jnp.zeros((E,), dt)
+            blk["ln2_b"] = jnp.zeros((E,), dt)
+        if cfg.swiglu:
+            # SwiGLU: gate (w1) + up (w3) + down (w2), biasless (LLaMA)
+            blk["w1"] = nrm(next(ks), (E, F), E ** -0.5)
+            blk["w3"] = nrm(next(ks), (E, F), E ** -0.5)
+            blk["w2"] = nrm(next(ks), (F, E), F ** -0.5)
+        elif cfg.n_experts:
             # expert FFNs are biasless (Mixtral convention); the router
             # is a plain linear over the block input
             blk["wr"] = nrm(next(ks), (E, cfg.n_experts), E ** -0.5)
@@ -160,13 +189,17 @@ def init_params(cfg: GptConfig, seed: int = 0):
             blk["w2"] = nrm(next(ks), (F, E), F ** -0.5)
             blk["b2"] = jnp.zeros((E,), dt)
         blocks.append(blk)
-    return {
+    out = {
         "wte": nrm(next(ks), (V, E), 0.02),
-        "wpe": nrm(next(ks), (S, E), 0.02),
         "blocks": blocks,
-        "lnf_g": jnp.ones((E,), dt), "lnf_b": jnp.zeros((E,), dt),
+        "lnf_g": jnp.ones((E,), dt),
         "lm_head": nrm(next(ks), (E, V), E ** -0.5),
     }
+    if not cfg.rope:
+        out["wpe"] = nrm(next(ks), (S, E), 0.02)
+    if not cfg.rms_norm:
+        out["lnf_b"] = jnp.zeros((E,), dt)
+    return out
 
 
 def stack_params(params):
@@ -203,6 +236,46 @@ def _ln(x, g, b, eps=1e-5):
     var = jnp.mean(d * d, axis=-1, keepdims=True)
     return ((d * jax.lax.rsqrt(var + eps)) * g.astype(jnp.float32)
             + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _rmsnorm(x, g, eps=1e-5):
+    import jax
+    import jax.numpy as jnp
+
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(ms + eps)
+            * g.astype(jnp.float32)).astype(x.dtype)
+
+
+def _block_norm(x, blk, which, cfg):
+    """LayerNorm or RMSNorm per cfg.rms_norm (RMS has no bias)."""
+    g = blk[f"{which}_g"]
+    if cfg.rms_norm:
+        return _rmsnorm(x, g)
+    return _ln(x, g, blk[f"{which}_b"])
+
+
+def _rope(x, pos, theta: float):
+    """Rotary position embedding, rotate-half convention. x: (..., D)
+    with heads split; pos broadcastable against x's token dims —
+    (S,) for prefill rows, a scalar or (B,) (slotted batching) for
+    decode. Rotation happens in f32; K is cached POST-rotation so the
+    decode attention needs no re-rotation of the cache."""
+    import jax.numpy as jnp
+
+    D = x.shape[-1]
+    half = D // 2
+    xf = x.astype(jnp.float32)
+    inv = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = jnp.asarray(pos, jnp.float32)[..., None] * inv   # (..., half)
+    # broadcast angle against x's (..., H, D) layout: pos carries the
+    # token dims; insert the head axis
+    ang = ang[..., None, :]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = xf[..., :half], xf[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin,
+                            x2 * cos + x1 * sin], axis=-1).astype(x.dtype)
 
 
 def _mm(x, w):
@@ -372,14 +445,25 @@ def _prefill_layer(x, blk, cfg: GptConfig, use_pallas: bool):
 
     B, S0, _ = x.shape
     H, D = cfg.kv_h, cfg.head_dim
-    h = _ln(x, blk["ln1_g"], blk["ln1_b"])
+    h = _block_norm(x, blk, "ln1", cfg)
     q = _dot(h, blk["wq"], blk["bq"])
     k = _dot(h, blk["wk"], blk["bk"])
     v = _dot(h, blk["wv"], blk["bv"])
+    if cfg.rope:
+        import jax.numpy as _jnp
+        pos = _jnp.arange(S0)
+        q = _rope(q.reshape(B, S0, cfg.heads, D), pos,
+                  cfg.rope_theta).reshape(B, S0, -1)
+        k = _rope(k.reshape(B, S0, H, D), pos,
+                  cfg.rope_theta).reshape(B, S0, -1)
     a = _attention_full(q, k, v, cfg, use_pallas)
     x = x + _dot(a, blk["wo"], blk["bo"])
-    h = _ln(x, blk["ln2_g"], blk["ln2_b"])
-    if cfg.n_experts:
+    h = _block_norm(x, blk, "ln2", cfg)
+    if cfg.swiglu:
+        act = (jax.nn.silu(_mm(h, blk["w1"]))
+               * _mm(h, blk["w3"])).astype(x.dtype)
+        x = x + _mm(act, blk["w2"]).astype(x.dtype)
+    elif cfg.n_experts:
         E_ = x.shape[-1]
         x = x + _moe_ffn_scan(h.reshape(B * S0, E_), blk,
                               cfg.top_k).reshape(B, S0, E_)
@@ -408,9 +492,10 @@ def make_prefill(cfg: GptConfig, use_pallas: bool | None = None):
 
     def prefill(params, ids):
         B, S0 = ids.shape
-        x = (_gather(params["wte"], ids)
-             + _gather(params["wpe"], jnp.arange(S0))
-             ).astype(_np_dtype(cfg.dtype))
+        x = _gather(params["wte"], ids)
+        if not cfg.rope:
+            x = x + _gather(params["wpe"], jnp.arange(S0))
+        x = x.astype(_np_dtype(cfg.dtype))
         blocks = params["blocks"]
         if isinstance(blocks, dict):
             def layer(x, blk):
@@ -426,7 +511,10 @@ def make_prefill(cfg: GptConfig, use_pallas: bool | None = None):
                 vs.append(v4)
             ks, vs = jnp.stack(ks), jnp.stack(vs)
 
-        x = _ln(x, params["lnf_g"], params["lnf_b"])
+        if cfg.rms_norm:
+            x = _rmsnorm(x, params["lnf_g"])
+        else:
+            x = _ln(x, params["lnf_g"], params["lnf_b"])
         logits = _dot(x, params["lm_head"])
 
         pad = ((0, 0), (0, 0), (0, cfg.max_seq - S0), (0, 0), (0, 0))
@@ -475,9 +563,10 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
     # scalar-pos trace below is byte-identical to the measured-fastest T=1
     # decode (PERF.md serving) — the slotted branches are additive only.
     slotted = getattr(pos, "ndim", 0) == 1
-    x = (_gather(params["wte"], token)
-         + _gather(params["wpe"], pos)
-         ).astype(_np_dtype(cfg.dtype))    # (B, E)
+    x = _gather(params["wte"], token)
+    if not cfg.rope:
+        x = x + _gather(params["wpe"], pos)
+    x = x.astype(_np_dtype(cfg.dtype))    # (B, E)
     # the cache is updated with dynamic_update_slice on the FULL stacked
     # (L, B, S, H, D) arrays — the canonical in-place KV pattern: XLA
     # aliases the buffer (donation / scan carry) instead of rebuilding the
@@ -506,10 +595,15 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
         4.06 ms/tok (b8, GPT-2 small) — XLA materializes and copies the
         slab — vs 1.17 ms/tok for this carry form (exp_decode_carry.py,
         bit-identical logits)."""
-        h = _ln(x, blk["ln1_g"], blk["ln1_b"])
+        h = _block_norm(x, blk, "ln1", cfg)
         q = _dot(h, blk["wq"], blk["bq"]).reshape(B, h_local, D)
         k = _dot(h, blk["wk"], blk["bk"]).reshape(B, kv_local, D)
         v = _dot(h, blk["wv"], blk["bv"]).reshape(B, kv_local, D)
+        if cfg.rope:
+            # rotate at the CURRENT position; the cache holds
+            # post-rotation keys, so no re-rotation on read
+            q = _rope(q, pos, cfg.rope_theta)
+            k = _rope(k, pos, cfg.rope_theta)
         kv = dict(kv)
         if quant_kv:
             # int8 KV: quantize the written token per (batch, head) and
@@ -599,8 +693,14 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
                            preferred_element_type=jnp.float32)
         a = a.reshape(B, h_local * D).astype(x.dtype)
         x = x + row_parallel(a, blk["wo"], blk["bo"])
-        h = _ln(x, blk["ln2_g"], blk["ln2_b"])
-        if cfg.n_experts:
+        h = _block_norm(x, blk, "ln2", cfg)
+        if cfg.swiglu:
+            import jax.nn as _jnn
+            act = (_jnn.silu(_mm(h, blk["w1"]))
+                   * _mm(h, blk["w3"])).astype(x.dtype)
+            x = x + row_parallel(act, blk["w2"],
+                                 jnp.zeros((), jnp.float32))
+        elif cfg.n_experts:
             # gather form: each token reads ONLY its top_k experts'
             # weights (B*k expert reads vs n_experts) — the MoE win in
             # the bandwidth-bound decode regime
@@ -631,7 +731,10 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
     else:
         for li, blk in enumerate(blocks):
             x, kv = layer(x, blk, kv, li)
-    x = _ln(x, params["lnf_g"], params["lnf_b"])
+    if cfg.rms_norm:
+        x = _rmsnorm(x, params["lnf_g"])
+    else:
+        x = _ln(x, params["lnf_g"], params["lnf_b"])
     logits = _dot(x, params["lm_head"])
     cache = dict(kv)
     cache["pos"] = pos + 1
@@ -711,16 +814,21 @@ def make_extend(cfg: GptConfig, donate: bool = False):
     def extend(params, cache, tokens):
         B, T = tokens.shape
         pos = cache["pos"]
-        x = (_gather(params["wte"], tokens)
-             + _gather_window(params["wpe"], pos, T)[None]
-             ).astype(_np_dtype(cfg.dtype))        # (B, T, E)
+        x = _gather(params["wte"], tokens)
+        if not cfg.rope:
+            x = x + _gather_window(params["wpe"], pos, T)[None]
+        x = x.astype(_np_dtype(cfg.dtype))        # (B, T, E)
         kv = {key: val for key, val in cache.items() if key != "pos"}
 
         def layer(x, blk, kv, li):
-            h = _ln(x, blk["ln1_g"], blk["ln1_b"])
+            h = _block_norm(x, blk, "ln1", cfg)
             q = _dot(h, blk["wq"], blk["bq"]).reshape(B, T, H, D)
             k = _dot(h, blk["wk"], blk["bk"]).reshape(B, T, KVH, D)
             v = _dot(h, blk["wv"], blk["bv"]).reshape(B, T, KVH, D)
+            if cfg.rope:
+                tpos = pos + jnp.arange(T)
+                q = _rope(q, tpos, cfg.rope_theta)
+                k = _rope(k, tpos, cfg.rope_theta)
             kv = dict(kv)
             if quant_kv:
                 k, ksc = quantize_tokens(k)
@@ -783,8 +891,12 @@ def make_extend(cfg: GptConfig, donate: bool = False):
                                preferred_element_type=jnp.float32)
             a = a.reshape(B, T, H * D).astype(x.dtype)
             x = x + _dot(a, blk["wo"], blk["bo"])
-            h = _ln(x, blk["ln2_g"], blk["ln2_b"])
-            if cfg.n_experts:
+            h = _block_norm(x, blk, "ln2", cfg)
+            if cfg.swiglu:
+                act = (jax.nn.silu(_mm(h, blk["w1"]))
+                       * _mm(h, blk["w3"])).astype(x.dtype)
+                x = x + _mm(act, blk["w2"]).astype(x.dtype)
+            elif cfg.n_experts:
                 E_ = x.shape[-1]
                 x = x + _moe_ffn_scan(h.reshape(B * T, E_), blk,
                                       cfg.top_k).reshape(B, T, E_)
@@ -809,7 +921,10 @@ def make_extend(cfg: GptConfig, donate: bool = False):
         else:
             for li, blk in enumerate(blocks):
                 x, kv = layer(x, blk, kv, li)
-        x = _ln(x, params["lnf_g"], params["lnf_b"])
+        if cfg.rms_norm:
+            x = _rmsnorm(x, params["lnf_g"])
+        else:
+            x = _ln(x, params["lnf_g"], params["lnf_b"])
         logits = _dot(x, params["lm_head"])
         cache = dict(kv)
         cache["pos"] = pos + T
@@ -844,14 +959,18 @@ def decode_param_specs(cfg: GptConfig, tp_axis: str = "tp",
         return QTensor(q=w, scale=P(None, None)) if quantized else w
 
     blk = {
-        "ln1_g": P(), "ln1_b": P(),
+        "ln1_g": P(),
         "wq": col(), "bq": P(tp_axis),
         "wk": col(), "bk": P(tp_axis),
         "wv": col(), "bv": P(tp_axis),
         "wo": row(), "bo": P(),
-        "ln2_g": P(), "ln2_b": P(),
+        "ln2_g": P(),
     }
-    if cfg.n_experts:
+    if not cfg.rms_norm:
+        blk.update({"ln1_b": P(), "ln2_b": P()})
+    if cfg.swiglu:
+        blk.update({"w1": col(), "w3": col(), "w2": row()})
+    elif cfg.n_experts:
         # MoE: experts replicated here (tp decode guards MoE off; these
         # specs serve the dp-only GPT train step — ep sharding of the
         # experts lives in parallel/moe.py)
@@ -874,12 +993,17 @@ def decode_param_specs(cfg: GptConfig, tp_axis: str = "tp",
     lm = P()
     if quantized:
         lm = QTensor(q=P(), scale=P())
-    return {
-        "wte": P(), "wpe": P(),
+    out = {
+        "wte": P(),
         "blocks": blocks,
-        "lnf_g": P(), "lnf_b": P(),
+        "lnf_g": P(),
         "lm_head": lm,
     }
+    if not cfg.rope:
+        out["wpe"] = P()
+    if not cfg.rms_norm:
+        out["lnf_b"] = P()
+    return out
 
 
 def make_tp_decode_step(mesh, cfg: GptConfig, tp_axis: str = "tp",

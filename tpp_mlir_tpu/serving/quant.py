@@ -77,7 +77,7 @@ def dequantize(t):
 # Block weight names that are matmul operands (quantized); LNs and
 # biases stay in the model dtype — they are O(E) bytes, irrelevant to
 # bandwidth and precision-critical.
-_BLOCK_MATMUL_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2")
+_BLOCK_MATMUL_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
 
 
 def quantize_params(params, include_embed: bool = False, bits: int = 8):
@@ -117,7 +117,8 @@ def quantize_params(params, include_embed: bool = False, bits: int = 8):
     if include_embed:
         # embeddings are GATHERED by row -> per-row scales (axis=-1)
         out["wte"] = quantize(params["wte"], axis=-1, bits=bits)
-        out["wpe"] = quantize(params["wpe"], axis=-1, bits=bits)
+        if "wpe" in params:     # absent under RoPE
+            out["wpe"] = quantize(params["wpe"], axis=-1, bits=bits)
     return out
 
 

@@ -44,6 +44,9 @@ def main(argv=None) -> int:
                         "per-out-channel scales; int4 packs 2/byte on TPU)")
     p.add_argument("--kv-quant", choices=["int8"], default="",
                    help="int8 KV cache with per-(token, head) scales")
+    p.add_argument("--llama", action="store_true",
+                   help="LLaMA-class architecture: RoPE + RMSNorm + "
+                        "SwiGLU (combine with --kv-heads for GQA)")
     p.add_argument("--experts", type=int, default=0,
                    help="Mixtral-class MoE: expert count per block "
                         "(0 = dense); decode reads only each token's "
@@ -88,13 +91,14 @@ def main(argv=None) -> int:
                                       make_prefill, make_tp_decode_step,
                                       stack_params)
 
-    cfg = GptConfig(vocab=args.vocab, embed=args.embed, heads=args.heads,
-                    layers=args.layers, mlp_ratio=args.mlp_ratio,
-                    max_seq=args.max_seq, dtype=args.dtype,
-                    kv_heads=args.kv_heads or None,
-                    kv_quant=args.kv_quant or None,
-                    n_experts=args.experts,
-                    top_k=args.top_k_experts)
+    mk = GptConfig.llama if args.llama else GptConfig
+    cfg = mk(vocab=args.vocab, embed=args.embed, heads=args.heads,
+             layers=args.layers, mlp_ratio=args.mlp_ratio,
+             max_seq=args.max_seq, dtype=args.dtype,
+             kv_heads=args.kv_heads or None,
+             kv_quant=args.kv_quant or None,
+             n_experts=args.experts,
+             top_k=args.top_k_experts)
     spec_slack = (args.speculative + 1) if args.speculative else 0
     if args.prompt_len + args.steps + spec_slack > cfg.max_seq:
         print(f"prompt+steps ({args.prompt_len}+{args.steps}"
