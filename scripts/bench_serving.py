@@ -67,6 +67,9 @@ def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--tiny", action="store_true",
                    help="tiny config for CPU smoke testing")
+    p.add_argument("--llama", action="store_true",
+                   help="LLaMA-class architecture: RoPE + RMSNorm + "
+                        "SwiGLU (combine with --kv-heads)")
     p.add_argument("--experts", type=int, default=0,
                    help="Mixtral-class MoE expert count (0 = dense); "
                         "decode reads top-k of n experts' FFN weights -- "
@@ -105,15 +108,16 @@ def main() -> int:
     from tpp_mlir_tpu.utils.target import current_target, roofline_flops
 
     kvh = args.kv_heads or None
+    mk = GptConfig.llama if args.llama else GptConfig
     if args.tiny:
-        cfg = GptConfig(vocab=128, embed=64, heads=4, layers=2,
+        cfg = mk(vocab=128, embed=64, heads=4, layers=2,
                         mlp_ratio=2, max_seq=64, dtype="f32",
                         kv_heads=kvh, kv_quant=args.kv_quant or None,
                         n_experts=args.experts, top_k=args.top_k_experts)
         s0, n_short, n_long = 16, 4, 12
         batches = (1, 2)
     else:
-        cfg = GptConfig(vocab=50304, embed=768, heads=12, layers=12,
+        cfg = mk(vocab=50304, embed=768, heads=12, layers=12,
                         mlp_ratio=4, max_seq=640, dtype="bf16",
                         kv_heads=kvh, kv_quant=args.kv_quant or None,
                         n_experts=args.experts, top_k=args.top_k_experts)
@@ -150,7 +154,8 @@ def main() -> int:
                           "max_seq": cfg.max_seq,
                           "quant": args.quant or None,
                           "kv_quant": args.kv_quant or None,
-                          "experts": args.experts or None},
+                          "experts": args.experts or None,
+                          "llama": args.llama or None},
                "param_bytes": param_bytes, "target": tgt.name}
 
     step = make_decode_step(cfg)
