@@ -9,6 +9,7 @@ from .engine import (GptConfig, decode_cache_specs, decode_param_specs,
                      init_params, make_decode_step, make_extend,
                      make_generate, make_prefill, make_sampler,
                      make_tp_decode_step, params_from_torch, stack_params)
+from .lora import lora_init, make_lora_train_step, merge_lora
 from .quant import (QTensor, dequantize, dequantize_params, quantize,
                     quantize_params, quantized_bytes)
 from .speculative import make_speculative_generate
@@ -22,4 +23,5 @@ __all__ = ["BatchingEngine", "init_slot_cache", "make_decode_loop",
            "decode_cache_specs", "stack_params",
            "QTensor", "quantize", "dequantize", "quantize_params",
            "dequantize_params", "quantized_bytes",
-           "make_speculative_generate"]
+           "make_speculative_generate",
+           "lora_init", "merge_lora", "make_lora_train_step"]
