@@ -1,0 +1,69 @@
+"""MoE decode-FFN forms (engine._moe_ffn_{scan,gather,slice} and the
+_moe_ffn_decode traffic-policy dispatch) are numerically one function,
+standalone and through the full decode step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpp_mlir_tpu.serving import (GptConfig, init_params, make_decode_step,
+                                  make_prefill, stack_params)
+from tpp_mlir_tpu.serving.engine import (_moe_ffn_decode, _moe_ffn_gather,
+                                         _moe_ffn_scan, _moe_ffn_slice)
+
+
+def _blk(E=32, F=64, n=8):
+    return {
+        "wr": jax.random.normal(jax.random.PRNGKey(0), (E, n)) * 0.3,
+        "w1": jax.random.normal(jax.random.PRNGKey(1), (n, E, F)) * 0.1,
+        "w2": jax.random.normal(jax.random.PRNGKey(2), (n, F, E)) * 0.1,
+    }
+
+
+@pytest.mark.parametrize("B", [1, 4, 8])
+def test_ffn_forms_agree(B):
+    blk = _blk()
+    h = jax.random.normal(jax.random.PRNGKey(B), (B, 32))
+    ref = np.asarray(_moe_ffn_scan(h, blk, 2))
+    np.testing.assert_allclose(np.asarray(_moe_ffn_gather(h, blk, 2)),
+                               ref, atol=2e-5)
+    if B == 1:
+        np.testing.assert_allclose(np.asarray(_moe_ffn_slice(h, blk, 2)),
+                                   ref, atol=2e-5)
+    cfg = GptConfig(embed=32, heads=4, n_experts=8, top_k=2)
+    np.testing.assert_allclose(np.asarray(_moe_ffn_decode(h, blk, cfg)),
+                               ref, atol=2e-5)
+
+
+def test_auto_policy_selection():
+    """auto picks slice at B=1, scan once B*k covers the expert table,
+    gather in between — pure traffic policy, no tracing needed."""
+    blk = _blk()
+    cfg = GptConfig(embed=32, heads=4, n_experts=8, top_k=2)
+    # policy is internal; assert through equality of the dispatched
+    # result with the form it should pick (all forms agree numerically,
+    # so instead check the dispatch branches don't crash at each B)
+    for B in (1, 2, 4):
+        h = jax.random.normal(jax.random.PRNGKey(B), (B, 32))
+        out = _moe_ffn_decode(h, blk, cfg)
+        assert out.shape == (B, 32)
+
+
+@pytest.mark.parametrize("form", ["gather", "scan", "slice"])
+def test_decode_step_forced_form_matches_auto(form):
+    cfg_kw = dict(vocab=67, embed=32, heads=4, layers=2, mlp_ratio=2,
+                  max_seq=16, dtype="f32", n_experts=4, top_k=2)
+    base = GptConfig(**cfg_kw)
+    forced = GptConfig(moe_decode_form=form, **cfg_kw)
+    params = init_params(base, seed=0)
+    sp = stack_params(params)
+    B = 1 if form == "slice" else 2
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, base.vocab, (B, 6)), jnp.int32)
+    _, cache = make_prefill(base, use_pallas=False)(sp, ids)
+    tok = jnp.full((B,), 3, jnp.int32)
+    want, _ = make_decode_step(base)(params, cache, tok)
+    got, _ = make_decode_step(forced)(params, cache, tok)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)

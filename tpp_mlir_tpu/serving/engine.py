@@ -48,6 +48,10 @@ class GptConfig:
     # logits. 0 = dense (GPT-2 class).
     n_experts: int = 0
     top_k: int = 2
+    # Decode-time MoE FFN form: "auto" picks by traffic model (see
+    # _moe_ffn_decode), or force "slice" | "gather" | "scan" (the
+    # exp_moe_decode.py experiment knob).
+    moe_decode_form: str = "auto"
     # LLaMA-class architecture axes (combine with kv_heads for the full
     # LLaMA-2/3 recipe): rotary position embeddings instead of the
     # learned wpe table, RMSNorm instead of LayerNorm (no mean, no
@@ -362,6 +366,58 @@ def _moe_ffn_gather(h, blk, top_k: int):
     y = jnp.einsum("bkf,bkfe->bke", a, w2s,
                    preferred_element_type=jnp.float32)
     return jnp.sum(gates[..., None] * y, axis=1).astype(h.dtype)
+
+
+def _moe_ffn_slice(h, blk, top_k: int):
+    """Dynamic-slice-form MoE FFN for B == 1 (the latency-serving
+    case): the k selected experts' weights reach the dot through
+    `dynamic_index_in_dim` — a contiguous slice XLA can fuse into the
+    operand read, with no (B, k, E, F) gather materialization (the
+    gather form's copy doubles-to-triples the expert HBM traffic).
+    vmap would turn these slices back into gathers, so B > 1 routes
+    elsewhere (_moe_ffn_decode). h: (1, E) -> (1, E)."""
+    import jax
+    import jax.numpy as jnp
+
+    gates, idx = _moe_gates(h, blk["wr"], top_k)      # (1, k)
+    acc = jnp.zeros(h.shape, jnp.float32)
+    for j in range(top_k):
+        w1 = jax.lax.dynamic_index_in_dim(blk["w1"], idx[0, j], axis=0,
+                                          keepdims=False)   # (E, F)
+        w2 = jax.lax.dynamic_index_in_dim(blk["w2"], idx[0, j], axis=0,
+                                          keepdims=False)   # (F, E)
+        a = jax.nn.gelu(_mm(h, w1), approximate=False).astype(h.dtype)
+        acc = acc + gates[:, j:j + 1] * _mm(a, w2)
+    return acc.astype(h.dtype)
+
+
+def _moe_ffn_decode(h, blk, cfg):
+    """Decode-time MoE FFN dispatch by HBM-traffic model (the decode
+    regime is bandwidth-bound, so bytes touched IS the cost):
+
+      B == 1        -> slice form: k fused expert-slice reads, no copy;
+      B*k >= n_e    -> scan form: all n_e experts stream exactly ONCE
+                       (the gather form would copy+read min-expert-
+                       granularity B*k >= n_e slices, touching the
+                       expert table 2-3x);
+      else          -> gather form: B*k < n_e expert reads.
+
+    Measured on v5e (exp_moe_decode.py, PERF.md): the pre-policy
+    gather-everywhere path ran b1 at 26% / b8 at 12% of the HBM roof.
+    """
+    form = cfg.moe_decode_form
+    if form == "auto":
+        if h.shape[0] == 1:
+            form = "slice"
+        elif h.shape[0] * cfg.top_k >= cfg.n_experts:
+            form = "scan"
+        else:
+            form = "gather"
+    if form == "slice" and h.shape[0] == 1:
+        return _moe_ffn_slice(h, blk, cfg.top_k)
+    if form == "scan":
+        return _moe_ffn_scan(h, blk, cfg.top_k)
+    return _moe_ffn_gather(h, blk, cfg.top_k)
 
 
 def _gather(w, idx):
@@ -701,10 +757,9 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
             x = x + row_parallel(act, blk["w2"],
                                  jnp.zeros((), jnp.float32))
         elif cfg.n_experts:
-            # gather form: each token reads ONLY its top_k experts'
-            # weights (B*k expert reads vs n_experts) — the MoE win in
-            # the bandwidth-bound decode regime
-            x = x + _moe_ffn_gather(h, blk, cfg.top_k)
+            # bandwidth-policy dispatch: slice (b1) / stream-all (B*k
+            # covers the expert table) / gather — see _moe_ffn_decode
+            x = x + _moe_ffn_decode(h, blk, cfg)
         else:
             h = _dot(h, blk["w1"], blk["b1"])
             h = jax.nn.gelu(h.astype(jnp.float32),
