@@ -75,6 +75,11 @@ def main() -> int:
                         "decode reads top-k of n experts' FFN weights -- "
                         "the MoE bandwidth win")
     p.add_argument("--top-k-experts", type=int, default=2)
+    p.add_argument("--moe-prefill", choices=["scan", "sorted"],
+                   default="scan",
+                   help="MoE prefill FFN form: exact scan-over-experts "
+                        "(n_experts x dense compute) or GShard sorted "
+                        "dispatch (~top_k x dense; capacity-bounded)")
     p.add_argument("--kv-heads", type=int, default=0,
                    help="GQA: KV heads < query heads (0 = MHA); shrinks "
                         "the decode KV read by heads/kv_heads")
@@ -113,14 +118,16 @@ def main() -> int:
         cfg = mk(vocab=128, embed=64, heads=4, layers=2,
                         mlp_ratio=2, max_seq=64, dtype="f32",
                         kv_heads=kvh, kv_quant=args.kv_quant or None,
-                        n_experts=args.experts, top_k=args.top_k_experts)
+                        n_experts=args.experts, top_k=args.top_k_experts,
+                        moe_prefill_form=args.moe_prefill)
         s0, n_short, n_long = 16, 4, 12
         batches = (1, 2)
     else:
         cfg = mk(vocab=50304, embed=768, heads=12, layers=12,
                         mlp_ratio=4, max_seq=640, dtype="bf16",
                         kv_heads=kvh, kv_quant=args.kv_quant or None,
-                        n_experts=args.experts, top_k=args.top_k_experts)
+                        n_experts=args.experts, top_k=args.top_k_experts,
+                        moe_prefill_form=args.moe_prefill)
         s0, n_short, n_long = 512, 16, 112
         batches = (1, 8)
 
@@ -155,7 +162,8 @@ def main() -> int:
                           "quant": args.quant or None,
                           "kv_quant": args.kv_quant or None,
                           "experts": args.experts or None,
-                          "llama": args.llama or None},
+                          "llama": args.llama or None,
+                          "moe_prefill": args.moe_prefill},
                "param_bytes": param_bytes, "target": tgt.name}
 
     step = make_decode_step(cfg)

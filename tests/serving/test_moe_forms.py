@@ -50,6 +50,41 @@ def test_auto_policy_selection():
         assert out.shape == (B, 32)
 
 
+@pytest.mark.parametrize("T", [16, 64, 256])
+def test_sorted_prefill_form(T):
+    """GShard sorted dispatch == exact scan at ample capacity; default
+    capacity stays finite and converges to exact as T grows (balanced
+    routing)."""
+    from tpp_mlir_tpu.serving.engine import _moe_ffn_sorted
+
+    blk = _blk()
+    h = jax.random.normal(jax.random.PRNGKey(T), (T, 32))
+    ref = np.asarray(_moe_ffn_scan(h, blk, 2))
+    ample = np.asarray(_moe_ffn_sorted(h, blk, 2, capacity_factor=8.0))
+    np.testing.assert_allclose(ample, ref, atol=3e-5)
+    dflt = np.asarray(_moe_ffn_sorted(h, blk, 2, capacity_factor=1.25))
+    assert np.isfinite(dflt).all()
+    if T >= 256:
+        np.testing.assert_allclose(dflt, ref, atol=3e-5)
+
+
+def test_sorted_prefill_through_engine():
+    """moe_prefill_form='sorted' with ample capacity matches the exact
+    default through make_prefill."""
+    kw = dict(vocab=67, embed=32, heads=4, layers=2, mlp_ratio=2,
+              max_seq=32, dtype="f32", n_experts=4, top_k=2)
+    exact = GptConfig(**kw)
+    sortd = GptConfig(moe_prefill_form="sorted", moe_capacity_factor=4.0,
+                      **kw)
+    params = stack_params(init_params(exact, seed=0))
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, exact.vocab, (2, 24)), jnp.int32)
+    want, _ = make_prefill(exact, use_pallas=False)(params, ids)
+    got, _ = make_prefill(sortd, use_pallas=False)(params, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4)
+
+
 @pytest.mark.parametrize("form", ["gather", "scan", "slice"])
 def test_decode_step_forced_form_matches_auto(form):
     cfg_kw = dict(vocab=67, embed=32, heads=4, layers=2, mlp_ratio=2,

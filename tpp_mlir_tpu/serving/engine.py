@@ -52,6 +52,12 @@ class GptConfig:
     # _moe_ffn_decode), or force "slice" | "gather" | "scan" (the
     # exp_moe_decode.py experiment knob).
     moe_decode_form: str = "auto"
+    # Prefill-time MoE FFN form: "scan" (exact, n_experts x dense
+    # compute) or "sorted" (GShard capacity-bounded dispatch,
+    # ~top_k x dense compute; tokens beyond capacity_factor drop to a
+    # zero FFN delta — the standard serving/training trade).
+    moe_prefill_form: str = "scan"
+    moe_capacity_factor: float = 1.25
     # LLaMA-class architecture axes (combine with kv_heads for the full
     # LLaMA-2/3 recipe): rotary position embeddings instead of the
     # learned wpe table, RMSNorm instead of LayerNorm (no mean, no
@@ -368,6 +374,65 @@ def _moe_ffn_gather(h, blk, top_k: int):
     return jnp.sum(gates[..., None] * y, axis=1).astype(h.dtype)
 
 
+def _moe_ffn_sorted(h, blk, top_k: int, capacity_factor: float = 1.25):
+    """GShard-style sorted dispatch — the PREFILL form for large T:
+    sort the T*k (token, expert) assignments by expert, pack each
+    expert's tokens into a (n_experts, C) table with capacity
+    C = ceil(cf * T * k / n), run ONE batched (n, C, E) x (n, E, F)
+    einsum per FFN layer — each expert's weights stream exactly once
+    and the dense compute is ~cf*k x a dense FFN instead of the exact
+    scan form's n x. Assignments beyond an expert's capacity contribute
+    a ZERO delta for that expert slot (standard GShard token dropping;
+    raise capacity_factor for exactness headroom). Static shapes
+    throughout — sort + segment arithmetic, no dynamic sizes, so one
+    XLA compilation serves every routing. h: (T, E) -> (T, E)."""
+    import jax
+    import jax.numpy as jnp
+
+    gates, idx = _moe_gates(h, blk["wr"], top_k)      # (T, k)
+    T = h.shape[0]
+    n_e = blk["wr"].shape[-1]
+    A = T * top_k
+    C = max(1, int(-(-capacity_factor * A // n_e)))   # ceil
+    e_flat = idx.reshape(A)                            # expert per assignment
+    t_flat = jnp.repeat(jnp.arange(T), top_k)          # source token
+    g_flat = gates.reshape(A)
+    # stable sort by expert id keeps token order within each expert
+    order = jnp.argsort(e_flat, stable=True)
+    e_s, t_s, g_s = e_flat[order], t_flat[order], g_flat[order]
+    # rank of each assignment within its expert group = position - start
+    pos = jnp.arange(A)
+    start = jnp.searchsorted(e_s, jnp.arange(n_e), side="left")  # (n_e,)
+    rank = pos - start[e_s]
+    keep = rank < C
+    # scatter assignments into the (n_e, C) token table; dropped and
+    # empty slots point at row T of an h padded with one zero row
+    slot = e_s * C + jnp.where(keep, rank, 0)
+    table = jnp.full((n_e * C,), T, jnp.int32).at[
+        jnp.where(keep, slot, n_e * C)].set(t_s, mode="drop")
+    gtab = jnp.zeros((n_e * C,), g_s.dtype).at[
+        jnp.where(keep, slot, n_e * C)].set(g_s, mode="drop")
+    hp = jnp.concatenate([h, jnp.zeros((1, h.shape[-1]), h.dtype)], 0)
+    xg = hp[table].reshape(n_e, C, -1)                 # (n, C, E)
+    a = jnp.einsum("nce,nef->ncf", xg, blk["w1"],
+                   preferred_element_type=jnp.float32)
+    a = jax.nn.gelu(a, approximate=False).astype(h.dtype)
+    y = jnp.einsum("ncf,nfe->nce", a, blk["w2"],
+                   preferred_element_type=jnp.float32)  # (n, C, E)
+    y = (gtab[:, None] * y.reshape(n_e * C, -1))
+    # combine: scatter-add expert outputs back to their source tokens
+    out = jnp.zeros((T + 1, h.shape[-1]), jnp.float32).at[table].add(y)
+    return out[:T].astype(h.dtype)
+
+
+def _moe_ffn_prefill(h, blk, cfg):
+    """Prefill-time MoE FFN dispatch: exact scan (default) or the
+    sorted capacity-bounded form (moe_prefill_form='sorted')."""
+    if cfg.moe_prefill_form == "sorted":
+        return _moe_ffn_sorted(h, blk, cfg.top_k, cfg.moe_capacity_factor)
+    return _moe_ffn_scan(h, blk, cfg.top_k)
+
+
 def _moe_ffn_slice(h, blk, top_k: int):
     """Dynamic-slice-form MoE FFN for B == 1 (the latency-serving
     case): the k selected experts' weights reach the dot through
@@ -521,8 +586,8 @@ def _prefill_layer(x, blk, cfg: GptConfig, use_pallas: bool):
         x = x + _mm(act, blk["w2"]).astype(x.dtype)
     elif cfg.n_experts:
         E_ = x.shape[-1]
-        x = x + _moe_ffn_scan(h.reshape(B * S0, E_), blk,
-                              cfg.top_k).reshape(B, S0, E_)
+        x = x + _moe_ffn_prefill(h.reshape(B * S0, E_), blk,
+                                 cfg).reshape(B, S0, E_)
     else:
         h = _dot(h, blk["w1"], blk["b1"])
         h = jax.nn.gelu(h.astype(jnp.float32),
