@@ -58,3 +58,20 @@ ids = jnp.asarray(rng.integers(0, cfg.vocab, (4 * mesh.shape["dp"], 48)),
 for i in range(5):
     gparams, gstate, loss = gstep(gparams, gstate, ids)
     print(f"gpt step {i}: next-token CE {float(loss):.4f}")
+
+# --- LoRA / QLoRA: parameter-efficient fine-tuning ------------------------
+# (serving/lora.py: frozen base — float or int8 QTensor — plus rank-r
+# adapters; only O(r*(in+out)) params get gradients and optimizer state)
+from tpp_mlir_tpu.serving import (lora_init, make_lora_train_step,
+                                  make_prefill, merge_lora, quantize_params)
+
+qbase = stack_params(quantize_params(init_params(cfg, seed=1)))  # int8 base
+adapters = lora_init(qbase, rank=8, targets=("wq", "wv"))
+lstep, linit = make_lora_train_step(cfg, optax.adam(3e-3), use_pallas=False)
+lstate = linit(adapters)
+for i in range(5):
+    adapters, lstate, loss = lstep(qbase, adapters, lstate, ids)
+    print(f"qlora step {i}: next-token CE {float(loss):.4f}")
+merged = merge_lora(qbase, adapters)   # bake deltas in -> float params
+logits, _ = make_prefill(cfg, use_pallas=False)(merged, ids)
+print(f"merged model serves: logits {logits.shape}")
