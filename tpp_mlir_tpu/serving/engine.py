@@ -460,21 +460,25 @@ def _moe_ffn_decode(h, blk, cfg):
     """Decode-time MoE FFN dispatch by HBM-traffic model (the decode
     regime is bandwidth-bound, so bytes touched IS the cost):
 
-      B == 1        -> slice form: k fused expert-slice reads, no copy;
-      B*k >= n_e    -> scan form: all n_e experts stream exactly ONCE
-                       (the gather form would copy+read min-expert-
-                       granularity B*k >= n_e slices, touching the
-                       expert table 2-3x);
-      else          -> gather form: B*k < n_e expert reads.
+      B == 1          -> slice form: k fused expert-slice reads, no copy;
+      3*B*k >= n_e    -> scan form: all n_e experts stream exactly ONCE.
+                         The gather form's jnp.take MATERIALIZES its
+                         selection (copy + re-read ≈ 3x the touched
+                         expert bytes, measured), so streaming the whole
+                         table wins unless the touched share is < ~1/3;
+      else            -> gather form: B*k expert reads (large expert
+                         counts at small batch).
 
-    Measured on v5e (exp_moe_decode.py, PERF.md): the pre-policy
-    gather-everywhere path ran b1 at 26% / b8 at 12% of the HBM roof.
+    Measured on v5e (exp_moe_decode.py, moe_decode_forms_r4.json,
+    GPT-2-small MoE-8 geometry): gather-everywhere ran b1 518 / b8 627
+    tok/s; the policy forms run b1 1,339 (slice, 2.6x) and b8 4,271
+    (scan, 6.8x).
     """
     form = cfg.moe_decode_form
     if form == "auto":
         if h.shape[0] == 1:
             form = "slice"
-        elif h.shape[0] * cfg.top_k >= cfg.n_experts:
+        elif 3 * h.shape[0] * cfg.top_k >= cfg.n_experts:
             form = "scan"
         else:
             form = "gather"
