@@ -5,6 +5,7 @@ halve the dominant HBM read)."""
 
 from .batching import (BatchingEngine, init_slot_cache, make_decode_loop,
                        make_insert)
+from .beam import make_beam_generate
 from .engine import (GptConfig, decode_cache_specs, decode_param_specs,
                      init_params, make_decode_step, make_extend,
                      make_generate, make_prefill, make_sampler,
@@ -23,5 +24,5 @@ __all__ = ["BatchingEngine", "init_slot_cache", "make_decode_loop",
            "decode_cache_specs", "stack_params",
            "QTensor", "quantize", "dequantize", "quantize_params",
            "dequantize_params", "quantized_bytes",
-           "make_speculative_generate",
+           "make_speculative_generate", "make_beam_generate",
            "lora_init", "merge_lora", "make_lora_train_step"]

@@ -53,6 +53,18 @@ def main(argv=None) -> int:
                         "top-k experts' weights")
     p.add_argument("--top-k-experts", type=int, default=2,
                    help="experts per token (with --experts)")
+    p.add_argument("--moe-prefill", choices=["scan", "sorted"],
+                   default="scan",
+                   help="MoE prefill FFN form: exact scan-over-experts "
+                        "or GShard sorted dispatch (~top_k x dense "
+                        "compute, capacity-bounded)")
+    p.add_argument("--beams", type=int, default=1,
+                   help="beam-search width (>1 enables beam decoding; "
+                        "deterministic, ignores sampling flags)")
+    p.add_argument("--length-penalty", type=float, default=0.0,
+                   help="GNMT length norm exponent for beam search")
+    p.add_argument("--eos", type=int, default=-1,
+                   help="EOS token id for beam search (-1 = none)")
     p.add_argument("--speculative", type=int, default=0, metavar="K",
                    help="speculative decoding: draft K tokens per round "
                         "with a small draft model, verify in one target "
@@ -98,7 +110,8 @@ def main(argv=None) -> int:
              kv_heads=args.kv_heads or None,
              kv_quant=args.kv_quant or None,
              n_experts=args.experts,
-             top_k=args.top_k_experts)
+             top_k=args.top_k_experts,
+             moe_prefill_form=args.moe_prefill)
     spec_slack = (args.speculative + 1) if args.speculative else 0
     if args.prompt_len + args.steps + spec_slack > cfg.max_seq:
         print(f"prompt+steps ({args.prompt_len}+{args.steps}"
@@ -196,6 +209,19 @@ def main(argv=None) -> int:
         dt = time.perf_counter() - t0
         out = np.stack(toks, axis=1)
         print(f"# tp={args.tp} decode: {args.steps - 1} steps in {dt:.2f}s")
+    elif args.beams > 1:
+        from tpp_mlir_tpu.serving import make_beam_generate
+
+        gen = make_beam_generate(cfg, args.steps, beams=args.beams,
+                                 length_penalty=args.length_penalty,
+                                 eos_id=args.eos if args.eos >= 0 else None)
+        t0 = time.perf_counter()
+        out, scores = gen(params, ids)
+        out = np.asarray(out)
+        dt = time.perf_counter() - t0
+        print(f"# beam search: width {args.beams}, {args.steps} steps x "
+              f"batch {args.batch} in {dt:.2f}s; best scores "
+              + " ".join(f"{float(s):.3f}" for s in np.asarray(scores)))
     else:
         gen = make_generate(cfg, args.steps, temperature=args.temperature,
                             top_k=args.top_k, top_p=args.top_p)
