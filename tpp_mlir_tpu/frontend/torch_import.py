@@ -424,8 +424,49 @@ def import_torch_fx(model, example_shape, dtype: str = "f32",
                 raise NotImplementedError(
                     f"fx import: unsupported function {node.target}")
         elif node.op == "call_method":
-            raise NotImplementedError(
-                f"fx import: unsupported method {node.target}")
+            # tensor shape-plumbing methods (the ViT-class models:
+            # conv patch embed -> flatten -> transpose -> encoder)
+            if node.target in ("reshape", "view"):
+                x = val(node.args[0].name)
+                dims = [d for d in node.args[1:]]
+                if len(dims) == 1 and isinstance(dims[0], (tuple, list)):
+                    dims = list(dims[0])
+                n = 1
+                for d in x.type.shape:
+                    n *= d
+                if -1 in dims:
+                    known = 1
+                    for d in dims:
+                        if d != -1:
+                            known *= d
+                    dims[dims.index(-1)] = n // known
+                env[node.name] = b.reshape(x, tuple(dims))
+            elif node.target == "transpose":
+                x = val(node.args[0].name)
+                d0, d1 = node.args[1], node.args[2]
+                perm = list(range(len(x.type.shape)))
+                perm[d0], perm[d1] = perm[d1], perm[d0]
+                env[node.name] = b.transpose(x, tuple(perm))
+            elif node.target == "permute":
+                x = val(node.args[0].name)
+                dims = node.args[1:]
+                if len(dims) == 1 and isinstance(dims[0], (tuple, list)):
+                    dims = tuple(dims[0])
+                env[node.name] = b.transpose(x, tuple(dims))
+            elif node.target == "flatten":
+                x = val(node.args[0].name)
+                start = node.args[1] if len(node.args) > 1 \
+                    else node.kwargs.get("start_dim", 0)
+                shape = list(x.type.shape)
+                n = 1
+                for d in shape[start:]:
+                    n *= d
+                env[node.name] = b.reshape(x, tuple(shape[:start]) + (n,))
+            elif node.target == "contiguous":
+                env[node.name] = val(node.args[0].name)
+            else:
+                raise NotImplementedError(
+                    f"fx import: unsupported method {node.target}")
         elif node.op == "output":
             arg = node.args[0]
             b.ret(val(arg.name) if hasattr(arg, "name")

@@ -63,6 +63,9 @@ def build_module(entry):
             "gpt": __import__(
                 "tpp_mlir_tpu.models.gpt",
                 fromlist=["build_gpt"]).build_gpt,
+            "vit": lambda **kw: __import__(
+                "tpp_mlir_tpu.models.vit",
+                fromlist=["build_vit_block"]).build_vit_block(**kw)[0],
         }[name]
         return builder(**kwargs)
     raise ValueError(f"benchmark entry needs 'gen', 'model' or 'file': {entry}")
