@@ -118,3 +118,19 @@ def test_length_penalty_changes_norm_not_tokens_without_eos():
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
     np.testing.assert_allclose(np.asarray(s1) * 3.0, np.asarray(s0),
                                atol=1e-5)
+
+
+def test_tpp_serve_beams_cli(capsys):
+    from tpp_mlir_tpu.tools import tpp_serve
+
+    rc = tpp_serve.main(["--platform", "cpu", "--embed", "32", "--heads",
+                         "4", "--layers", "2", "--mlp-ratio", "2",
+                         "--vocab", "97", "--max-seq", "32",
+                         "--prompt-len", "6", "--steps", "4", "--batch",
+                         "2", "--beams", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "# beam search: width 3" in out
+    rows = [ln for ln in out.splitlines()
+            if ln and not ln.startswith("#")]
+    assert len(rows) == 2 and all(len(r.split()) == 4 for r in rows)
