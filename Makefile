@@ -10,11 +10,13 @@ all: native
 native:
 	$(MAKE) -C tpp_mlir_tpu/native
 
+# full tier (all tests, incl. slow long tail) — CI + before commits
 check: native
-	$(PY) -m pytest tests/ -q
+	$(PY) -m pytest tests/ -q -m "slow or not slow"
 
+# fast tier (= the bare `pytest -q` default via pyproject addopts)
 check-fast: native
-	$(PY) -m pytest tests/ -q -x -m "not slow"
+	$(PY) -m pytest tests/ -q -x
 
 benchmarks:
 	$(PY) benchmarks/driver.py -c benchmarks/configs/base.json

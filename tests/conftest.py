@@ -27,3 +27,82 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# Test tiers (reference: check-tpp vs the full benchmark targets,
+# /root/reference/CMakeLists.txt:79-140). Default `pytest -q` runs the FAST
+# tier (< ~5 min on the 1-CPU box: pyproject addopts deselect `slow`);
+# `make test-all` / CI / pre-commit run everything. The slow set is the
+# measured long tail of the r4 full run (criterion: >~3 s/test, with at
+# least one fast representative kept per feature area).
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+_SLOW_MODULES = {
+    "tests/parallel/test_gpt_train.py",       # 77 s: full train steps
+    "tests/parallel/test_optim.py",           # 34 s: zero1/accum oracles
+    "tests/parallel/test_pipeline_train.py",  # 11 s
+    "tests/parallel/test_sharded_grads.py",   # 16 s
+    "tests/serving/test_batching.py",         # 65 s: continuous batching
+    "tests/benchmarks/test_driver.py",        # 20 s: driver subprocesses
+}
+
+_SLOW_TESTS = {
+    # serving: keep the cheapest exactness representative per feature fast
+    "tests/serving/test_quant.py::test_kv_quant_decode_close_to_full_precision",
+    "tests/serving/test_quant.py::test_kv_quant_stacked_matches_unstacked",
+    "tests/serving/test_quant.py::test_kv_quant_tp_decode_matches_single_device",
+    "tests/serving/test_quant.py::test_kv_quant_composes_with_weight_quant_and_gqa",
+    "tests/serving/test_quant.py::test_quantized_tp_decode_matches_single_device",
+    "tests/serving/test_quant.py::test_quantized_gqa_decode",
+    "tests/serving/test_quant.py::test_quantized_generate_smoke",
+    "tests/serving/test_quant.py::test_quantized_decode_teacher_forcing",
+    "tests/serving/test_quant.py::test_int4_prefill_matches_dequantized_reference",
+    "tests/serving/test_quant.py::test_int4_generate_and_batching_smoke",
+    "tests/serving/test_moe_forms.py::test_sorted_prefill_form",
+    "tests/serving/test_moe_forms.py::test_decode_step_forced_form_matches_auto",
+    "tests/serving/test_moe_forms.py::test_ffn_forms_agree",
+    "tests/serving/test_llama.py::test_llama_continuous_batching_matches_sequential",
+    "tests/serving/test_llama.py::test_llama_quant_and_speculative",
+    "tests/serving/test_llama.py::test_llama_decode_teacher_forcing_matches_prefill",
+    "tests/serving/test_lora.py::test_train_step_moves_only_adapters_and_loss_drops",
+    "tests/serving/test_lora.py::test_lora_llama_and_moe_families",
+    "tests/serving/test_lora.py::test_merge_matches_trained_adapter_forward",
+    "tests/serving/test_speculative.py::test_speculative_with_quantized_draft",
+    "tests/serving/test_speculative.py::test_speculative_self_draft_accepts_everything",
+    "tests/serving/test_speculative.py::test_speculative_self_draft_long_horizon",
+    "tests/serving/test_extend.py::test_extend_quantized_weights_stacked",
+    "tests/serving/test_extend.py::test_extend_then_decode_chain",
+    "tests/serving/test_moe.py::test_tpp_serve_moe_cli",
+    "tests/serving/test_moe.py::test_moe_generate_and_batching",
+    "tests/serving/test_beam.py::test_length_penalty_changes_norm_not_tokens_without_eos",
+    "tests/tools/test_tools.py::test_cli_pipe_end_to_end",
+    "tests/tools/test_tools.py::test_gen_run_roundtrip",
+    "tests/parallel/test_parallel_modes.py::test_moe_matches_reference",
+    "tests/serving/test_moe.py::test_moe_speculative_exact",
+    "tests/serving/test_moe.py::test_moe_forms_match_oracle_and_each_other",
+    "tests/serving/test_serving.py::test_sampler_top_p_nucleus",
+    "tests/serving/test_serving.py::test_gqa_tp_decode_matches_single_device",
+    "tests/frontend/test_torch_import.py::test_torch_transformer_bf16_import",
+    "tests/serving/test_beam.py::test_beam_width_vocab_steps2_is_exhaustive",
+    "tests/ir/test_perf_bench.py::test_tpp_run_n_falls_back_when_unchainable",
+    "tests/passes/test_transformer_fusion.py::test_multilayer_encoder_fuses_per_layer",
+    "tests/xsmm/test_kernels.py::test_wres_epilogue_schedules_agree",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-tail tests deselected by default; run the "
+        "full tier with `pytest -m 'slow or not slow'` (make test-all)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nid = item.nodeid.replace("\\", "/")
+        mod = nid.split("::", 1)[0]
+        base = nid.split("[", 1)[0]
+        if mod in _SLOW_MODULES or base in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

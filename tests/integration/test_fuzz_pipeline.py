@@ -1,0 +1,284 @@
+"""Differential pipeline fuzzer.
+
+Seeded random `tl` graphs — random op mixes over a small shape vocabulary,
+deliberately baited with the patterns the fold/fuse passes rewrite
+(residual diamonds via accumulating matmul dests, trailing unaries,
+reshapes/transposes between contraction and epilogue, multi-consumer
+values, returned intermediates) — run through the full default pipelines
+and executed against the UN-lowered module. Any semantics-changing
+rewrite anywhere in the pipeline shows up as a numeric mismatch.
+
+This is the breadth role of the reference's 231-file test tree
+(/root/reference/test/): the hand-written pass tests pin known
+rewrites; the fuzzer sweeps the input space between them. The r3
+FoldResidualAcc bug (a trailing unary absorbed into a kernel that never
+executes it — ADVICE r3 #1, found by an advisor, not a test) is the
+existence proof for this file; `test_fuzzer_catches_dropped_epilogue`
+re-introduces that bug class deliberately and asserts the corpus
+catches it.
+
+The lowered module executes with `interpret_kernels="reference"` —
+straight-line jnp semantics per xsmm op (xsmm/reference.py) — so a
+corpus of hundreds of graphs runs in seconds: kernel numerics are
+covered by tests/xsmm/* differentials; THIS file targets the IR
+transforms.
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpp_mlir_tpu.ir import parse_module
+from tpp_mlir_tpu.passes import run_pipeline
+from tpp_mlir_tpu.runtime import compile as tpp_compile
+
+DIMS = (16, 32, 64)
+UNARIES = ("relu", "gelu", "tanh", "square", "negate")
+BINARIES = ("add", "mul", "sub", "max")
+PIPELINES = (("default-tpp-passes",),
+             ("default-tpp-passes-flat",),
+             ("default-tpp-passes-packed",))
+
+
+class _Gen:
+    """Random straight-line tl graph over 2-D tensors."""
+
+    def __init__(self, seed: int, dtype: str):
+        self.rnd = random.Random(seed)
+        self.dtype = dtype
+        self.lines = []
+        self.pool = []          # (name, shape) of every SSA value
+        self.n = 0
+
+    def t(self, shape):
+        return "tensor<" + "x".join(map(str, shape)) + f"x{self.dtype}>"
+
+    def fresh(self):
+        self.n += 1
+        return f"%v{self.n}"
+
+    def const(self, shape, init="normal"):
+        v = self.fresh()
+        seed = self.rnd.randrange(1000)
+        self.lines.append(
+            f'  {v} = tl.constant {{init = "{init}", seed = {seed}}} '
+            f": {self.t(shape)}")
+        return v
+
+    def pick(self, pred=None):
+        cands = [p for p in self.pool if pred is None or pred(p[1])]
+        return self.rnd.choice(cands) if cands else None
+
+    def emit_matmul(self):
+        src = self.pick(lambda s: len(s) == 2)
+        if src is None:
+            return
+        a, (m, k) = src
+        n = self.rnd.choice(DIMS)
+        w = self.const((k, n))
+        # dest: zero constant (BETA_0 bait) or an existing same-shape
+        # value (residual-accumulator bait for fold-add-into-dest /
+        # fold-residual-acc)
+        existing = self.pick(lambda s: s == (m, n))
+        if existing is not None and self.rnd.random() < 0.4:
+            c = existing[0]
+        else:
+            c = self.const((m, n), init="zero")
+        v = self.fresh()
+        self.lines.append(
+            f"  {v} = tl.matmul {a}, {w}, {c} : {self.t((m, n))}")
+        self.pool.append((v, (m, n)))
+
+    def emit_bias(self):
+        src = self.pick(lambda s: len(s) == 2)
+        if src is None:
+            return
+        a, (m, n) = src
+        b = self.const((n,))
+        kind = self.rnd.choice(("add", "mul"))
+        v = self.fresh()
+        self.lines.append(
+            f"  {v} = tl.{kind} {a}, {b} : {self.t((m, n))}")
+        self.pool.append((v, (m, n)))
+
+    def emit_binary(self):
+        src = self.pick(lambda s: len(s) == 2)
+        if src is None:
+            return
+        a, shape = src
+        other = self.pick(lambda s: s == shape)
+        if other is None:
+            return
+        kind = self.rnd.choice(BINARIES)
+        v = self.fresh()
+        self.lines.append(
+            f"  {v} = tl.{kind} {a}, {other[0]} : {self.t(shape)}")
+        self.pool.append((v, shape))
+
+    def emit_unary(self):
+        src = self.pick()
+        if src is None:
+            return
+        a, shape = src
+        kind = self.rnd.choice(UNARIES)
+        v = self.fresh()
+        self.lines.append(f"  {v} = tl.{kind} {a} : {self.t(shape)}")
+        self.pool.append((v, shape))
+
+    def emit_transpose(self):
+        src = self.pick(lambda s: len(s) == 2)
+        if src is None:
+            return
+        a, (m, n) = src
+        v = self.fresh()
+        self.lines.append(
+            f"  {v} = tl.transpose {a} {{perm = [1, 0]}} "
+            f": {self.t((n, m))}")
+        self.pool.append((v, (n, m)))
+
+    def emit_reshape(self):
+        src = self.pick(lambda s: len(s) == 2)
+        if src is None:
+            return
+        a, (m, n) = src
+        d = self.rnd.choice([x for x in DIMS if (m * n) % x == 0])
+        v = self.fresh()
+        shape = (m * n // d, d)
+        self.lines.append(f"  {v} = tl.reshape {a} : {self.t(shape)}")
+        self.pool.append((v, shape))
+
+    def emit_softmax(self):
+        src = self.pick(lambda s: len(s) == 2)
+        if src is None:
+            return
+        a, shape = src
+        v = self.fresh()
+        self.lines.append(
+            f"  {v} = tl.softmax {a} {{axis = 1}} : {self.t(shape)}")
+        self.pool.append((v, shape))
+
+    def build(self):
+        m, k = self.rnd.choice(DIMS), self.rnd.choice(DIMS)
+        args = [("%x", (m, k))]
+        if self.rnd.random() < 0.5:
+            args.append(("%y", (self.rnd.choice(DIMS),
+                                self.rnd.choice(DIMS))))
+        self.pool = list(args)
+        emitters = [self.emit_matmul, self.emit_matmul, self.emit_bias,
+                    self.emit_binary, self.emit_unary, self.emit_unary,
+                    self.emit_transpose, self.emit_reshape,
+                    self.emit_softmax]
+        for _ in range(self.rnd.randrange(3, 11)):
+            self.rnd.choice(emitters)()
+        # return a random computed value (returned-intermediate bait:
+        # passes must not rewrite a value that escapes via return),
+        # preferring late values so most of the graph stays live
+        computed = self.pool[len(args):] or self.pool
+        ret, rshape = computed[-1] if self.rnd.random() < 0.7 \
+            else self.rnd.choice(computed)
+        sig = ", ".join(f"{n.replace('%', '%')}: {self.t(s)}"
+                        for n, s in args)
+        body = "\n".join(self.lines)
+        text = (f"func @entry({sig}) {{\n{body}\n"
+                f"  return {ret} : {self.t(rshape)}\n}}\n")
+        return text, args
+
+
+def _run_differential(seed: int, pipeline=None, dtype=None):
+    rnd = random.Random(seed ^ 0x5EED)
+    dtype = dtype or ("bf16" if rnd.random() < 0.3 else "f32")
+    pipeline = pipeline or rnd.choice(PIPELINES)
+    g = _Gen(seed, dtype)
+    text, args = g.build()
+    jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype]
+    vals = [jax.random.normal(jax.random.PRNGKey(seed + i), s,
+                              jnp.float32).astype(jdt)
+            for i, (_, s) in enumerate(args)]
+
+    ref_mod = parse_module(text)
+    ref_mod.verify()
+    want = tpp_compile(ref_mod, jit=False)(*vals)
+
+    low_mod = parse_module(text)
+    run_pipeline(low_mod, *pipeline)
+    low_mod.verify()
+    got = tpp_compile(low_mod, jit=False,
+                      interpret_kernels="reference")(*vals)
+
+    tol = dict(atol=2e-4, rtol=2e-4) if dtype == "f32" \
+        else dict(atol=0.3, rtol=0.08)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        err_msg=f"seed={seed} pipeline={pipeline} dtype={dtype}\n{text}",
+        **tol)
+    return low_mod, text
+
+
+@pytest.mark.parametrize("batch", range(20))
+def test_fuzz_default_pipelines(batch):
+    """240 seeded graphs x {default, flat, packed} x {f32, bf16} through
+    the full pipeline, differentially executed vs the un-lowered module
+    (12 per batch for granular failure reporting)."""
+    for seed in range(batch * 12, (batch + 1) * 12):
+        _run_differential(seed)
+
+
+_ELTWISE_KINDS = ("relu", "gelu", "gelu_tanh", "tanh", "square", "negate",
+                  "exp")
+
+
+def _drop_trailing_unary_bug(module):
+    """Deliberately re-introduce the r3 FoldResidualAcc bug CLASS: an
+    elementwise `xsmm.unary` is absorbed "into its producer" by a buggy
+    rewrite that never actually executes it — the activation silently
+    disappears from the executed program while the IR still
+    type-checks (ADVICE r3 #1 was exactly this, on plain-brgemm
+    dispatches that ignore unary_kind)."""
+    for func in module.funcs.values():
+        for op in list(func.ops):
+            if op.opname != "xsmm.unary":
+                continue
+            d = op.operands[0].owner
+            if d is None or d.attrs.get("kind") not in _ELTWISE_KINDS:
+                continue
+            if any(r is op.result for r in func.returns):
+                continue   # a directly-returned value: too obvious
+            func.replace_all_uses(op.result, op.operands[1])
+            func.erase(op)
+            return True
+    return False
+
+
+def test_fuzzer_catches_dropped_epilogue():
+    """The corpus must FAIL when the dropped-trailing-unary bug is
+    planted after lowering — proving the fuzzer is sensitive to the
+    exact bug class that escaped to an advisor in r3."""
+    caught = 0
+    planted = 0
+    for seed in range(240):
+        rnd = random.Random(seed ^ 0x5EED)
+        dtype = "f32"
+        g = _Gen(seed, dtype)
+        text, args = g.build()
+        vals = [jax.random.normal(jax.random.PRNGKey(seed + i), s)
+                for i, (_, s) in enumerate(args)]
+        low_mod = parse_module(text)
+        run_pipeline(low_mod, "default-tpp-passes")
+        if not _drop_trailing_unary_bug(low_mod):
+            continue
+        planted += 1
+        want = tpp_compile(parse_module(text), jit=False)(*vals)
+        got = tpp_compile(low_mod, jit=False,
+                          interpret_kernels="reference")(*vals)
+        if not np.allclose(np.asarray(got, np.float32),
+                           np.asarray(want, np.float32),
+                           atol=2e-4, rtol=2e-4):
+            caught += 1
+    assert planted >= 10, f"corpus only planted {planted} bugs"
+    # every planted drop whose value reaches the output must be caught;
+    # a handful can be semantically dead (e.g. relu after relu) — demand
+    # a high catch rate, not perfection
+    assert caught >= planted * 0.6, (caught, planted)

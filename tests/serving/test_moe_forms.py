@@ -85,6 +85,55 @@ def test_sorted_prefill_through_engine():
                                atol=1e-4)
 
 
+@pytest.mark.parametrize("T,bm", [(16, 8), (64, 8), (64, 16), (256, 32)])
+def test_grouped_prefill_form_exact(T, bm):
+    """The dropless grouped-expert form is EXACT vs the scan oracle (no
+    capacity drops) at every row-block quantum, including multi-block
+    expert groups and the static padding tail."""
+    from tpp_mlir_tpu.serving.engine import _moe_ffn_grouped
+
+    blk = _blk()
+    cfg = GptConfig(embed=32, heads=4, n_experts=8, top_k=2,
+                    moe_group_bm=bm)
+    h = jax.random.normal(jax.random.PRNGKey(T + bm), (T, 32))
+    ref = np.asarray(_moe_ffn_scan(h, blk, 2))
+    got = np.asarray(_moe_ffn_grouped(h, blk, cfg))
+    np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_grouped_prefill_form_unbalanced_routing():
+    """Extreme routing skew (router biased so most tokens pick one
+    expert) still matches exactly — the per-expert padding bound covers
+    any distribution, dropping nothing."""
+    from tpp_mlir_tpu.serving.engine import _moe_ffn_grouped
+
+    blk = _blk()
+    # bias the router hard toward expert 3
+    blk = dict(blk, wr=blk["wr"].at[:, 3].add(4.0))
+    cfg = GptConfig(embed=32, heads=4, n_experts=8, top_k=2,
+                    moe_group_bm=8)
+    h = jax.random.normal(jax.random.PRNGKey(7), (96, 32))
+    ref = np.asarray(_moe_ffn_scan(h, blk, 2))
+    got = np.asarray(_moe_ffn_grouped(h, blk, cfg))
+    np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_grouped_prefill_through_engine():
+    """moe_prefill_form='grouped' matches the exact default through
+    make_prefill (logits-level differential, both paths jitted)."""
+    kw = dict(vocab=67, embed=32, heads=4, layers=2, mlp_ratio=2,
+              max_seq=32, dtype="f32", n_experts=4, top_k=2)
+    exact = GptConfig(**kw)
+    grouped = GptConfig(moe_prefill_form="grouped", moe_group_bm=8, **kw)
+    params = stack_params(init_params(exact, seed=0))
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, exact.vocab, (2, 24)), jnp.int32)
+    want, _ = make_prefill(exact, use_pallas=False)(params, ids)
+    got, _ = make_prefill(grouped, use_pallas=False)(params, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4)
+
+
 @pytest.mark.parametrize("form", ["gather", "scan", "slice"])
 def test_decode_step_forced_form_matches_auto(form):
     cfg_kw = dict(vocab=67, embed=32, heads=4, layers=2, mlp_ratio=2,

@@ -358,3 +358,39 @@ def test_int4_generate_and_batching_smoke():
             for _ in range(3)]
     out = eng.run()
     assert all(len(out[r]) == 4 for r in rids)
+
+
+def test_int8_compute_prefill_drift_bounded():
+    """int8_compute=True (int8 MXU GEMMs with per-row activation quant)
+    stays within the activation-quantization drift bound of the
+    weight-only dequant engine on the same quantized params, and the
+    argmax token predictions agree on a margin-filtered majority."""
+    params = init_params(CFG, seed=2)
+    qparams = quantize_params(params)
+    ids = jnp.asarray(np.random.default_rng(2).integers(
+        0, CFG.vocab, (2, 16)), jnp.int32)
+    import dataclasses
+    base = make_prefill(CFG, use_pallas=False)
+    i8cfg = dataclasses.replace(CFG, int8_compute=True)
+    i8 = make_prefill(i8cfg, use_pallas=False)
+    want, _ = base(qparams, ids)
+    got, _ = i8(qparams, ids)
+    w = np.asarray(want, np.float32)
+    g = np.asarray(got, np.float32)
+    # logits drift: int8 activations add ~0.4% relative error per GEMM;
+    # 2 layers + head compound to ~a few percent of the logit scale
+    assert np.abs(g - w).max() / np.abs(w).max() < 0.08
+    agree = (g.argmax(-1) == w.argmax(-1)).mean()
+    assert agree > 0.8, f"argmax agreement {agree}"
+
+
+def test_int8_compute_small_batch_falls_back():
+    """Below 32 activation rows (decode-class shapes) the int8 flag is a
+    no-op: _mm routes to the weight-only dequant dot, so results match
+    the base engine EXACTLY."""
+    from tpp_mlir_tpu.serving.engine import _mm
+
+    w = quantize(jax.random.normal(jax.random.PRNGKey(3), (64, 96)))
+    x = jax.random.normal(jax.random.PRNGKey(4), (8, 64))
+    np.testing.assert_array_equal(np.asarray(_mm(x, w, int8=True)),
+                                  np.asarray(_mm(x, w, int8=False)))

@@ -457,3 +457,19 @@ def test_flash_block_overrides_must_divide():
         build_kernel(FlashMhaKey(batch=2, seq=384, seq_kv=256,
                                  head_dim=64, strategy="blocked", bq=256),
                      interpret=True)
+
+
+def test_flash_causal_fold2_differential():
+    """strategy='twocall2' (band folded into the rectangle: lo causal
+    half + hi causal-over-FULL-KV, no LSE merge) matches the dense
+    causal reference."""
+    key = FlashMhaKey(batch=2, seq=512, seq_kv=512, head_dim=64,
+                      scale=0.125, causal=True, strategy="twocall2")
+    kfn = build_kernel(key, interpret=True)
+    rfn = reference_kernel(key)
+    q = rng(2, 512, 64)
+    k = rng(2, 512, 64, seed=1)
+    v = rng(2, 512, 64, seed=2)
+    np.testing.assert_allclose(np.asarray(kfn(q, k, v), np.float32),
+                               np.asarray(rfn(q, k, v), np.float32),
+                               atol=1e-4, rtol=1e-4)

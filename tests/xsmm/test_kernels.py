@@ -436,3 +436,58 @@ def test_gelu_exp2_tail_and_accuracy():
     assert np.isfinite(gf).all()
     np.testing.assert_allclose(gf, np.maximum(np.asarray(far), 0.0),
                                rtol=1e-6, atol=1e-6)
+
+
+# -- Grouped (ragged-batch) GEMM ---------------------------------------------
+
+def test_grouped_gemm_matches_reference():
+    from tpp_mlir_tpu.xsmm.flags import GroupedGemmKey
+
+    bm, G = 8, 4
+    key = GroupedGemmKey(n_groups=G, m=6 * bm, n=128, k=64, bm=bm)
+    ge = jnp.asarray([0, 0, 1, 3, 3, 3], jnp.int32)
+    a, w = rng(6 * bm, 64), rng(G, 64, 128, seed=1)
+    check(key, (ge, a, w))
+
+
+def test_grouped_gemm_gelu_epilogue_split_k():
+    from tpp_mlir_tpu.xsmm.flags import GroupedGemmKey
+
+    bm, G = 16, 2
+    key = GroupedGemmKey(n_groups=G, m=3 * bm, n=128, k=256, bm=bm,
+                         bk=128, unary_kind="gelu")
+    ge = jnp.asarray([1, 0, 1], jnp.int32)
+    a, w = rng(3 * bm, 256), rng(G, 256, 128, seed=1)
+    check(key, (ge, a, w), atol=1e-5)
+
+
+# -- int8 compute GEMM -------------------------------------------------------
+
+def test_int8_gemm_matches_int32_reference():
+    from tpp_mlir_tpu.xsmm.flags import Int8GemmKey
+    from tpp_mlir_tpu.serving.quant import quantize, quantize_tokens
+
+    M, K, N = 32, 64, 256
+    key = Int8GemmKey(m=M, n=N, k=K)
+    x, w = rng(M, K, seed=3), rng(K, N, seed=4)
+    qt = quantize(w)
+    xq, xs = quantize_tokens(x)
+    # exact vs the int32-accumulate reference (same quantized inputs)
+    check(key, (xq, qt.q, xs, qt.scale), atol=1e-6, rtol=1e-6)
+    # bounded drift vs the full-precision product
+    got = np.asarray(build_kernel(key, interpret=True)(xq, qt.q, xs,
+                                                       qt.scale))
+    ref = np.asarray(x, np.float32) @ np.asarray(w, np.float32)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 0.02
+
+
+def test_int8_gemm_split_kn():
+    from tpp_mlir_tpu.xsmm.flags import Int8GemmKey
+    from tpp_mlir_tpu.serving.quant import quantize, quantize_tokens
+
+    M, K, N = 64, 256, 256
+    key = Int8GemmKey(m=M, n=N, k=K, bm=32, bn=128, bk=128)
+    x, w = rng(M, K, seed=5), rng(K, N, seed=6)
+    qt = quantize(w)
+    xq, xs = quantize_tokens(x)
+    check(key, (xq, qt.q, xs, qt.scale), atol=1e-6, rtol=1e-6)

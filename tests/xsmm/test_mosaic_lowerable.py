@@ -61,3 +61,23 @@ def test_exact_gelu_kernel_matches_torch_reference():
     got = fn(x, w, b)
     want = jax.nn.gelu(x @ w + b, approximate=False)
     assert jnp.max(jnp.abs(got - want)) < 1e-5
+
+
+def test_grouped_and_int8_gemm_mosaic_lowerable():
+    """The scalar-prefetch grouped GEMM and the int8 compute GEMM trace
+    (compiled mode) without Mosaic-unsupported primitives."""
+    from tpp_mlir_tpu.xsmm.flags import GroupedGemmKey, Int8GemmKey
+
+    gkey = GroupedGemmKey(n_groups=2, m=256, n=256, k=128, bm=128,
+                          dtype="bf16", unary_kind="gelu")
+    gfn = build_kernel(gkey, interpret=False)
+    ge = jnp.zeros((2,), jnp.int32)
+    assert_lowerable(gfn, ge, jnp.zeros((256, 128), jnp.bfloat16),
+                     jnp.zeros((2, 128, 256), jnp.bfloat16))
+
+    ikey = Int8GemmKey(m=32, n=256, k=128)
+    ifn = build_kernel(ikey, interpret=False)
+    assert_lowerable(ifn, jnp.zeros((32, 128), jnp.int8),
+                     jnp.zeros((128, 256), jnp.int8),
+                     jnp.zeros((32,), jnp.float32),
+                     jnp.zeros((256,), jnp.float32))

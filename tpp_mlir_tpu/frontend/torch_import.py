@@ -458,10 +458,15 @@ def import_torch_fx(model, example_shape, dtype: str = "f32",
                 start = node.args[1] if len(node.args) > 1 \
                     else node.kwargs.get("start_dim", 0)
                 shape = list(x.type.shape)
+                end = node.args[2] if len(node.args) > 2 \
+                    else node.kwargs.get("end_dim", -1)
+                if end < 0:
+                    end += len(shape)
                 n = 1
-                for d in shape[start:]:
+                for d in shape[start:end + 1]:
                     n *= d
-                env[node.name] = b.reshape(x, tuple(shape[:start]) + (n,))
+                env[node.name] = b.reshape(
+                    x, tuple(shape[:start]) + (n,) + tuple(shape[end + 1:]))
             elif node.target == "contiguous":
                 env[node.name] = val(node.args[0].name)
             else:

@@ -42,6 +42,10 @@ def make_beam_generate(cfg, steps: int, beams: int,
     from .engine import make_decode_step, make_prefill
 
     assert beams >= 1 and steps >= 1
+    # top_k(logp0, W) needs W <= vocab; fail here with a clear message
+    # instead of an opaque trace-time error (ADVICE r3 #4)
+    assert beams <= cfg.vocab, \
+        f"beams={beams} exceeds vocab={cfg.vocab}"
     prefill = make_prefill(cfg, use_pallas=use_pallas)
     step = make_decode_step(cfg)
     W, V = beams, cfg.vocab

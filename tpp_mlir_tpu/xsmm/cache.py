@@ -38,6 +38,11 @@ class KernelCache:
         self.artifacts: dict = {}
 
     def dispatch(self, key, interpret: bool | None = None):
+        """interpret: None = interpret_default() heuristic, False = force
+        Mosaic-compiled, True = force Pallas interpret, "reference" =
+        straight-line jnp semantics (xsmm/reference.py) — no Pallas at
+        all: the fast executor mode for pipeline-level differential
+        fuzzing, where the kernels' own numerics are out of scope."""
         cache_key = (key, interpret)
         with self._lock:
             fn = self._kernels.get(cache_key)
@@ -46,7 +51,11 @@ class KernelCache:
                 return fn
             self.stats.misses += 1
         try:
-            fn = build_kernel(key, interpret)
+            if interpret == "reference":
+                from .reference import reference_kernel
+                fn = reference_kernel(key)
+            else:
+                fn = build_kernel(key, interpret)
         except Exception as e:
             # dispatch-failure reporting with the full key, the role of the
             # reference runtime's shape-dump on dispatch failure

@@ -273,6 +273,57 @@ class FlashMhaKey:
 
 
 @dataclass(frozen=True)
+class GroupedGemmKey:
+    """Key for the grouped (ragged-batch) GEMM:
+
+        O[i*bm:(i+1)*bm] = unary(A[i*bm:(i+1)*bm] @ B[ge[i]])
+
+    A (m, k) holds rows pre-sorted by group with each group's rows padded
+    to a multiple of bm; B (n_groups, k, n) holds one weight matrix per
+    group; ge (m//bm,) int32 — the block->group map — is a scalar-prefetch
+    operand, so ONE compiled kernel serves every routing. This is the
+    batch-reduce GEMM machinery (reference
+    runtime/Xsmm/XsmmRunnerUtils.cpp:288-361) extended to ragged batches
+    — the megablocks dropless-MoE dispatch on the existing BRGEMM grid."""
+
+    n_groups: int
+    m: int                         # padded rows; m % bm == 0
+    n: int
+    k: int
+    dtype: str = "f32"
+    out_dtype: str | None = None
+    unary_kind: str | None = None  # fused epilogue (gelu for MoE FFN1)
+    precision: str = "default"
+    bm: int = 128                  # row-block = the group padding quantum
+    bn: int = 0
+    bk: int = 0
+
+
+@dataclass(frozen=True)
+class Int8GemmKey:
+    """Key for the int8 MXU compute GEMM:
+
+        O = (Xq @ Wq).astype(f32) * (xscale @ wscale)  [per-row x per-col]
+
+    Xq (m, k) int8 activations (quantized per row outside the kernel),
+    Wq (k, n) int8 weights (per-out-column symmetric — quant.QTensor),
+    both scales f32. The dot runs int8 x int8 -> int32 on the MXU (~2x
+    the bf16 rate on v5e); dequantization happens ONCE on the (bm, bn)
+    f32 accumulator tile. Beyond the reference's layout-only integer
+    support (TensorInit int is init-only — no quantized compute exists
+    there)."""
+
+    m: int
+    n: int
+    k: int
+    out_dtype: str = "f32"
+    unary_kind: str | None = None
+    bm: int = 0
+    bn: int = 0
+    bk: int = 0
+
+
+@dataclass(frozen=True)
 class LayerNormKey:
     """Key for the one-pass fused LayerNorm kernel: rows blocked over the
     grid, mean/variance/normalize/affine in one VMEM-resident pass — the

@@ -1060,6 +1060,179 @@ def _build_batch_matmul_grouped(key, interpret: bool):
     return fn
 
 
+def _build_grouped_gemm(key, interpret: bool):
+    """Grouped (ragged-batch) GEMM — the megablocks dropless-MoE dispatch
+    on the BRGEMM grid (reference batch-reduce GEMM role,
+    runtime/Xsmm/XsmmRunnerUtils.cpp:288-361, extended to ragged batches).
+
+    Rows arrive pre-sorted by group and padded per group to a bm multiple
+    (padding rows are zero and compute zero), so every grid step is one
+    dense (bm, bk) x (bk, bn) MXU pass; the block->group map `ge` is a
+    scalar-prefetch operand feeding the weight BlockSpec index map, so a
+    single compiled kernel serves every routing. Consecutive blocks of the
+    same group keep a CONSTANT weight block index and Mosaic skips the
+    HBM->VMEM copy, so each group's weights stream ~once when n/k need no
+    splitting (the bf16 MoE shapes) — that is what beats the capacity-
+    padded gather/einsum/scatter round trip of the GShard form."""
+    from .flags import GroupedGemmKey
+    assert isinstance(key, GroupedGemmKey)
+    m, n, k, bm = key.m, key.n, key.k, key.bm
+    assert m % bm == 0, (m, bm)
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    t = current_target()
+    sub, lane = t.min_tile(key.dtype)
+    dsize = 2 if key.dtype in ("bf16", "f16") else 4
+    # VMEM budget: x/w/out blocks are all double-buffered (CLAUDE r3:
+    # Pallas double-buffers every CHANGING block), plus the f32 scratch
+    bn = key.bn or n
+    bk = key.bk or k
+
+    def vmem_use(bn_, bk_):
+        return (2 * (bm * bk_ + bk_ * bn_) * dsize
+                + 2 * bm * bn_ * jnp.dtype(out_dtype).itemsize
+                + 4 * bm * bn_)
+
+    budget = int(t.vmem_bytes * 0.8)
+    while vmem_use(bn, bk) > budget and bn % 2 == 0 and bn // 2 >= lane \
+            and n % (bn // 2) == 0:
+        bn //= 2
+    while vmem_use(bn, bk) > budget and bk % 2 == 0 and bk // 2 >= lane \
+            and k % (bk // 2) == 0:
+        bk //= 2
+    nj, kr = pl.cdiv(n, bn), pl.cdiv(k, bk)
+    grid = (m // bm, nj, kr)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, r, ge: (i, r)),
+            pl.BlockSpec((1, bk, bn), lambda i, j, r, ge: (ge[i], r, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, r, ge: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+
+    def kernel(ge_ref, x_ref, w_ref, o_ref, acc_ref):
+        r = pl.program_id(2)
+
+        @pl.when(r == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += jnp.dot(x_ref[:], w_ref[0],
+                              preferred_element_type=jnp.float32)
+
+        @pl.when(r == kr - 1)
+        def _finish():
+            o_ref[:] = _apply_epilogue(
+                acc_ref[:], None, None, key.unary_kind).astype(out_dtype)
+
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k,
+        bytes_accessed=(m * k + key.n_groups * k * n + m * n) * dsize,
+        transcendentals=m * n if key.unary_kind in ("gelu", "gelu_tanh",
+                                                    "exp", "tanh") else 0)
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
+
+    def fn(ge, x, w):
+        return call(ge.astype(jnp.int32), x.astype(mxu_dt),
+                    w.astype(mxu_dt))
+
+    return fn
+
+
+def _build_int8_gemm(key, interpret: bool):
+    """int8 MXU compute GEMM: Xq(m,k)s8 @ Wq(k,n)s8 -> s32 accumulate,
+    dequantized ONCE on the f32 accumulator tile by the per-row
+    activation scale x per-column weight scale outer product. v5e runs
+    int8 MXU passes at ~2x the bf16 rate, and the operand HBM bytes
+    halve vs bf16 — the compute-bound complement to the weight-only
+    serving path (serving/quant.py), which only saves bandwidth.
+
+    int8 native tiles are (32, 128): bm/bk prefer 32/128 multiples and
+    fall back to the full dim (callers pad rows to 32 when needed)."""
+    from .flags import Int8GemmKey
+    assert isinstance(key, Int8GemmKey)
+    m, n, k = key.m, key.n, key.k
+    out_dtype = _jdt(key.out_dtype)
+    t = current_target()
+    bm = key.bm or _divisor_block(m, 512, 32)
+    bn = key.bn or _divisor_block(n, 2048, 128)
+    bk = key.bk or k
+
+    def vmem_use(bn_, bk_):
+        return (2 * (bm * bk_ + bk_ * bn_) + 2 * bm * bn_
+                * jnp.dtype(out_dtype).itemsize + 4 * bm * bn_)
+
+    budget = int(t.vmem_bytes * 0.8)
+    while vmem_use(bn, bk) > budget and bk % 2 == 0 and bk // 2 >= 128 \
+            and k % (bk // 2) == 0:
+        bk //= 2
+    while vmem_use(bn, bk) > budget and bn % 2 == 0 and bn // 2 >= 128 \
+            and n % (bn // 2) == 0:
+        bn //= 2
+    nj, kr = pl.cdiv(n, bn), pl.cdiv(k, bk)
+    grid = (pl.cdiv(m, bm), nj, kr)
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, r: (i, r)),
+        pl.BlockSpec((bk, bn), lambda i, j, r: (r, j)),
+        pl.BlockSpec((bm, 1), lambda i, j, r: (i, 0)),
+        pl.BlockSpec((1, bn), lambda i, j, r: (0, j)),
+    ]
+    out_spec = pl.BlockSpec((bm, bn), lambda i, j, r: (i, j))
+
+    def kernel(x_ref, w_ref, xs_ref, ws_ref, o_ref, acc_ref):
+        r = pl.program_id(2)
+
+        @pl.when(r == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
+                              preferred_element_type=jnp.int32)
+
+        @pl.when(r == kr - 1)
+        def _finish():
+            y = acc_ref[:].astype(jnp.float32) * xs_ref[:] * ws_ref[:]
+            if key.unary_kind:
+                y = _UNARY_FNS[key.unary_kind](y)
+            o_ref[:] = y.astype(out_dtype)
+
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k,
+        bytes_accessed=m * k + k * n
+        + m * n * jnp.dtype(out_dtype).itemsize,
+        transcendentals=0)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+
+    def fn(xq, wq, xscale, wscale):
+        return call(xq, wq, xscale.reshape(m, 1).astype(jnp.float32),
+                    wscale.reshape(1, n).astype(jnp.float32))
+
+    return fn
+
+
 def chain_fits_vmem(key: "ChainKey") -> bool:
     """Budget check: double-buffered weight slots + biases + activation
     buffers in VMEM (the chain kernel streams weights, so only the two
@@ -1320,6 +1493,12 @@ def _build_flash_mha(key, interpret: bool):
         if fn is None:
             raise ValueError(
                 f"twocall causal attention does not apply to {key}")
+        return fn
+    if key.strategy == "twocall2":
+        fn = _build_flash_causal_fold2(key, interpret)
+        if fn is None:
+            raise ValueError(
+                f"twocall2 causal attention does not apply to {key}")
         return fn
     if key.strategy == "qblock":
         fn = _build_flash_mha_qblock(key, interpret)
@@ -2134,6 +2313,109 @@ def _build_flash_causal_twocall(key, interpret: bool):
     return fn
 
 
+def _build_flash_causal_fold2(key, interpret: bool):
+    """Causal attention as literally TWO calls and NO stats merge (the
+    r4-verdict "band folded into the rectangle" variant):
+
+      - lo: causal(Q[:S/2], KV[:S/2])  — final for the low rows
+      - hi: causal(Q[S/2:], KV[:S])    — ONE whole-KV-resident call with
+        the global causal mask: the band and the dense rectangle of the
+        3-call form (_build_flash_causal_twocall) compute in a single
+        softmax pass, so the LSE outputs, the exp2 merge arithmetic and
+        its extra HBM round trip over the high half disappear.
+
+    KV traffic matches the 3-call form (KV_lo twice, KV_hi once); the
+    hi call masks its top-right triangle (1/4 of its S/2 x S scores),
+    total work 3/4 S^2 like the 3-call split. Returns None when the
+    full KV does not fit the VMEM budget."""
+    from .flags import FlashMhaKey
+    assert isinstance(key, FlashMhaKey)
+    if (not key.causal or key.seq != key.seq_kv or key.seq % 2
+            or key.heads or key.repeats):
+        return None
+    B, S, D = key.batch, key.seq, key.head_dim
+    half = S // 2
+    dtype = _jdt(key.dtype)
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
+    dsz = jnp.dtype(mxu_dt).itemsize
+    sub = 16 if dsz == 2 else 8
+    budget = int(current_target().vmem_bytes * 0.85)
+
+    def need(bq_, kvlen):
+        return (2 * kvlen * D * dsz
+                + bq_ * D * (dsz + jnp.dtype(out_dtype).itemsize)
+                + 8 * bq_ * kvlen)
+
+    bq = 0
+    cand = half
+    while cand >= sub:
+        if half % cand == 0 and cand % sub == 0 \
+                and need(cand, S) <= budget:
+            bq = cand
+            break
+        cand //= 2
+    if bq < 128:
+        return None
+    nqh = half // bq
+
+    def call(qoff_blocks, kvlen, row_off):
+        def kernel(q_ref, k_ref, v_ref, o_ref):
+            i = pl.program_id(1)
+            q = q_ref[0].astype(jnp.float32) * (key.scale * _LOG2E)
+            s = jax.lax.dot_general(
+                q.astype(dtype), k_ref[0],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (bq, kvlen)
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (bq, kvlen), 0) + i * bq + row_off
+            cols = jax.lax.broadcasted_iota(jnp.int32, (bq, kvlen), 1)
+            s = jnp.where(rows >= cols, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(dtype), v_ref[0],
+                        preferred_element_type=jnp.float32)
+            o_ref[0] = (o / l).astype(out_dtype)
+
+        cost = pl.CostEstimate(
+            flops=4 * B * half * kvlen * D,
+            bytes_accessed=B * (half + 2 * kvlen) * D * dsz,
+            transcendentals=B * half * kvlen)
+        return pl.pallas_call(
+            kernel,
+            grid=(B, nqh),
+            in_specs=[
+                pl.BlockSpec((1, bq, D),
+                             lambda b, i: (b, i + qoff_blocks, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kvlen, D), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kvlen, D), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, half, D), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            cost_estimate=cost,
+            interpret=interpret,
+        )
+
+    lo = call(0, half, 0)
+    hi = call(nqh, S, half)
+
+    def fn(q, k, v):
+        q_, k_, v_ = (q.astype(mxu_dt), k.astype(mxu_dt),
+                      v.astype(mxu_dt))
+        o_lo = lo(q_, k_, v_)
+        o_hi = hi(q_, k_, v_)
+        return jnp.concatenate([o_lo, o_hi], axis=1)
+
+    return fn
+
+
 def _build_flash_mha_grouped(key, interpret: bool):
     """Whole-sequence attention, G heads per grid step (no online softmax
     needed: the full score row is resident)."""
@@ -2803,9 +3085,15 @@ def _build_dispatch(key, interpret: bool):
         return _build_blocked_matmul(key, interpret)
     if isinstance(key, ConvBrgemmKey):
         return _build_conv_brgemm(key, interpret)
-    from .flags import BatchMatmulKey, ChainKey, ConvNhwcKey, FlashMhaKey
+    from .flags import (BatchMatmulKey, ChainKey, ConvNhwcKey, FlashMhaKey,
+                        GroupedGemmKey)
     if isinstance(key, ConvNhwcKey):
         return _build_conv_nhwc(key, interpret)
+    if isinstance(key, GroupedGemmKey):
+        return _build_grouped_gemm(key, interpret)
+    from .flags import Int8GemmKey
+    if isinstance(key, Int8GemmKey):
+        return _build_int8_gemm(key, interpret)
     if isinstance(key, ChainKey):
         return _build_chain(key, interpret)
     if isinstance(key, BatchMatmulKey):

@@ -178,9 +178,46 @@ def flash_mha_reference(key):
     return fn
 
 
+def grouped_gemm_reference(key):
+    """Per-block straight-line semantics of the grouped (ragged-batch)
+    GEMM: O[i*bm:(i+1)*bm] = unary(A[i*bm:(i+1)*bm] @ B[ge[i]])."""
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+    bm = key.bm
+
+    def fn(ge, a, b):
+        nb = a.shape[0] // bm
+        blocks = a.reshape(nb, bm, key.k).astype(jnp.float32)
+        w = b.astype(jnp.float32)[ge]                 # (nb, k, n)
+        acc = jnp.einsum("gmk,gkn->gmn", blocks, w)
+        if key.unary_kind:
+            acc = _UNARY_FNS[key.unary_kind](acc)
+        return acc.reshape(key.m, key.n).astype(out_dtype)
+    return fn
+
+
+def int8_gemm_reference(key):
+    """Exact int32-accumulate semantics of the int8 compute GEMM."""
+    out_dtype = _jdt(key.out_dtype)
+
+    def fn(xq, wq, xscale, wscale):
+        acc = jnp.dot(xq.astype(jnp.int32), wq.astype(jnp.int32))
+        y = (acc.astype(jnp.float32)
+             * xscale.reshape(key.m, 1).astype(jnp.float32)
+             * wscale.reshape(1, key.n).astype(jnp.float32))
+        if key.unary_kind:
+            y = _UNARY_FNS[key.unary_kind](y)
+        return y.astype(out_dtype)
+    return fn
+
+
 def reference_kernel(key):
     from .kernels import _build_binary, _build_unary
+    from .flags import GroupedGemmKey, Int8GemmKey
 
+    if isinstance(key, GroupedGemmKey):
+        return grouped_gemm_reference(key)
+    if isinstance(key, Int8GemmKey):
+        return int8_gemm_reference(key)
     if isinstance(key, BrgemmKey):
         return brgemm_reference(key)
     if isinstance(key, BlockedMatmulKey):
