@@ -75,11 +75,17 @@ def main() -> int:
                         "decode reads top-k of n experts' FFN weights -- "
                         "the MoE bandwidth win")
     p.add_argument("--top-k-experts", type=int, default=2)
-    p.add_argument("--moe-prefill", choices=["scan", "sorted"],
+    p.add_argument("--moe-prefill", choices=["scan", "sorted", "grouped"],
                    default="scan",
                    help="MoE prefill FFN form: exact scan-over-experts "
-                        "(n_experts x dense compute) or GShard sorted "
-                        "dispatch (~top_k x dense; capacity-bounded)")
+                        "(n_experts x dense compute), GShard sorted "
+                        "dispatch (~top_k x dense; capacity-bounded), or "
+                        "the dropless grouped-expert Pallas BRGEMM "
+                        "(~top_k x dense AND exact)")
+    p.add_argument("--int8-compute", action="store_true",
+                   help="with --quant int8: run prefill GEMMs as int8 x "
+                        "int8 -> s32 on the MXU (per-row activation "
+                        "quant; ~2x the bf16 MXU rate on v5e)")
     p.add_argument("--kv-heads", type=int, default=0,
                    help="GQA: KV heads < query heads (0 = MHA); shrinks "
                         "the decode KV read by heads/kv_heads")
@@ -119,7 +125,8 @@ def main() -> int:
                         mlp_ratio=2, max_seq=64, dtype="f32",
                         kv_heads=kvh, kv_quant=args.kv_quant or None,
                         n_experts=args.experts, top_k=args.top_k_experts,
-                        moe_prefill_form=args.moe_prefill)
+                        moe_prefill_form=args.moe_prefill,
+                        int8_compute=args.int8_compute)
         s0, n_short, n_long = 16, 4, 12
         batches = (1, 2)
     else:
@@ -127,7 +134,8 @@ def main() -> int:
                         mlp_ratio=4, max_seq=640, dtype="bf16",
                         kv_heads=kvh, kv_quant=args.kv_quant or None,
                         n_experts=args.experts, top_k=args.top_k_experts,
-                        moe_prefill_form=args.moe_prefill)
+                        moe_prefill_form=args.moe_prefill,
+                        int8_compute=args.int8_compute)
         s0, n_short, n_long = 512, 16, 112
         batches = (1, 8)
 
@@ -256,7 +264,14 @@ def main() -> int:
     per_prefill = slopes[len(slopes) // 2]
     E, V, S = cfg.embed, cfg.vocab, s0
     M = B * S
-    blk = (4 * 2 * M * E * E + 2 * 2 * M * E * cfg.mlp_ratio * E
+    # useful flops: each token genuinely computes top_k expert FFNs in a
+    # MoE block (the dense-selection oracle does exactly this work), so
+    # the FFN term scales by top_k; capacity/padding inflation of a given
+    # dispatch form is OVERHEAD and must not be credited (r4 verdict #1)
+    ffn = 2 * 2 * M * E * cfg.mlp_ratio * E
+    if args.experts:
+        ffn *= args.top_k_experts
+    blk = (4 * 2 * M * E * E + ffn
            + 2 * 2 * B * cfg.heads * S * S * (E // cfg.heads))
     fl = cfg.layers * blk + 2 * M * E * V
     tf = fl / per_prefill / 1e12

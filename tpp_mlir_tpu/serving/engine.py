@@ -498,41 +498,48 @@ def _moe_ffn_grouped(h, blk, cfg):
     bm = cfg.moe_group_bm
     A = T * top_k
     # sum_e round_up(cnt_e, bm) <= A + n_e*(bm-1) < (ceil(A/bm)+n_e)*bm:
-    # a STATIC row bound, so one compiled kernel serves every routing
+    # a STATIC row bound, so one compiled kernel serves every routing.
     A_pad = (-(-A // bm) + n_e) * bm
+    # The entire dispatch is SCATTER-FREE: XLA:TPU lowers scatter to a
+    # serialized per-index loop (measured: the .at[].set/add spelling of
+    # this dispatch ran the end-to-end prefill at half the rate), so the
+    # padded layout is constructed by sorts + gathers only.
     e_flat = idx.reshape(A)
-    t_flat = jnp.repeat(jnp.arange(T), top_k)
-    g_flat = gates.reshape(A)
-    order = jnp.argsort(e_flat, stable=True)
-    e_s, t_s, g_s = e_flat[order], t_flat[order], g_flat[order]
+    order = jnp.argsort(e_flat, stable=True)          # sorted-pos -> orig
+    e_s = e_flat[order]
     start = jnp.searchsorted(e_s, jnp.arange(n_e), side="left")
     counts = jnp.concatenate([start[1:],
                               jnp.array([A], start.dtype)]) - start
     padded = ((counts + bm - 1) // bm) * bm
-    offs = jnp.concatenate([jnp.zeros(1, padded.dtype),
-                            jnp.cumsum(padded)[:-1]])
-    rank = jnp.arange(A) - start[e_s]
-    dst = offs[e_s] + rank
-    # padding/unused rows read a zero row (index T) and carry zero gate
-    tt = jnp.full((A_pad,), T, jnp.int32).at[dst].set(t_s)
-    gt = jnp.zeros((A_pad,), jnp.float32).at[dst].set(
-        g_s.astype(jnp.float32))
+    ends = jnp.cumsum(padded)
+    offs = ends - padded
+    # padded slot p -> (expert, local slot) -> sorted index; invalid
+    # (padding) slots read token T of an h extended with one zero row
+    pslot = jnp.arange(A_pad)
+    pe = jnp.minimum(jnp.searchsorted(ends, pslot, side="right"),
+                     n_e - 1)
+    loc = pslot - offs[pe]
+    valid = loc < counts[pe]
+    si = start[pe] + jnp.where(valid, loc, 0)
+    t_sorted = order[si] // top_k                     # source token
+    tt = jnp.where(valid, t_sorted, T)
     hp = jnp.concatenate([h, jnp.zeros((1, E), h.dtype)], 0)
     xs = hp[tt]                                       # (A_pad, E) sorted
-    ends = jnp.cumsum(padded)
-    ge = jnp.minimum(
-        jnp.searchsorted(ends, jnp.arange(A_pad // bm) * bm,
-                         side="right"),
-        n_e - 1).astype(jnp.int32)
+    ge = pe[::bm].astype(jnp.int32)                   # block -> expert
     k1 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=F, k=E,
                         dtype=cfg.dtype, bm=bm, unary_kind="gelu")
     k2 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=E, k=F,
                         dtype=cfg.dtype, bm=bm)
     a = build_kernel(k1)(ge, xs, blk["w1"])           # gelu(xs @ w1[e])
     ys = build_kernel(k2)(ge, a, blk["w2"])           # (A_pad, E)
-    out = jnp.zeros((T + 1, E), jnp.float32).at[tt].add(
-        gt[:, None] * ys.astype(jnp.float32))
-    return out[:T].astype(h.dtype)
+    # combine by GATHER: padded row of original assignment a = t*k + j
+    # is offs[e] + its rank among its expert's assignments; the rank is
+    # recovered through the inverse permutation (a second argsort)
+    inv = jnp.argsort(order)                          # orig -> sorted pos
+    rows = (offs[e_flat] + (inv - start[e_flat])).reshape(T, top_k)
+    ys_g = ys[rows].astype(jnp.float32)               # (T, k, E)
+    out = jnp.sum(gates[..., None].astype(jnp.float32) * ys_g, axis=1)
+    return out.astype(h.dtype)
 
 
 def _moe_ffn_prefill(h, blk, cfg):

@@ -36,6 +36,11 @@ class KernelCache:
         # -print-mlir=llvm kernel-artifact staging (DefaultPipeline.cpp:33-36)
         self.capture_artifacts = False
         self.artifacts: dict = {}
+        # per-kernel call-shape capture (ShapeDtypeStructs of the first
+        # invocation's args) — feeds per-kernel decomposition benches
+        # (scripts/exp_vit.py): replay any program's kernels in isolation
+        self.capture_calls = False
+        self.calls: dict = {}
 
     def dispatch(self, key, interpret: bool | None = None):
         """interpret: None = interpret_default() heuristic, False = force
@@ -61,6 +66,8 @@ class KernelCache:
             # reference runtime's shape-dump on dispatch failure
             # (XsmmRunnerUtils.cpp:132-137) — minus the exit(-1)
             raise type(e)(f"kernel dispatch failed for {key!r}: {e}") from e
+        if self.capture_calls:
+            fn = self._call_capturing(cache_key, fn)
         if self.capture_artifacts:
             # artifact key mirrors the kernel cache key: the
             # interpret and compiled variants of one kernel key
@@ -68,6 +75,23 @@ class KernelCache:
             fn = self._capturing(cache_key, fn)
         with self._lock:
             return self._kernels.setdefault(cache_key, fn)
+
+    def _call_capturing(self, key, fn):
+        """Record the first invocation's arg shapes/dtypes (aval-only, so
+        safe under an outer jit trace) and bump a call counter."""
+        def wrapped(*args, **kwargs):
+            import jax
+            rec = self.calls.get(key)
+            if rec is None:
+                specs = tuple(
+                    None if a is None else
+                    jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args)
+                self.calls[key] = {"specs": specs, "count": 1,
+                                   "kwargs": sorted(kwargs)}
+            else:
+                rec["count"] += 1
+            return fn(*args, **kwargs)
+        return wrapped
 
     def _capturing(self, key, fn):
         """Wrap a kernel so its first invocation records jaxpr + StableHLO
@@ -97,6 +121,7 @@ class KernelCache:
             self._kernels.clear()
             self.stats = CacheStats()
             self.artifacts = {}
+            self.calls = {}
 
     def __len__(self):
         return len(self._kernels)

@@ -68,32 +68,35 @@ def _erf_poly(x):
     return s * y
 
 
-# exp2-domain erfc exponent: erfc(a) = exp2(-(a^2*log2(e) + _GELU_Q(a)))
-# for a >= 0, Q a degree-6 polynomial fit weighted by gelu sensitivity
-# (max |gelu err| 4.9e-7 in f32 — tighter than the A&S erf route).
-_GELU_Q = (-0.00028712949671992903, 0.00449426300737716,
-           -0.03266857552426225, 0.15147136962340937,
-           -0.5253797862652051, 1.6281031348505746,
-           -1.1907402130915682e-05)
+# exp2-domain erfc exponent in |x| units:
+#   erfc(|x|/sqrt2) = exp2(-(K*x^2 + _GELU_Q5(|x|))),  K = log2(e)/2.
+# Degree-5 least-squares fit weighted by gelu sensitivity (0.5*x*erfc),
+# max |gelu err| 6.4e-7 in f32. The 1/sqrt2 argument scale is FOLDED
+# into K and the coefficients (r5: one fewer VPU pass), and the fit is
+# one degree lower than the r4 polynomial (another pass) at 1.3e-7 more
+# error — both far inside the 1e-5 torch-gelu test budget.
+_GELU_Q5 = (0.0004712450553503085, -0.007063951197523899,
+            0.05175779870672941, -0.26125505922286846,
+            1.1507275369545586, 4.939192122802906e-05)
+_GELU_K = 0.7213475204444817        # log2(e)/2
+_GELU_UMAX = 5.939696961966999      # 4.2*sqrt2: erfc there < 6e-9
 
 
 def _gelu_exp2(x):
     """Exact-erf gelu as  relu(x) - 0.5*|x|*erfc(|x|/sqrt2)  with erfc in
-    the exp2 domain — NO division, NO sign/select pair, one exp2:
-    ~14-16 VPU passes vs ~22 for the A&S route (r4: the fc1+LN+gelu
-    kernel is VPU-critical-path; each pass saved is ~8.7us at the
-    transformer fc1 shape). Tail clamped at a=4.2 where erfc < 6e-9."""
+    the exp2 domain — NO division, NO sign/select, ONE exp2, no tail
+    `where` (the clamped exponent saturates erfc at ~6e-9, so the
+    clamped product term is a <3e-8 constant beyond u_max): ~13 VPU
+    passes vs ~16 in r4 and ~22 for the A&S route. The fc1+LN+gelu
+    kernel is VPU-critical-path (r4: each pass ~8.7us at the
+    transformer fc1 shape), so every pass is ~1 roofline point."""
     xf = x.astype(jnp.float32)
-    a = jnp.abs(xf) * 0.7071067811865476
-    ac = jnp.minimum(a, 4.2)
-    z = ac * ac * _LOG2E
-    q = _GELU_Q[0]
-    for coef in _GELU_Q[1:]:
-        q = q * ac + coef
-    e = jnp.exp2(-(z + q))
-    e = jnp.where(a <= 4.2, e, 0.0)
-    return (jnp.maximum(xf, 0.0)
-            - (0.5 * 1.4142135623730951) * ac * e).astype(x.dtype)
+    u = jnp.minimum(jnp.abs(xf), _GELU_UMAX)
+    q = _GELU_Q5[0]
+    for coef in _GELU_Q5[1:]:
+        q = q * u + coef
+    e = jnp.exp2(-(_GELU_K * u * u + q))
+    return (jnp.maximum(xf, 0.0) - 0.5 * u * e).astype(x.dtype)
 
 
 _UNARY_FNS = {
