@@ -40,7 +40,15 @@ def main() -> int:
         ir = bench(ifn, (xq, qt.q, xs, qt.scale), iters=4000, flops=flops)
 
         bkey = BrgemmKey(batch=1, m=M, n=N, k=K, dtype="bf16", beta0=True)
-        bfn = build_kernel(bkey, interpret=False)
+        # fc2 shape: the wres heuristic's bm=512 estimate is ~0.4MB over
+        # the real scoped-vmem limit on v5e (measured OOM 16.43M/16M);
+        # bm=256 keeps weights resident and fits with headroom
+        if (K, N) == (3072, 768):
+            from tpp_mlir_tpu.xsmm import tune
+            with tune.trial(bkey, {"wres_bm": 256}):
+                bfn = build_kernel(bkey, interpret=False)
+        else:
+            bfn = build_kernel(bkey, interpret=False)
         xb = x.astype(jnp.bfloat16)[None]
         wb = (qt.q.astype(jnp.float32) * qt.scale).astype(jnp.bfloat16)[None]
         br = bench(bfn, (xb, wb), iters=4000, flops=flops)

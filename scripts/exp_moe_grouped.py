@@ -124,29 +124,32 @@ def main() -> int:
           f"useful = {100*rf.gflops/1e3/roof:.1f}%", flush=True)
 
     def glue_only(h, blk):
-        # dispatch construction only: gates, sorts, padded-slot maps, the
-        # xs gather — everything but the two kernels and the combine
+        # dispatch construction only: gates, the single sort, padded-slot
+        # maps, the xs gather — everything but the two kernels and the
+        # combine (mirrors engine._moe_ffn_grouped's single-sort glue)
         from tpp_mlir_tpu.serving.engine import _moe_gates
         gates, idx2 = _moe_gates(h, blk["wr"], k)
         e_flat = idx2.reshape(A)
-        order = jnp.argsort(e_flat, stable=True)
-        e_s = e_flat[order]
-        start = jnp.searchsorted(e_s, jnp.arange(n_e), side="left")
-        counts = jnp.concatenate([start[1:],
-                                  jnp.array([A], start.dtype)]) - start
+        oh = (e_flat[:, None] == jnp.arange(n_e)).astype(jnp.int32)
+        csum = jnp.cumsum(oh, axis=0)
+        rank = jnp.take_along_axis(csum, e_flat[:, None], 1)[:, 0] - 1
+        counts = csum[-1]
+        start = jnp.cumsum(counts) - counts
         padded = ((counts + bm - 1) // bm) * bm
         ends = jnp.cumsum(padded)
         offs = ends - padded
+        t_flat = jnp.arange(A, dtype=jnp.int32) // jnp.int32(k)
+        _, t_s = jax.lax.sort((e_flat, t_flat), num_keys=1,
+                              is_stable=True)
         pslot = jnp.arange(A_pad)
         pe = jnp.minimum(jnp.searchsorted(ends, pslot, side="right"),
                          n_e - 1)
         loc = pslot - offs[pe]
         valid = loc < counts[pe]
         si = start[pe] + jnp.where(valid, loc, 0)
-        tt = jnp.where(valid, order[si] // k, h.shape[0])
+        tt = jnp.where(valid, t_s[si], h.shape[0])
         hp = jnp.concatenate([h, jnp.zeros((1, E), h.dtype)], 0)
-        inv = jnp.argsort(order)
-        return hp[tt], inv
+        return hp[tt], offs[e_flat] + rank
 
     gfn = jax.jit(glue_only)
     rg = perf.bench(lambda h: gfn(h, blk_ffn), (h_tok,), iters=2048)

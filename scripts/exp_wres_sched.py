@@ -14,11 +14,19 @@ prints a JSON result per row. Compare within THIS run only (tunnel noise
 ±20-40% across runs).
 """
 
+import argparse
 import json
 import sys
 
 
 def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scheds", default="interleave,split,lag",
+                   help="comma list (r5 refit re-measure: just the "
+                        "policy winner, fewer remote compiles)")
+    p.add_argument("--json", default="/tmp/wres_sched_results.json")
+    args = p.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +49,7 @@ def main() -> int:
         d = jnp.asarray(tensor_init("normal", (N,), dtype, seed=2))
         g = jnp.asarray(tensor_init("normal", (K,), "f32", seed=3)) * 0.1 + 1.0
         be = jnp.asarray(tensor_init("normal", (K,), "f32", seed=4)) * 0.1
-        for sched in ("interleave", "split", "lag"):
+        for sched in args.scheds.split(","):
             _WRES_SCHED_OVERRIDE[0] = sched
             try:
                 fn = _build_brgemm_wres(key, False)
@@ -64,7 +72,7 @@ def main() -> int:
                 _WRES_SCHED_OVERRIDE[0] = None
             rows.append(row)
             print(json.dumps(row), flush=True)
-    json.dump(rows, open("/tmp/wres_sched_results.json", "w"), indent=1)
+    json.dump(rows, open(args.json, "w"), indent=1)
     return 0
 
 

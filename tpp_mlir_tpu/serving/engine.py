@@ -502,17 +502,27 @@ def _moe_ffn_grouped(h, blk, cfg):
     A_pad = (-(-A // bm) + n_e) * bm
     # The entire dispatch is SCATTER-FREE: XLA:TPU lowers scatter to a
     # serialized per-index loop (measured: the .at[].set/add spelling of
-    # this dispatch ran the end-to-end prefill at half the rate), so the
-    # padded layout is constructed by sorts + gathers only.
+    # this dispatch ran the end-to-end prefill at half the rate). It is
+    # also SINGLE-SORT: a TPU sort is a bitonic network (~log^2(A)
+    # compare passes, each with fixed overhead), so the r4 two-argsort
+    # glue cost ~230 us against a ~510 us kernel pair. The one remaining
+    # sort carries the token id as payload (slot -> token needs a true
+    # permutation inverse); the combine side's rank-within-expert comes
+    # from a one-hot cumsum ((A, n_e) log-passes, far cheaper).
     e_flat = idx.reshape(A)
-    order = jnp.argsort(e_flat, stable=True)          # sorted-pos -> orig
-    e_s = e_flat[order]
-    start = jnp.searchsorted(e_s, jnp.arange(n_e), side="left")
-    counts = jnp.concatenate([start[1:],
-                              jnp.array([A], start.dtype)]) - start
+    oh = (e_flat[:, None] == jnp.arange(n_e)).astype(jnp.int32)
+    csum = jnp.cumsum(oh, axis=0)                     # (A, n_e) inclusive
+    rank = jnp.take_along_axis(csum, e_flat[:, None], 1)[:, 0] - 1
+    counts = csum[-1]                                 # (n_e,)
+    start = jnp.cumsum(counts) - counts               # exclusive
     padded = ((counts + bm - 1) // bm) * bm
     ends = jnp.cumsum(padded)
     offs = ends - padded
+    # the ONE sort: tokens in sorted-by-expert order (stable keeps the
+    # within-expert order consistent with `rank` above)
+    t_flat = (jnp.arange(A, dtype=jnp.int32) //
+              jnp.int32(top_k))                       # source token
+    _, t_s = jax.lax.sort((e_flat, t_flat), num_keys=1, is_stable=True)
     # padded slot p -> (expert, local slot) -> sorted index; invalid
     # (padding) slots read token T of an h extended with one zero row
     pslot = jnp.arange(A_pad)
@@ -521,8 +531,7 @@ def _moe_ffn_grouped(h, blk, cfg):
     loc = pslot - offs[pe]
     valid = loc < counts[pe]
     si = start[pe] + jnp.where(valid, loc, 0)
-    t_sorted = order[si] // top_k                     # source token
-    tt = jnp.where(valid, t_sorted, T)
+    tt = jnp.where(valid, t_s[si], T)
     hp = jnp.concatenate([h, jnp.zeros((1, E), h.dtype)], 0)
     xs = hp[tt]                                       # (A_pad, E) sorted
     ge = pe[::bm].astype(jnp.int32)                   # block -> expert
@@ -533,10 +542,9 @@ def _moe_ffn_grouped(h, blk, cfg):
     a = build_kernel(k1)(ge, xs, blk["w1"])           # gelu(xs @ w1[e])
     ys = build_kernel(k2)(ge, a, blk["w2"])           # (A_pad, E)
     # combine by GATHER: padded row of original assignment a = t*k + j
-    # is offs[e] + its rank among its expert's assignments; the rank is
-    # recovered through the inverse permutation (a second argsort)
-    inv = jnp.argsort(order)                          # orig -> sorted pos
-    rows = (offs[e_flat] + (inv - start[e_flat])).reshape(T, top_k)
+    # is offs[e] + its rank among its expert's assignments (no inverse
+    # permutation needed — rank came from the cumsum, not a second sort)
+    rows = (offs[e_flat] + rank).reshape(T, top_k)
     ys_g = ys[rows].astype(jnp.float32)               # (T, k, E)
     out = jnp.sum(gates[..., None].astype(jnp.float32) * ys_g, axis=1)
     return out.astype(h.dtype)
