@@ -1510,6 +1510,18 @@ def _build_flash_mha(key, interpret: bool):
                 f"qblock attention does not fit VMEM for {key}")
         return fn
     if key.strategy == "auto":
+        if key.causal and S >= 1024 and D >= 128 and not key.bq \
+                and not key.bk:
+            # measured r5 (scripts/exp_causal_r5.py, one run, D=128
+            # bf16 b8, % of triangle roof): twocall2 (band folded into
+            # the rectangle, no LSE merge) wins at EVERY point of the
+            # r4 crossover — s1024 50.6 vs qblock 39.3/twocall 37.9,
+            # s1536 54.3 vs 34.3/39.7, s2048 46.8 vs 33.9/46.6 — so the
+            # policy is fold2 from s1024 up. D<128 stays on the r4 rule
+            # below (twocall at s>=2048) until measured.
+            fn = _build_flash_causal_fold2(key, interpret)
+            if fn is not None:
+                return fn
         if key.causal and S >= 2048 and not key.bq and not key.bk:
             # measured r4 (scripts/exp_causal_twocall.py, one run):
             # s=2048 twocall 45.6% vs masked-full 34.3% of triangle
