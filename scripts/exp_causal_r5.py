@@ -15,11 +15,18 @@ The auto-policy gate in kernels._build_flash_mha updates to whatever
 this measures.
 """
 
+import argparse
 import json
 import sys
 
 
 def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--d", type=int, default=128)
+    p.add_argument("--seqs", default="1024,1536,2048")
+    p.add_argument("--json", default="benchmarks/results/causal_r5.json")
+    args = p.parse_args()
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -30,8 +37,8 @@ def main() -> int:
     from tpp_mlir_tpu.xsmm.kernels import build_kernel
 
     rows = []
-    B, D, dtype = 8, 128, "bf16"
-    for S in (1024, 1536, 2048):
+    B, D, dtype = 8, args.d, "bf16"
+    for S in (int(x) for x in args.seqs.split(",")):
         q = jnp.asarray(tensor_init("normal", (B, S, D), dtype, seed=0))
         k = jnp.asarray(tensor_init("normal", (B, S, D), dtype, seed=1))
         v = jnp.asarray(tensor_init("normal", (B, S, D), dtype, seed=2))
@@ -62,8 +69,7 @@ def main() -> int:
                        "error": f"{type(e).__name__}: {e}"}
             rows.append(row)
             print(json.dumps(row), flush=True)
-    json.dump(rows, open("benchmarks/results/causal_r5.json", "w"),
-              indent=1)
+    json.dump(rows, open(args.json, "w"), indent=1)
     return 0
 
 

@@ -38,7 +38,14 @@ B, S0 = 8, 512
 
 def mini_step(kind):
     """Mini decode body with component ablations. 'full' mirrors the
-    carry-form decode (PERF.md: full (L,...) caches in the scan carry)."""
+    engine's carry-form decode EXACTLY (engine._decode_body stacked
+    branch): the FULL (L, B, S, H, D) caches ride the scan CARRY (the
+    in-place while-loop aliasing), the layer index is an xs, the write
+    is one DUS at (li, 0, pos), the read one dynamic_slice of layer
+    li's slab. The first version of this script threaded per-layer
+    cache slices through scan xs/ys instead and measured 4.04 ms/step
+    — the 3.5x DUS-copy pathology exp_decode_carry.py already
+    documented, NOT the engine's cost structure."""
 
     def mini(params, cache, token):
         D = CFG.head_dim
@@ -46,7 +53,7 @@ def mini_step(kind):
         x = jnp.take(params["wte"], token, axis=0) \
             + jnp.take(params["wpe"], pos, axis=0).astype(
                 params["wte"].dtype)
-        kcache, vcache = cache["k"], cache["v"]
+        kv = {"k": cache["k"], "v": cache["v"]}
 
         def dot(a, w, b=None):
             y = jnp.dot(a, w, preferred_element_type=jnp.float32)
@@ -54,33 +61,44 @@ def mini_step(kind):
                 y = y + b.astype(jnp.float32)
             return y.astype(a.dtype)
 
-        def layer(x, inp):
-            blk, kc, vc = inp
+        def layer(carry, inp):
+            x, kv = carry
+            blk, li = inp
             h = eng._ln(x, blk["ln1_g"], blk["ln1_b"])
             q = dot(h, blk["wq"], blk["bq"]).reshape(B, CFG.heads, D)
             k = dot(h, blk["wk"], blk["bk"]).reshape(B, CFG.heads, D)
             v = dot(h, blk["wv"], blk["bv"]).reshape(B, CFG.heads, D)
             if kind != "nokvupdate":
-                kc = jax.lax.dynamic_update_slice(
-                    kc, k[:, None].astype(kc.dtype), (0, pos, 0, 0))
-                vc = jax.lax.dynamic_update_slice(
-                    vc, v[:, None].astype(vc.dtype), (0, pos, 0, 0))
+                kv = dict(kv)
+                kv["k"] = jax.lax.dynamic_update_slice(
+                    kv["k"], k[None, :, None].astype(kv["k"].dtype),
+                    (li, 0, pos, 0, 0))
+                kv["v"] = jax.lax.dynamic_update_slice(
+                    kv["v"], v[None, :, None].astype(kv["v"].dtype),
+                    (li, 0, pos, 0, 0))
             if kind == "nokvread":
                 a = h    # q/k/v computed, cache written but never read
             else:
-                kw = kc
-                vw = vc
+                slab = (1,) + kv["k"].shape[1:]
+                kc = jax.lax.dynamic_slice(
+                    kv["k"], (li, 0, 0, 0, 0), slab)[0]
+                vc = jax.lax.dynamic_slice(
+                    kv["v"], (li, 0, 0, 0, 0), slab)[0]
                 if kind == "livewindow":
-                    # read only the live S0+128 window instead of max_seq
-                    kw = jax.lax.slice_in_dim(kc, 0, S0 + 128, axis=1)
-                    vw = jax.lax.slice_in_dim(vc, 0, S0 + 128, axis=1)
-                s = jnp.einsum("bhd,bshd->bhs", q.astype(kw.dtype), kw,
+                    # read an S0-slot window instead of max_seq: the
+                    # time delta / byte delta = the MARGINAL per-byte
+                    # cost of the kv read (numerics intentionally
+                    # truncated — this is an ablation, not a model)
+                    w = min(S0, CFG.max_seq)
+                    kc = jax.lax.slice_in_dim(kc, 0, w, axis=1)
+                    vc = jax.lax.slice_in_dim(vc, 0, w, axis=1)
+                s = jnp.einsum("bhd,bshd->bhs", q.astype(kc.dtype), kc,
                                preferred_element_type=jnp.float32) \
                     * (D ** -0.5)
-                live = jnp.arange(kw.shape[1]) <= pos
+                live = jnp.arange(kc.shape[1]) <= pos
                 s = jnp.where(live[None, None], s, -1e30)
                 p = jax.nn.softmax(s, axis=-1)
-                a = jnp.einsum("bhs,bshd->bhd", p.astype(vw.dtype), vw,
+                a = jnp.einsum("bhs,bshd->bhd", p.astype(vc.dtype), vc,
                                preferred_element_type=jnp.float32
                                ).reshape(B, CFG.embed).astype(x.dtype)
             x = x + dot(a, blk["wo"], blk["bo"])
@@ -90,17 +108,17 @@ def mini_step(kind):
                 h2 = jax.nn.gelu(h2.astype(jnp.float32),
                                  approximate=False).astype(x.dtype)
                 x = x + dot(h2, blk["w2"], blk["b2"])
-            return x, (kc, vc)
+            return (x, kv), None
 
-        x, (kcache, vcache) = jax.lax.scan(layer, x,
-                                           (params["blocks"],
-                                            kcache, vcache))
+        (x, kv), _ = jax.lax.scan(
+            layer, (x, kv),
+            (params["blocks"], jnp.arange(CFG.layers)))
         x = eng._ln(x, params["lnf_g"], params["lnf_b"])
         if kind == "nolmhead":
             logits = dot(x, params["blocks"]["wo"][0])
         else:
             logits = dot(x, params["lm_head"])
-        return logits, {"k": kcache, "v": vcache, "pos": pos + 1}
+        return logits, {"k": kv["k"], "v": kv["v"], "pos": pos + 1}
 
     return jax.jit(mini)
 
@@ -154,7 +172,7 @@ def main():
         "weights_nonhead": L * (4 * E * E + 2 * E * F) * 2 + V * E * 2,
         "lm_head": E * V * 2 + B * V * 4,
         "kv_read": 2 * L * B * CFG.max_seq * E * 2,
-        "kv_read_live": 2 * L * B * (S0 + 128) * E * 2,
+        "kv_read_live": 2 * L * B * min(S0, CFG.max_seq) * E * 2,
         "kv_update": 2 * L * B * E * 2,
     }
     # wte gather is tiny; logits argmax rides lm_head
@@ -164,6 +182,14 @@ def main():
                       for k, v in bytes_ledger.items()}), flush=True)
 
     times = {}
+    # calibration row: the REAL engine step — 'full' must land within
+    # noise of this for the ablation deltas to mean anything
+    from tpp_mlir_tpu.serving import make_decode_step
+    eng_step = make_decode_step(CFG)
+    per = slope(eng_step, params, cache, tok)
+    times["engine"] = per
+    results["rows"]["engine"] = {"ms_per_step": round(per * 1e3, 4)}
+    print(f"{'engine':11s}: {per*1e3:.3f} ms/step", flush=True)
     for kind in ("full", "nokvread", "livewindow", "noffn", "nolmhead",
                  "nokvupdate"):
         per = slope(mini_step(kind), params, cache, tok)
