@@ -459,6 +459,24 @@ def test_flash_block_overrides_must_divide():
                      interpret=True)
 
 
+def test_flash_causal_auto_routes_fold2_at_1024_d128():
+    """auto + causal + S>=1024 + D>=128 routes to the 2-call fold2
+    split (measured r5: 50.6/54.3/46.8%% of triangle roof at s1024/
+    1536/2048 D=128 bf16 — above qblock AND twocall at every point);
+    numerics must match the dense causal reference through the auto
+    path. D=64 keeps the r4 twocall@2048 rule (previous test)."""
+    key = FlashMhaKey(batch=1, seq=1024, seq_kv=1024, head_dim=128,
+                      scale=0.125, causal=True)
+    kfn = build_kernel(key, interpret=True)
+    rfn = reference_kernel(key)
+    q = rng(1, 1024, 128)
+    k = rng(1, 1024, 128, seed=1)
+    v = rng(1, 1024, 128, seed=2)
+    np.testing.assert_allclose(np.asarray(kfn(q, k, v), np.float32),
+                               np.asarray(rfn(q, k, v), np.float32),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_flash_causal_fold2_differential():
     """strategy='twocall2' (band folded into the rectangle: lo causal
     half + hi causal-over-FULL-KV, no LSE merge) matches the dense
