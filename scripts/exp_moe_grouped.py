@@ -138,9 +138,9 @@ def main() -> int:
         padded = ((counts + bm - 1) // bm) * bm
         ends = jnp.cumsum(padded)
         offs = ends - padded
-        t_flat = jnp.arange(A, dtype=jnp.int32) // jnp.int32(k)
-        _, t_s = jax.lax.sort((e_flat, t_flat), num_keys=1,
-                              is_stable=True)
+        fused = e_flat.astype(jnp.int32) * jnp.int32(A) + \
+            jnp.arange(A, dtype=jnp.int32)
+        t_s = (jax.lax.sort(fused) % jnp.int32(A)) // jnp.int32(k)
         pslot = jnp.arange(A_pad)
         pe = jnp.minimum(jnp.searchsorted(ends, pslot, side="right"),
                          n_e - 1)

@@ -518,11 +518,14 @@ def _moe_ffn_grouped(h, blk, cfg):
     padded = ((counts + bm - 1) // bm) * bm
     ends = jnp.cumsum(padded)
     offs = ends - padded
-    # the ONE sort: tokens in sorted-by-expert order (stable keeps the
-    # within-expert order consistent with `rank` above)
-    t_flat = (jnp.arange(A, dtype=jnp.int32) //
-              jnp.int32(top_k))                       # source token
-    _, t_s = jax.lax.sort((e_flat, t_flat), num_keys=1, is_stable=True)
+    # the ONE sort, single-operand: the fused key e*A + i is unique and
+    # orders identically to a stable sort by expert (i is the flat
+    # assignment index), so one int32 sort replaces the two-operand
+    # (key, payload) network — each bitonic compare pass moves half the
+    # bytes. Recover the source token as (key % A) // top_k.
+    fused = e_flat.astype(jnp.int32) * jnp.int32(A) + \
+        jnp.arange(A, dtype=jnp.int32)
+    t_s = (jax.lax.sort(fused) % jnp.int32(A)) // jnp.int32(top_k)
     # padded slot p -> (expert, local slot) -> sorted index; invalid
     # (padding) slots read token T of an h extended with one zero row
     pslot = jnp.arange(A_pad)
