@@ -159,6 +159,33 @@ def main() -> int:
           f"(kernel pair {results['kernel_pair']['seconds']*1e6:.1f} us)",
           flush=True)
 
+    # combine-only: the gather + gate-FMA that folds (A_pad, E) expert
+    # rows back into (T, E) token rows (the engine's unrolled form)
+    ys_mock = jnp.asarray(rng.standard_normal((A_pad, E)), xs.dtype)
+    rows_mock = jnp.asarray(rng.integers(0, A_pad, (T, k)), jnp.int32)
+    gates_mock = jnp.asarray(rng.standard_normal((T, k)), jnp.float32)
+
+    def combine_only(ys, rows, gates):
+        o = jnp.zeros((T, E), jnp.float32)
+        for j in range(k):
+            o = o + (gates[:, j, None]
+                     * ys[rows[:, j]].astype(jnp.float32))
+        return o.astype(xs.dtype)
+
+    cfn = jax.jit(combine_only)
+    rc = perf.bench(lambda y: cfn(y, rows_mock, gates_mock), (ys_mock,),
+                    iters=2048)
+    results["combine"] = {"seconds": rc.mean_seconds,
+                          "us": round(rc.mean_seconds * 1e6, 1)}
+    acc = (results["kernel_pair"]["seconds"] + rg.mean_seconds
+           + rc.mean_seconds)
+    results["unaccounted_us"] = round(
+        (results["ffn_e2e"]["seconds"] - acc) * 1e6, 1)
+    print(f"combine only: {rc.mean_seconds*1e6:.1f} us; ledger "
+          f"kernels+glue+combine = {acc*1e6:.1f} us vs e2e "
+          f"{results['ffn_e2e']['seconds']*1e6:.1f} us "
+          f"(unaccounted {results['unaccounted_us']} us)", flush=True)
+
     # ---- 2. end-to-end prefill per form ----------------------------------
     ids = jnp.asarray(np.random.default_rng(1).integers(
         0, cfg0.vocab, (B, s0)), jnp.int32)

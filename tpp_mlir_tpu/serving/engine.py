@@ -546,10 +546,16 @@ def _moe_ffn_grouped(h, blk, cfg):
     ys = build_kernel(k2)(ge, a, blk["w2"])           # (A_pad, E)
     # combine by GATHER: padded row of original assignment a = t*k + j
     # is offs[e] + its rank among its expert's assignments (no inverse
-    # permutation needed — rank came from the cumsum, not a second sort)
+    # permutation needed — rank came from the cumsum, not a second
+    # sort). UNROLLED over top_k: a single ys[(T,k)] gather makes XLA
+    # materialize the (T, k, E) f32 intermediate and stream it three
+    # more times through the multiply/reduce (~138 MB VPU traffic);
+    # k separate gathers fuse into one FMA pass per expert choice.
     rows = (offs[e_flat] + rank).reshape(T, top_k)
-    ys_g = ys[rows].astype(jnp.float32)               # (T, k, E)
-    out = jnp.sum(gates[..., None].astype(jnp.float32) * ys_g, axis=1)
+    out = jnp.zeros((T, E), jnp.float32)
+    for j in range(top_k):
+        out = out + (gates[:, j, None].astype(jnp.float32)
+                     * ys[rows[:, j]].astype(jnp.float32))
     return out.astype(h.dtype)
 
 
