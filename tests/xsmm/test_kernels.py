@@ -491,3 +491,61 @@ def test_int8_gemm_split_kn():
     qt = quantize(w)
     xq, xs = quantize_tokens(x)
     check(key, (xq, qt.q, xs, qt.scale), atol=1e-6, rtol=1e-6)
+
+
+def test_wres_ln_stats_pair():
+    """Producer/consumer LN-stats pair: the producer GEMM emits per-row
+    (mean, var) of its cast output from the epilogue (ln_stats_out); the
+    consumer's 'ln_stats' prologue normalizes with them instead of
+    re-reducing A. Differential vs the unfused oracle (producer -> full
+    LayerNorm -> consumer), and the emitted stats vs numpy."""
+    from tpp_mlir_tpu.xsmm.kernels import _build_brgemm_wres
+
+    kp = BrgemmKey(batch=1, m=1024, n=256, k=256, dtype="f32", beta0=True,
+                   binary_kind="add", binary_bcast="bcast_col",
+                   unary_kind="relu", ln_stats_out=True)
+    fp = _build_brgemm_wres(kp, True)
+    assert fp is not None, "wres must serve the stats-emitting producer"
+    kc = BrgemmKey(batch=1, m=1024, n=256, k=256, dtype="f32", beta0=True,
+                   binary_kind="add", binary_bcast="bcast_col",
+                   unary_kind="gelu", prologue="ln_stats")
+    fc = _build_brgemm_wres(kc, True)
+    assert fc is not None, "wres must serve the ln_stats consumer"
+
+    a = rng(1, 1024, 256) * 0.5
+    w0 = rng(1, 256, 256, seed=1) * 0.05
+    d0 = rng(256, seed=2) * 0.1
+    w1 = rng(1, 256, 256, seed=3) * 0.05
+    d1 = rng(256, seed=4) * 0.1
+    g = rng(256, seed=5) * 0.2 + 1.0
+    be = rng(256, seed=6) * 0.1
+
+    y, mu, var = fp(a, w0, None, d0)
+    got = fc(y.reshape(1, 1024, 256), w1, None, d1, gamma=g, beta=be,
+             mu=mu, var=var)
+
+    yref = np.maximum(np.asarray(a[0]) @ np.asarray(w0[0])
+                      + np.asarray(d0), 0)
+    np.testing.assert_allclose(np.asarray(mu)[:, 0], yref.mean(1),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(var)[:, 0], yref.var(1),
+                               atol=1e-5, rtol=1e-5)
+    ln = ((yref - yref.mean(1, keepdims=True))
+          / np.sqrt(yref.var(1, keepdims=True) + 1e-5)
+          * np.asarray(g) + np.asarray(be))
+    want = np.asarray(jax.nn.gelu(jnp.asarray(ln @ np.asarray(w1[0])
+                                              + np.asarray(d1)),
+                                  approximate=False))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
+
+
+def test_wres_ln_stats_needs_wres_path():
+    """ln_stats keys that do not fit the weights-resident form raise
+    loudly (the blocked path cannot accumulate epilogue row stats
+    across its (i, j) grid)."""
+    from tpp_mlir_tpu.xsmm.kernels import _build_brgemm
+
+    with pytest.raises(ValueError, match="ln_stats"):
+        # batch > 1 never fits wres
+        _build_brgemm(BrgemmKey(batch=4, m=256, n=256, k=256,
+                                beta0=True, prologue="ln_stats"), True)

@@ -46,9 +46,18 @@ class BrgemmKey:
     # LN recomputes per n-block on the VPU instead of round-tripping its
     # result through HBM — a net win because the MXU, not the VPU, is the
     # bottleneck in these GEMMs.
+    # "ln_stats": same normalization but the per-row (mean, var) arrive as
+    # operands — the producer kernel emitted them from its epilogue
+    # (ln_stats_out below), so this kernel skips the stats reduction pass
+    # over A. gamma/beta still apply when prologue_affine.
     prologue: str | None = None
     prologue_affine: bool = True
     prologue_eps: float = 1e-5
+    # emit per-row (mean, var) of the kernel OUTPUT as two extra (m, 1)
+    # f32 results, computed on values already hot in the epilogue's
+    # registers — feeds a consumer's "ln_stats" prologue so the pair
+    # never re-reads the activation for LN statistics. wres path only.
+    ln_stats_out: bool = False
 
 
 @dataclass(frozen=True)

@@ -276,11 +276,14 @@ def _build_brgemm_wres(key, interpret: bool):
     budget = int(current_target().vmem_bytes * 0.88)
     if wbytes > min(budget - 2 * 1024 * 1024, 8 * 1024 * 1024):
         return None
+    if key.prologue not in (None, "layer_norm", "ln_stats"):
+        return None
     has_ln = key.prologue == "layer_norm"
+    has_lns = key.prologue == "ln_stats"
     has_c = not key.beta0
     has_d = key.binary_kind is not None
     full_d = has_d and key.binary_bcast == "none"
-    asz = jnp.dtype(_jdt(key.dtype)).itemsize if has_ln else wsz
+    asz = jnp.dtype(_jdt(key.dtype)).itemsize if (has_ln or has_lns) else wsz
 
     sched = _wres_sched(key)
     nscr = {"interleave": 0, "split": 1, "lag": 2}[sched]
@@ -342,11 +345,18 @@ def _build_brgemm_wres(key, interpret: bool):
         else:
             in_specs.append(pl.BlockSpec((bm, n), lag,
                                          memory_space=pltpu.VMEM))
-    if has_ln and key.prologue_affine:
+    if (has_ln or has_lns) and key.prologue_affine:
         for _ in range(2):
             in_specs.append(pl.BlockSpec((1, k), lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
+    if has_lns:
+        # producer-emitted per-row (mean, var): dot-phase operands, so
+        # they follow the A block's index map
+        for _ in range(2):
+            in_specs.append(pl.BlockSpec((bm, 1), cur,
+                                         memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((bm, n), lag, memory_space=pltpu.VMEM)
+    emit_stats = key.ln_stats_out
 
     # Column-chunked first-step weight DMA: all chunk copies start up
     # front, each is waited just before its dot, so the transfer overlaps
@@ -369,13 +379,21 @@ def _build_brgemm_wres(key, interpret: bool):
         d_ref = refs[idx] if has_d else None
         idx += has_d
         g_ref = be_ref = None
-        if has_ln and key.prologue_affine:
+        if (has_ln or has_lns) and key.prologue_affine:
             g_ref, be_ref = refs[idx], refs[idx + 1]
             idx += 2
-        o_ref = refs[idx]
-        wbuf = refs[idx + 1]
-        sems = refs[idx + 2]
-        s_refs = refs[idx + 3:idx + 3 + nscr]
+        mu_ref = var_ref = None
+        if has_lns:
+            mu_ref, var_ref = refs[idx], refs[idx + 1]
+            idx += 2
+        o_ref = refs[idx]; idx += 1
+        mo_ref = vo_ref = None
+        if emit_stats:
+            mo_ref, vo_ref = refs[idx], refs[idx + 1]
+            idx += 2
+        wbuf = refs[idx]
+        sems = refs[idx + 1]
+        s_refs = refs[idx + 2:idx + 2 + nscr]
 
         i = pl.program_id(0)
 
@@ -391,6 +409,15 @@ def _build_brgemm_wres(key, interpret: bool):
                 chunk_copy(c).start()
 
         def normalize(a):
+            if has_lns:
+                # stats came from the producer's epilogue: normalize is a
+                # single fused scale+shift pass — no reduction over A
+                af = a.astype(jnp.float32)
+                af = (af - mu_ref[:]) * jax.lax.rsqrt(
+                    var_ref[:] + key.prologue_eps)
+                if key.prologue_affine:
+                    af = af * g_ref[0] + be_ref[0]
+                return af.astype(mxu_dt)
             if not has_ln:
                 return a
             af = a.astype(jnp.float32)
@@ -423,23 +450,46 @@ def _build_brgemm_wres(key, interpret: bool):
                     a, wbuf[:, c * nc:(c + 1) * nc],
                     preferred_element_type=jnp.float32)
 
+        def stats_acc(resc, acc):
+            # row sums of the CAST output (what the consumer will read),
+            # accumulated across chunks on values hot in registers
+            if not emit_stats:
+                return acc
+            rf = resc.astype(jnp.float32)
+            s1 = jnp.sum(rf, axis=1, keepdims=True)
+            s2 = jnp.sum(rf * rf, axis=1, keepdims=True)
+            return (s1, s2) if acc is None else (acc[0] + s1, acc[1] + s2)
+
+        def stats_write(acc):
+            if emit_stats:
+                mu = acc[0] / n
+                mo_ref[:] = mu
+                vo_ref[:] = acc[1] / n - mu * mu
+
         def epilogue_from(s_ref):
             # ONE full-width VPU pass over the scratch: no MXU stalls
             # between chunk dots, and the epilogue vectorizes over the
             # whole (bm, n) block
+            acc = None
             for c in range(CH):
-                o_ref[:, c * nc:(c + 1) * nc] = epilogue_chunk(
-                    s_ref[:, c * nc:(c + 1) * nc], c)
+                resc = epilogue_chunk(s_ref[:, c * nc:(c + 1) * nc], c)
+                o_ref[:, c * nc:(c + 1) * nc] = resc
+                acc = stats_acc(resc, acc)
+            stats_write(acc)
 
         if sched == "interleave":
             a = normalize(a_ref[:])
+            acc = None
             for c in range(CH):
                 @pl.when(i == 0)
                 def _wait_chunk(c=c):
                     chunk_copy(c).wait()
                 res = jnp.dot(a, wbuf[:, c * nc:(c + 1) * nc],
                               preferred_element_type=jnp.float32)
-                o_ref[:, c * nc:(c + 1) * nc] = epilogue_chunk(res, c)
+                resc = epilogue_chunk(res, c)
+                o_ref[:, c * nc:(c + 1) * nc] = resc
+                acc = stats_acc(resc, acc)
+            stats_write(acc)
         elif sched == "split":
             a = normalize(a_ref[:])
             dots_into(s_refs[0], a)
@@ -472,12 +522,21 @@ def _build_brgemm_wres(key, interpret: bool):
         transcendentals=m * n if key.unary_kind in ("exp", "tanh", "gelu")
         else 0)
 
+    out_specs = out_spec
+    out_shape = jax.ShapeDtypeStruct((m, n), out_dtype)
+    if emit_stats:
+        stat_spec = pl.BlockSpec((bm, 1), lag, memory_space=pltpu.VMEM)
+        out_specs = [out_spec, stat_spec, stat_spec]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((m, 1), jnp.float32),
+                     jax.ShapeDtypeStruct((m, 1), jnp.float32)]
+
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((k, n), mxu_dt),
                         pltpu.SemaphoreType.DMA((CH,))]
         + [pltpu.VMEM((bm, n), jnp.float32) for _ in range(nscr)],
@@ -487,10 +546,11 @@ def _build_brgemm_wres(key, interpret: bool):
         interpret=interpret,
     )
 
-    def fn(a, b, c=None, d=None, gamma=None, beta=None):
+    def fn(a, b, c=None, d=None, gamma=None, beta=None, mu=None, var=None):
         a = a.reshape(m, k)          # invoke operands carry a leading
         b = b.reshape(k, n)          # batch-1 dim
-        args = [a if has_ln else a.astype(mxu_dt), b.astype(mxu_dt)]
+        args = [a if (has_ln or has_lns) else a.astype(mxu_dt),
+                b.astype(mxu_dt)]
         if has_c:
             assert c is not None
             args.append(c)
@@ -502,10 +562,15 @@ def _build_brgemm_wres(key, interpret: bool):
                 d = d.reshape(1, -1) if key.binary_bcast == "bcast_col" \
                     else d.reshape(-1, 1)
             args.append(d)
-        if has_ln and key.prologue_affine:
+        if (has_ln or has_lns) and key.prologue_affine:
             assert gamma is not None and beta is not None
             args += [gamma.reshape(1, -1).astype(jnp.float32),
                      beta.reshape(1, -1).astype(jnp.float32)]
+        if has_lns:
+            assert mu is not None and var is not None, \
+                "ln_stats prologue needs producer-emitted (mu, var)"
+            args += [mu.reshape(m, 1).astype(jnp.float32),
+                     var.reshape(m, 1).astype(jnp.float32)]
         return call(*args)
 
     fn._tune_info = {"kind": "wres", "wres_bm": bm, "sched": sched}
@@ -528,6 +593,13 @@ def _build_brgemm(key: BrgemmKey, interpret: bool):
     wres = _build_brgemm_wres(key, interpret)
     if wres is not None:
         return wres
+    if key.prologue == "ln_stats" or key.ln_stats_out:
+        # the producer/consumer LN-stats pair is a weights-resident
+        # construction (stats accumulate across the epilogue's chunk
+        # loop; the blocked path's (i, j) grid splits rows across
+        # programs) — refuse loudly rather than silently dropping it
+        raise ValueError(f"ln_stats form needs the wres path; "
+                         f"shape does not fit: {key}")
     tn = {} if (key.bm or key.bn or key.bk) else tune.tuned(key)
     bm, bn, bk = pick_blocks(m, n, k, key.dtype,
                              key.bm or tn.get("bm", 0),
@@ -1517,16 +1589,19 @@ def _build_flash_mha(key, interpret: bool):
             # the rectangle, no LSE merge) wins at EVERY point of the
             # r4 crossover — s1024 50.6 vs qblock 39.3/twocall 37.9,
             # s1536 54.3 vs 34.3/39.7, s2048 46.8 vs 33.9/46.6 — so the
-            # policy is fold2 from s1024 up. D<128 stays on the r4 rule
-            # below (twocall at s>=2048) until measured.
+            # policy is fold2 from s1024 up.
             fn = _build_flash_causal_fold2(key, interpret)
             if fn is not None:
                 return fn
         if key.causal and S >= 2048 and not key.bq and not key.bk:
-            # measured r4 (scripts/exp_causal_twocall.py, one run):
-            # s=2048 twocall 45.6% vs masked-full 34.3% of triangle
-            # roofline at D=128 bf16 (+31% at D=64); at s=1024 the
-            # 3-call + merge overhead loses (22.2 vs 15.9) — gate at 2048
+            # D < 128: measured r5 at s2048 D64 bf16 (causal_d64_r5.json,
+            # one run, % of triangle roof): fold2 23.6 / twocall 23.5 /
+            # qblock 17.6 — fold2 ties the 3-call form with one fewer
+            # call, so it leads; twocall stays as the fallback. s=1024
+            # D<64 keeps masked-full (r4: 22.2 qblock vs 15.9 twocall).
+            fn = _build_flash_causal_fold2(key, interpret)
+            if fn is not None:
+                return fn
             fn = _build_flash_causal_twocall(key, interpret)
             if fn is not None:
                 return fn
