@@ -425,9 +425,11 @@ def test_flash_causal_twocall_refuses_noncausal():
 
 
 def test_flash_causal_auto_routes_twocall_at_2048():
-    """auto + causal + s>=2048 routes to the two-call split (measured
-    45.6%% vs 34.3%% of triangle roofline at D=128 bf16, r4); numerics
-    must match the dense causal reference through the auto path."""
+    """auto + causal + s>=2048 at D<128 routes to the fold2 split
+    (measured r5 at s2048 D64 bf16: fold2 23.6 / twocall 23.5 / qblock
+    17.6%% of triangle roof — tie with one fewer call; twocall is the
+    fallback); numerics must match the dense causal reference through
+    the auto path."""
     key = FlashMhaKey(batch=1, seq=2048, seq_kv=2048, head_dim=64,
                       scale=0.125, causal=True)
     kfn = build_kernel(key, interpret=True)
@@ -464,7 +466,7 @@ def test_flash_causal_auto_routes_fold2_at_1024_d128():
     split (measured r5: 50.6/54.3/46.8%% of triangle roof at s1024/
     1536/2048 D=128 bf16 — above qblock AND twocall at every point);
     numerics must match the dense causal reference through the auto
-    path. D=64 keeps the r4 twocall@2048 rule (previous test)."""
+    path. D=64 routes fold2 from s2048 (previous test)."""
     key = FlashMhaKey(batch=1, seq=1024, seq_kv=1024, head_dim=128,
                       scale=0.125, causal=True)
     kfn = build_kernel(key, interpret=True)
