@@ -118,13 +118,16 @@ def main() -> int:
           f"({1 / t_tok:,.0f} tok/s)")
 
     # real macro cost: with a random draft every macro emits exactly 1
-    # token, so generate(steps=N) runs N macros
+    # token, so generate(steps=N) runs N macros. Build the two jitted
+    # generates ONCE — rebuilding inside the timed fn retraces and
+    # re-serializes the HLO every call and the jitter lands in the
+    # slope (r5 first run measured 16.5x t_tok this way; the bisect
+    # with cached gens is the trustworthy number).
+    gens = {n: make_speculative_generate(tcfg, dcfg, n, k=K)
+            for n in (g_short, g_long)}
+
     def spec_steps(n):
-        # stacked target params: the verify extend scans over layers
-        # (L x smaller HLO through the remote-compile channel); the
-        # 2-layer draft stays unstacked (small HLO, faster decode)
-        gen = make_speculative_generate(tcfg, dcfg, n, k=K)
-        toks, stats = gen(sparams, draft, ids)
+        toks, stats = gens[n](sparams, draft, ids)
         return float(jnp.sum(toks)) + int(stats["macro_steps"])
 
     t_macro = _slope(spec_steps, g_short, g_long, args.reps)
