@@ -205,11 +205,11 @@ def test_kv_quant_cache_layout():
         0, KVCFG.vocab, (2, 6)), jnp.int32)
     _, cache = make_prefill(KVCFG, use_pallas=False)(params, ids)
     assert cache["k"].dtype == jnp.int8
-    assert cache["k_s"].shape == (KVCFG.layers, 2, KVCFG.max_seq,
-                                  KVCFG.heads)
+    assert cache["k_s"].shape == (KVCFG.layers, 2, KVCFG.heads,
+                                  KVCFG.max_seq)
     # written positions carry real scales; padding is zero
-    assert (np.asarray(cache["k_s"])[:, :, :6] > 0).all()
-    assert (np.asarray(cache["k_s"])[:, :, 6:] == 0).all()
+    assert (np.asarray(cache["k_s"])[:, :, :, :6] > 0).all()
+    assert (np.asarray(cache["k_s"])[:, :, :, 6:] == 0).all()
 
 
 def test_kv_quant_decode_close_to_full_precision():

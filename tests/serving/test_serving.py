@@ -39,7 +39,7 @@ def test_prefill_matches_torch():
         params, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(logits), want,
                                atol=1e-4, rtol=1e-4)
-    assert cache["k"].shape == (CFG.layers, 2, CFG.max_seq, CFG.heads,
+    assert cache["k"].shape == (CFG.layers, 2, CFG.heads, CFG.max_seq,
                                 CFG.head_dim)
     assert int(cache["pos"]) == CFG.max_seq
 
@@ -165,7 +165,7 @@ def test_gqa_cache_holds_kv_heads_only():
         0, GQA_CFG.vocab, (2, 8)).astype(np.int32)
     _, cache = make_prefill(GQA_CFG, use_pallas=False)(
         params, jnp.asarray(ids))
-    assert cache["k"].shape == (2, 2, GQA_CFG.max_seq, 2,
+    assert cache["k"].shape == (2, 2, 2, GQA_CFG.max_seq,
                                 GQA_CFG.head_dim)
 
 
@@ -335,3 +335,52 @@ def test_tp_decode_matches_single_device():
                                np.asarray(ref_cache["k"]),
                                atol=1e-5, rtol=1e-5)
     assert int(tp_cache["pos"]) == int(ref_cache["pos"])
+
+
+def test_decode_attn_pallas_matches_xla():
+    """The streaming Pallas decode-attention kernel (decode_attn.py,
+    per-head-contiguous cache) matches the XLA einsum decode path
+    through the full decode step — scalar-pos form."""
+    import dataclasses
+
+    params = init_params(CFG, seed=0)
+    ids = np.random.default_rng(0).integers(
+        0, CFG.vocab, (2, 8)).astype(np.int32)
+    _, cache = make_prefill(CFG, use_pallas=False)(params, jnp.asarray(ids))
+    tok = jnp.asarray([3, 5], jnp.int32)
+    lx, cx = make_decode_step(
+        dataclasses.replace(CFG, decode_attn="xla"))(params, cache, tok)
+    lp, cp = make_decode_step(
+        dataclasses.replace(CFG, decode_attn="pallas"))(params, cache, tok)
+    np.testing.assert_allclose(np.asarray(lp, np.float32),
+                               np.asarray(lx, np.float32),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(cp["k"], np.float32),
+                               np.asarray(cx["k"], np.float32),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_decode_attn_pallas_slotted():
+    """Slotted (per-row pos) decode attention through the Pallas kernel
+    matches the XLA path — the continuous-batching form."""
+    import dataclasses
+
+    from tpp_mlir_tpu.serving import init_slot_cache, make_insert
+
+    params = init_params(CFG, seed=0)
+    prefill = make_prefill(CFG, use_pallas=False)
+    insert = make_insert(CFG)
+    cache = init_slot_cache(CFG, slots=2)
+    for slot, n in ((0, 5), (1, 8)):
+        ids = np.random.default_rng(slot).integers(
+            0, CFG.vocab, (1, 8)).astype(np.int32)
+        _, pc = prefill(params, jnp.asarray(ids))
+        cache = insert(cache, pc, slot, n)
+    tok = jnp.asarray([3, 5], jnp.int32)
+    lx, _ = make_decode_step(
+        dataclasses.replace(CFG, decode_attn="xla"))(params, cache, tok)
+    lp, _ = make_decode_step(
+        dataclasses.replace(CFG, decode_attn="pallas"))(params, cache, tok)
+    np.testing.assert_allclose(np.asarray(lp, np.float32),
+                               np.asarray(lx, np.float32),
+                               atol=1e-4, rtol=1e-4)

@@ -52,14 +52,14 @@ def init_slot_cache(cfg: GptConfig, slots: int):
     L, S = cfg.layers, cfg.max_seq
     kvh, D = cfg.kv_h, cfg.head_dim
     if cfg.kv_quant == "int8":
-        cache = {"k": jnp.zeros((L, slots, S, kvh, D), jnp.int8),
-                 "v": jnp.zeros((L, slots, S, kvh, D), jnp.int8),
-                 "k_s": jnp.zeros((L, slots, S, kvh), jnp.float32),
-                 "v_s": jnp.zeros((L, slots, S, kvh), jnp.float32)}
+        cache = {"k": jnp.zeros((L, slots, kvh, S, D), jnp.int8),
+                 "v": jnp.zeros((L, slots, kvh, S, D), jnp.int8),
+                 "k_s": jnp.zeros((L, slots, kvh, S), jnp.float32),
+                 "v_s": jnp.zeros((L, slots, kvh, S), jnp.float32)}
     else:
         dt = _np_dtype(cfg.dtype)
-        cache = {"k": jnp.zeros((L, slots, S, kvh, D), dt),
-                 "v": jnp.zeros((L, slots, S, kvh, D), dt)}
+        cache = {"k": jnp.zeros((L, slots, kvh, S, D), dt),
+                 "v": jnp.zeros((L, slots, kvh, S, D), dt)}
     cache["pos"] = jnp.full((slots,), S, jnp.int32)
     return cache
 

@@ -10,7 +10,7 @@ maximizes `score / (t_effective ** length_penalty)` (GNMT length norm;
 0 = plain sum of log-probs).
 
 Cache layout contract (tested): every array leaf of the decode cache
-carries batch at AXIS 1 — (L, B, S, H, D) KV slabs and their int8
+carries batch at AXIS 1 — (L, B, H, S, D) KV slabs and their int8
 scale arrays alike — and `pos` is a batch-free scalar, so beam
 expansion (`jnp.repeat`) and parent reorder (`jnp.take`) are two
 tree_maps with one rule. A wrong-axis leaf would desync a beam's cache

@@ -69,6 +69,13 @@ class GptConfig:
     # Decode at small batch stays on the weight-only dequant path (it
     # is HBM-bound; int8 compute buys nothing at M < 32).
     int8_compute: bool = False
+    # Single-token decode attention form: "auto" runs the streaming
+    # Pallas kernel (xsmm/decode_attn.py) on TPU when MHA, un-quantized
+    # KV and the (1, H, S, D) K/V blocks fit VMEM (measured ~2.5x the
+    # XLA batched-matvec emission at b8, exp_decode_attn r5); "xla"
+    # forces the einsum path; "pallas" forces the kernel (interpret
+    # mode off-TPU — the differential-test hook).
+    decode_attn: str = "auto"
     # LLaMA-class architecture axes (combine with kv_heads for the full
     # LLaMA-2/3 recipe): rotary position embeddings instead of the
     # learned wpe table, RMSNorm instead of LayerNorm (no mean, no
@@ -747,9 +754,15 @@ def make_prefill(cfg: GptConfig, use_pallas: bool | None = None):
     """Return jitted `prefill(params, ids) -> (logits, cache)`.
 
     ids: (B, S0) int32 prompt. logits: (B, S0, V) for every prompt
-    position. cache: {"k","v"} (L, B, max_seq, H, D) with [0:S0) filled,
+    position. cache: {"k","v"} (L, B, H, max_seq, D) with [0:S0) filled,
     plus "pos" = S0. With `stack_params` params the L blocks run under
-    one `lax.scan` (L× smaller compile)."""
+    one `lax.scan` (L× smaller compile).
+
+    Cache layout is per-head-contiguous (B, H, S, D): the decode-time
+    KV read is the serving bandwidth bottleneck, and the (B, S, H, D)
+    form made each head's matvec read D*2 = 128 contiguous bytes out of
+    every H*D*2 (measured at ~26%% of HBM bandwidth inside the b8 decode
+    loop, exp_decode_b8 r5); per-head-contiguous rows stream whole."""
     import jax
     import jax.numpy as jnp
 
@@ -785,11 +798,14 @@ def make_prefill(cfg: GptConfig, use_pallas: bool | None = None):
             x = _ln(x, params["lnf_g"], params["lnf_b"])
         logits = _dot(x, params["lm_head"], int8=cfg.int8_compute)
 
-        pad = ((0, 0), (0, 0), (0, cfg.max_seq - S0), (0, 0), (0, 0))
+        # (L, B, S0, H, D) -> per-head-contiguous (L, B, H, S0, D)
+        ks = jnp.transpose(ks, (0, 1, 3, 2, 4))
+        vs = jnp.transpose(vs, (0, 1, 3, 2, 4))
+        pad = ((0, 0), (0, 0), (0, 0), (0, cfg.max_seq - S0), (0, 0))
         cache = {"pos": jnp.asarray(S0, jnp.int32)}
         if cfg.kv_quant == "int8":
-            # int8 KV cache: per-(token, head) scales over D ride as two
-            # extra (L, B, S, H) f32 arrays — 4 bytes next to D int8
+            # int8 KV cache: per-(head, token) scales over D ride as two
+            # extra (L, B, H, S) f32 arrays — 4 bytes next to D int8
             # payload bytes. The decode attention reads int8 from HBM
             # and folds the scales into the logits / softmax weights
             # (see _decode_body), never materializing a dequant slab.
@@ -836,7 +852,7 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
         x = x + _gather(params["wpe"], pos)
     x = x.astype(_np_dtype(cfg.dtype))    # (B, E)
     # the cache is updated with dynamic_update_slice on the FULL stacked
-    # (L, B, S, H, D) arrays — the canonical in-place KV pattern: XLA
+    # (L, B, H, S, D) arrays — the canonical in-place KV pattern: XLA
     # aliases the buffer (donation / scan carry) instead of rebuilding the
     # whole cache from per-layer slices each token
     kv = {key: val for key, val in cache.items() if key != "pos"}
@@ -881,31 +897,33 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
             k, ksc = quantize_tokens(k)
             v, vsc = quantize_tokens(v)
         if slotted:
-            # per-slot write positions: one scatter over the batch dim.
-            # mode="drop" makes out-of-range positions (the free-slot
-            # sentinel pos == max_seq, or a full cache) silent no-ops.
+            # per-slot write positions: one scatter over the batch dim
+            # ([li, bidx, :, pos] -> (B, kv_local, D) with the advanced
+            # indices leading). mode="drop" makes out-of-range positions
+            # (the free-slot sentinel pos == max_seq, or a full cache)
+            # silent no-ops.
             bidx = jnp.arange(B)
             if quant_kv:
-                kv["k_s"] = kv["k_s"].at[li, bidx, pos].set(
+                kv["k_s"] = kv["k_s"].at[li, bidx, :, pos].set(
                     ksc, mode="drop")
-                kv["v_s"] = kv["v_s"].at[li, bidx, pos].set(
+                kv["v_s"] = kv["v_s"].at[li, bidx, :, pos].set(
                     vsc, mode="drop")
-            kv["k"] = kv["k"].at[li, bidx, pos].set(
+            kv["k"] = kv["k"].at[li, bidx, :, pos].set(
                 k.astype(kv["k"].dtype), mode="drop")
-            kv["v"] = kv["v"].at[li, bidx, pos].set(
+            kv["v"] = kv["v"].at[li, bidx, :, pos].set(
                 v.astype(kv["v"].dtype), mode="drop")
         else:
             if quant_kv:
                 kv["k_s"] = jax.lax.dynamic_update_slice(
-                    kv["k_s"], ksc[None, :, None], (li, 0, pos, 0))
+                    kv["k_s"], ksc[None, :, :, None], (li, 0, 0, pos))
                 kv["v_s"] = jax.lax.dynamic_update_slice(
-                    kv["v_s"], vsc[None, :, None], (li, 0, pos, 0))
+                    kv["v_s"], vsc[None, :, :, None], (li, 0, 0, pos))
             kv["k"] = jax.lax.dynamic_update_slice(
-                kv["k"], k[None, :, None].astype(kv["k"].dtype),
-                (li, 0, pos, 0, 0))
+                kv["k"], k[None, :, :, None].astype(kv["k"].dtype),
+                (li, 0, 0, pos, 0))
             kv["v"] = jax.lax.dynamic_update_slice(
-                kv["v"], v[None, :, None].astype(kv["v"].dtype),
-                (li, 0, pos, 0, 0))
+                kv["v"], v[None, :, :, None].astype(kv["v"].dtype),
+                (li, 0, 0, pos, 0))
         slab = (1,) + kv["k"].shape[1:]
         kc = jax.lax.dynamic_slice(
             kv["k"], (li, 0, 0, 0, 0), slab)[0]
@@ -914,7 +932,7 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
         if quant_kv:
             sslab = (1,) + kv["k_s"].shape[1:]
             ksc_l = jax.lax.dynamic_slice(
-                kv["k_s"], (li, 0, 0, 0), sslab)[0]   # (B, S, kv_local)
+                kv["k_s"], (li, 0, 0, 0), sslab)[0]   # (B, kv_local, S)
             vsc_l = jax.lax.dynamic_slice(
                 kv["v_s"], (li, 0, 0, 0), sslab)[0]
         # composed decode attention: M=1 matvec over the cache —
@@ -930,34 +948,51 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
         else:
             live = jnp.arange(cfg.max_seq) <= pos
             lv1, lvg = live[None, None], live[None, None, None]
-        if G == 1:
-            s = jnp.einsum("bhd,bshd->bhs", q.astype(ct), kc.astype(ct),
+        use_dk = False
+        if G == 1 and not quant_kv and cfg.decode_attn != "xla":
+            from ..utils.target import current_target, on_tpu
+            from ..xsmm.decode_attn import (DecodeAttnKey,
+                                            build_decode_attn,
+                                            decode_attn_fits)
+            dk = DecodeAttnKey(batch=B, heads=h_local, seq=cfg.max_seq,
+                               head_dim=D, dtype=cfg.dtype,
+                               slotted=slotted)
+            fits = decode_attn_fits(dk, current_target().vmem_bytes)
+            if cfg.decode_attn == "pallas":
+                use_dk = True
+            elif fits and on_tpu():
+                use_dk = True
+        if use_dk:
+            a = build_decode_attn(dk, interpret=not on_tpu())(
+                q, kc, vc, pos)                       # (B, H, D) f32
+        elif G == 1:
+            s = jnp.einsum("bhd,bhsd->bhs", q.astype(ct), kc.astype(ct),
                            preferred_element_type=jnp.float32) * scale
             if quant_kv:
-                s = s * jnp.transpose(ksc_l, (0, 2, 1))
+                s = s * ksc_l
             s = jnp.where(lv1, s, -1e30)
             p = jax.nn.softmax(s, axis=-1)
             if quant_kv:
                 # fold V's per-token scales into the softmax weights:
                 # sum_s p_s (v_q[s] * vs_s) == sum_s (p_s * vs_s) v_q[s]
-                p = p * jnp.transpose(vsc_l, (0, 2, 1))
-            a = jnp.einsum("bhs,bshd->bhd", p.astype(ct), vc.astype(ct),
+                p = p * vsc_l
+            a = jnp.einsum("bhs,bhsd->bhd", p.astype(ct), vc.astype(ct),
                            preferred_element_type=jnp.float32)
         else:
             # GQA: query heads grouped per KV head (q head h -> kv head
             # h // G), attending over the UN-repeated cache — the KV
             # read, decode's dominant traffic, shrinks by G
             qg = q.reshape(B, kv_local, G, D)
-            s = jnp.einsum("bkgd,bskd->bkgs", qg.astype(ct),
+            s = jnp.einsum("bkgd,bksd->bkgs", qg.astype(ct),
                            kc.astype(ct),
                            preferred_element_type=jnp.float32) * scale
             if quant_kv:
-                s = s * jnp.transpose(ksc_l, (0, 2, 1))[:, :, None]
+                s = s * ksc_l[:, :, None]
             s = jnp.where(lvg, s, -1e30)
             p = jax.nn.softmax(s, axis=-1)
             if quant_kv:
-                p = p * jnp.transpose(vsc_l, (0, 2, 1))[:, :, None]
-            a = jnp.einsum("bkgs,bskd->bkgd", p.astype(ct), vc.astype(ct),
+                p = p * vsc_l[:, :, None]
+            a = jnp.einsum("bkgs,bksd->bkgd", p.astype(ct), vc.astype(ct),
                            preferred_element_type=jnp.float32)
         a = a.reshape(B, h_local * D).astype(x.dtype)
         x = x + row_parallel(a, blk["wo"], blk["bo"])
@@ -1013,7 +1048,7 @@ def make_decode_step(cfg: GptConfig, donate: bool = False):
 
     token: (B,) int32, the token at position cache["pos"]. logits: (B, V)
     for the NEXT position. One compiled step serves every position: the
-    cache has static shape (L, B, max_seq, kv_h, D) and attention masks by
+    cache has static shape (L, B, kv_h, max_seq, D) and attention masks by
     position (positions > pos read as -inf). With donate=True the cache
     argument's buffers are donated so the update is in place (use in eager
     serving loops that rebind the cache each step; inside `lax.scan` the
@@ -1097,17 +1132,23 @@ def make_extend(cfg: GptConfig, donate: bool = False):
                 q = _rope(q, tpos, cfg.rope_theta)
                 k = _rope(k, tpos, cfg.rope_theta)
             kv = dict(kv)
+            # (B, T, KVH, D) -> the cache's per-head-contiguous
+            # (B, KVH, T, D) before the positional write
+            kt = jnp.transpose(k, (0, 2, 1, 3))
+            vt = jnp.transpose(v, (0, 2, 1, 3))
             if quant_kv:
-                k, ksc = quantize_tokens(k)
-                v, vsc = quantize_tokens(v)
+                kt, ksc = quantize_tokens(kt)
+                vt, vsc = quantize_tokens(vt)
                 kv["k_s"] = jax.lax.dynamic_update_slice(
-                    kv["k_s"], ksc[None], (li, 0, pos, 0))
+                    kv["k_s"], ksc[None], (li, 0, 0, pos))
                 kv["v_s"] = jax.lax.dynamic_update_slice(
-                    kv["v_s"], vsc[None], (li, 0, pos, 0))
+                    kv["v_s"], vsc[None], (li, 0, 0, pos))
             kv["k"] = jax.lax.dynamic_update_slice(
-                kv["k"], k[None].astype(kv["k"].dtype), (li, 0, pos, 0, 0))
+                kv["k"], kt[None].astype(kv["k"].dtype),
+                (li, 0, 0, pos, 0))
             kv["v"] = jax.lax.dynamic_update_slice(
-                kv["v"], v[None].astype(kv["v"].dtype), (li, 0, pos, 0, 0))
+                kv["v"], vt[None].astype(kv["v"].dtype),
+                (li, 0, 0, pos, 0))
             slab = (1,) + kv["k"].shape[1:]
             kc = jax.lax.dynamic_slice(
                 kv["k"], (li, 0, 0, 0, 0), slab)[0]
@@ -1118,42 +1159,40 @@ def make_extend(cfg: GptConfig, donate: bool = False):
             allow = (jnp.arange(cfg.max_seq)[None]
                      <= pos + jnp.arange(T)[:, None])          # (T, S)
             if G == 1:
-                s = jnp.einsum("bthd,bshd->bhts", q.astype(ct),
+                s = jnp.einsum("bthd,bhsd->bhts", q.astype(ct),
                                kc.astype(ct),
                                preferred_element_type=jnp.float32) * scale
                 if quant_kv:
                     sslab = (1,) + kv["k_s"].shape[1:]
                     ksc_l = jax.lax.dynamic_slice(
-                        kv["k_s"], (li, 0, 0, 0), sslab)[0]    # (B, S, H)
-                    s = s * jnp.transpose(ksc_l, (0, 2, 1))[:, :, None]
+                        kv["k_s"], (li, 0, 0, 0), sslab)[0]    # (B, H, S)
+                    s = s * ksc_l[:, :, None]
                 s = jnp.where(allow[None, None], s, -1e30)
                 p = jax.nn.softmax(s, axis=-1)
                 if quant_kv:
                     vsc_l = jax.lax.dynamic_slice(
                         kv["v_s"], (li, 0, 0, 0), sslab)[0]
-                    p = p * jnp.transpose(vsc_l, (0, 2, 1))[:, :, None]
-                a = jnp.einsum("bhts,bshd->bthd", p.astype(ct),
+                    p = p * vsc_l[:, :, None]
+                a = jnp.einsum("bhts,bhsd->bthd", p.astype(ct),
                                vc.astype(ct),
                                preferred_element_type=jnp.float32)
             else:
                 qg = q.reshape(B, T, KVH, G, D)
-                s = jnp.einsum("btkgd,bskd->bkgts", qg.astype(ct),
+                s = jnp.einsum("btkgd,bksd->bkgts", qg.astype(ct),
                                kc.astype(ct),
                                preferred_element_type=jnp.float32) * scale
                 if quant_kv:
                     sslab = (1,) + kv["k_s"].shape[1:]
                     ksc_l = jax.lax.dynamic_slice(
-                        kv["k_s"], (li, 0, 0, 0), sslab)[0]    # (B, S, KVH)
-                    s = s * jnp.transpose(
-                        ksc_l, (0, 2, 1))[:, :, None, None]
+                        kv["k_s"], (li, 0, 0, 0), sslab)[0]    # (B, KVH, S)
+                    s = s * ksc_l[:, :, None, None]
                 s = jnp.where(allow[None, None, None], s, -1e30)
                 p = jax.nn.softmax(s, axis=-1)
                 if quant_kv:
                     vsc_l = jax.lax.dynamic_slice(
                         kv["v_s"], (li, 0, 0, 0), sslab)[0]
-                    p = p * jnp.transpose(
-                        vsc_l, (0, 2, 1))[:, :, None, None]
-                a = jnp.einsum("bkgts,bskd->btkgd", p.astype(ct),
+                    p = p * vsc_l[:, :, None, None]
+                a = jnp.einsum("bkgts,bksd->btkgd", p.astype(ct),
                                vc.astype(ct),
                                preferred_element_type=jnp.float32)
             a = a.reshape(B, T, H * D).astype(x.dtype)
@@ -1310,16 +1349,16 @@ def make_tp_decode_step(mesh, cfg: GptConfig, tp_axis: str = "tp",
 
 
 def decode_cache_specs(cfg: GptConfig, tp_axis: str = "tp"):
-    """KV cache (L, B, max_seq, kv_h, D) shards the KV-heads dim over
-    tp; an int8-quantized cache's (L, B, max_seq, kv_h) scale arrays
+    """KV cache (L, B, kv_h, max_seq, D) shards the KV-heads dim over
+    tp; an int8-quantized cache's (L, B, kv_h, max_seq) scale arrays
     shard the same head dim."""
     from jax.sharding import PartitionSpec as P
 
-    kv = P(None, None, None, tp_axis, None)
+    kv = P(None, None, tp_axis, None, None)
     specs = {"k": kv, "v": kv, "pos": P()}
     if cfg.kv_quant == "int8":
-        specs["k_s"] = P(None, None, None, tp_axis)
-        specs["v_s"] = P(None, None, None, tp_axis)
+        specs["k_s"] = P(None, None, tp_axis, None)
+        specs["v_s"] = P(None, None, tp_axis, None)
     return specs
 
 

@@ -1,0 +1,103 @@
+"""Streaming decode-attention kernel: the single-token KV read at HBM
+speed.
+
+Decode attention is a batch of per-head matvecs over the KV cache — at
+B=8 GPT-2-small geometry the slab is ~15.7 MB/layer and the op is pure
+HBM bandwidth. Measured (r5, exp_decode_attn.py / exp_decode_b8.py):
+XLA's batched-matvec emission over the (B, S, H, D) cache read at ~26%
+of HBM bandwidth inside the decode loop (0.875 ms of a 1.22 ms b8
+step); this kernel over the per-head-contiguous (B, H, S, D) layout
+streams the whole slab once per batch row — grid (B,), K/V head-blocks
+VMEM-resident, VPU mul + lane-reduce scores, masked softmax, sublane-
+reduce AV — and measured 1.49x the pure-byte model (~67% of HBM bw),
+a ~2.5x cut of the in-loop attention time.
+
+No MXU: M=1 contractions cannot fill a systolic pass; the VPU IS the
+right unit for a matvec, and the win is coalescing the read. Reference
+analogue: none (the reference has no serving runtime, SURVEY.md §2);
+this plays the role its BRGEMM plays for GEMMs — the hot-loop primitive
+behind a dispatch key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@dataclass(frozen=True)
+class DecodeAttnKey:
+    """Key for the single-token (T=1) decode-attention kernel.
+
+    batch/heads/seq/head_dim: the (B, H, S, D) cache geometry (MHA:
+    query heads == KV heads; GQA routes to the XLA einsum path).
+    dtype: cache/query storage dtype. slotted: pos is (B,) per-row
+    (continuous batching) instead of one scalar."""
+
+    batch: int
+    heads: int
+    seq: int
+    head_dim: int
+    dtype: str = "bf16"
+    slotted: bool = False
+
+
+def decode_attn_fits(key: DecodeAttnKey, vmem_bytes: int) -> bool:
+    """VMEM gate: K + V (1, H, S, D) blocks are double-buffered by
+    Pallas (CLAUDE.md r3: budget 2x the naive block sum)."""
+    dsz = 2 if key.dtype in ("bf16", "f16") else 4
+    blocks = 2 * key.heads * key.seq * key.head_dim * dsz
+    return 2 * blocks + (1 << 20) < int(vmem_bytes * 0.9)
+
+
+def build_decode_attn(key: DecodeAttnKey, interpret: bool):
+    """Return `fn(q (B,H,D), k (B,H,S,D), v (B,H,S,D), pos) ->
+    (B,H,D) f32` with the live mask `s <= pos` (pos scalar, or (B,)
+    when key.slotted)."""
+    B, H, S, D = key.batch, key.heads, key.seq, key.head_dim
+    scale = D ** -0.5
+
+    def kernel(pos_ref, q_ref, k_ref, v_ref, o_ref):
+        b = pl.program_id(0)
+        p_live = pos_ref[b] if key.slotted else pos_ref[0]
+        live = (jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) <= p_live)
+        for h in range(H):
+            qh = q_ref[0, h].astype(jnp.float32)           # (1, D)
+            khb = k_ref[0, h].astype(jnp.float32)          # (S, D)
+            s = jnp.sum(khb * qh, axis=1, keepdims=True) * scale
+            s = jnp.where(live, s, -1e30)                  # (S, 1)
+            m = jnp.max(s, axis=0, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=0, keepdims=True)
+            vhb = v_ref[0, h].astype(jnp.float32)          # (S, D)
+            o_ref[0, h] = jnp.sum(p * vhb, axis=0, keepdims=True)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, 1, D), lambda b, pos: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, S, D), lambda b, pos: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, S, D), lambda b, pos: (b, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, H, 1, D), lambda b, pos: (b, 0, 0, 0)),
+    )
+    dsz = 2 if key.dtype in ("bf16", "f16") else 4
+    call = pl.pallas_call(
+        kernel, grid_spec=grid_spec, interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((B, H, 1, D), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S * D,
+            bytes_accessed=2 * B * H * S * D * dsz,
+            transcendentals=B * H * S),
+    )
+
+    def fn(q, k, v, pos):
+        pos = jnp.asarray(pos, jnp.int32).reshape(-1)   # (1,) or (B,)
+        return call(pos, q[:, :, None], k, v)[:, :, 0]
+
+    return fn

@@ -3197,4 +3197,7 @@ def _build_dispatch(key, interpret: bool):
     from .flags import LayerNormKey
     if isinstance(key, LayerNormKey):
         return _build_layer_norm(key, interpret)
+    from .decode_attn import DecodeAttnKey, build_decode_attn
+    if isinstance(key, DecodeAttnKey):
+        return build_decode_attn(key, interpret)
     raise TypeError(f"unknown kernel key {key!r}")
