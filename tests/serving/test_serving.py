@@ -384,3 +384,25 @@ def test_decode_attn_pallas_slotted():
     np.testing.assert_allclose(np.asarray(lp, np.float32),
                                np.asarray(lx, np.float32),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_decode_attn_pallas_gqa():
+    """GQA (groups > 1) through the streaming decode-attention kernel
+    matches the XLA grouped-einsum path."""
+    import dataclasses
+
+    params = init_params(GQA_CFG, seed=0)
+    ids = np.random.default_rng(0).integers(
+        0, GQA_CFG.vocab, (2, 8)).astype(np.int32)
+    _, cache = make_prefill(GQA_CFG, use_pallas=False)(
+        params, jnp.asarray(ids))
+    tok = jnp.asarray([3, 5], jnp.int32)
+    lx, _ = make_decode_step(
+        dataclasses.replace(GQA_CFG, decode_attn="xla"))(params, cache,
+                                                         tok)
+    lp, _ = make_decode_step(
+        dataclasses.replace(GQA_CFG, decode_attn="pallas"))(params, cache,
+                                                            tok)
+    np.testing.assert_allclose(np.asarray(lp, np.float32),
+                               np.asarray(lx, np.float32),
+                               atol=1e-4, rtol=1e-4)

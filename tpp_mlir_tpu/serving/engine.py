@@ -949,22 +949,27 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
             live = jnp.arange(cfg.max_seq) <= pos
             lv1, lvg = live[None, None], live[None, None, None]
         use_dk = False
-        if G == 1 and not quant_kv and cfg.decode_attn != "xla":
+        if not quant_kv and cfg.decode_attn != "xla":
             from ..utils.target import current_target, on_tpu
             from ..xsmm.decode_attn import (DecodeAttnKey,
                                             build_decode_attn,
                                             decode_attn_fits)
-            dk = DecodeAttnKey(batch=B, heads=h_local, seq=cfg.max_seq,
+            dk = DecodeAttnKey(batch=B, heads=kv_local, seq=cfg.max_seq,
                                head_dim=D, dtype=cfg.dtype,
-                               slotted=slotted)
+                               slotted=slotted, groups=G)
             fits = decode_attn_fits(dk, current_target().vmem_bytes)
             if cfg.decode_attn == "pallas":
                 use_dk = True
-            elif fits and on_tpu():
+            elif fits and on_tpu() and G == 1:
+                # auto: the MHA form is the measured win; the GQA form
+                # (groups > 1) stays opt-in until exp_decode_form
+                # measures it in-loop (GQA b8 already ran 77.5% of HBM
+                # roof on the einsum path — do not regress it blind)
                 use_dk = True
         if use_dk:
+            qk = q if G == 1 else q.reshape(B, kv_local, G, D)
             a = build_decode_attn(dk, interpret=not on_tpu())(
-                q, kc, vc, pos)                       # (B, H, D) f32
+                qk, kc, vc, pos)     # (B, KVH[, G], D) f32
         elif G == 1:
             s = jnp.einsum("bhd,bhsd->bhs", q.astype(ct), kc.astype(ct),
                            preferred_element_type=jnp.float32) * scale

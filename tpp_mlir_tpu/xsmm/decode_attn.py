@@ -39,11 +39,16 @@ class DecodeAttnKey:
     (continuous batching) instead of one scalar."""
 
     batch: int
-    heads: int
+    heads: int          # KV heads (== query heads when groups == 1)
     seq: int
     head_dim: int
     dtype: str = "bf16"
     slotted: bool = False
+    # GQA: query heads per KV head. groups > 1 takes q as
+    # (B, heads, groups, D) and attends each group over the shared
+    # un-repeated KV head — the slab read (the cost) is identical to
+    # MHA over `heads` heads.
+    groups: int = 1
 
 
 def decode_attn_fits(key: DecodeAttnKey, vmem_bytes: int) -> bool:
@@ -55,10 +60,15 @@ def decode_attn_fits(key: DecodeAttnKey, vmem_bytes: int) -> bool:
 
 
 def build_decode_attn(key: DecodeAttnKey, interpret: bool):
-    """Return `fn(q (B,H,D), k (B,H,S,D), v (B,H,S,D), pos) ->
-    (B,H,D) f32` with the live mask `s <= pos` (pos scalar, or (B,)
-    when key.slotted)."""
+    """Return `fn(q, k (B,H,S,D), v (B,H,S,D), pos) -> f32 out` with
+    the live mask `s <= pos` (pos scalar, or (B,) when key.slotted).
+
+    groups == 1 (MHA): q (B, H, D) -> out (B, H, D).
+    groups == G (GQA): q (B, H, G, D) -> out (B, H, G, D); the KV slab
+    is read once per (b, kv-head) — same bytes as MHA, G cheap extra
+    VPU columns."""
     B, H, S, D = key.batch, key.heads, key.seq, key.head_dim
+    G = key.groups
     scale = D ** -0.5
 
     def kernel(pos_ref, q_ref, k_ref, v_ref, o_ref):
@@ -66,38 +76,49 @@ def build_decode_attn(key: DecodeAttnKey, interpret: bool):
         p_live = pos_ref[b] if key.slotted else pos_ref[0]
         live = (jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) <= p_live)
         for h in range(H):
-            qh = q_ref[0, h].astype(jnp.float32)           # (1, D)
+            qh = q_ref[0, h].astype(jnp.float32)           # (G, D)
             khb = k_ref[0, h].astype(jnp.float32)          # (S, D)
-            s = jnp.sum(khb * qh, axis=1, keepdims=True) * scale
-            s = jnp.where(live, s, -1e30)                  # (S, 1)
+            if G == 1:
+                s = jnp.sum(khb * qh, axis=1, keepdims=True) * scale
+            else:
+                # (S, 1, D) * (1, G, D) -> reduce D -> (S, G)
+                s = jnp.sum(khb[:, None, :] * qh[None], axis=2) * scale
+            s = jnp.where(live, s, -1e30)                  # (S, G)
             m = jnp.max(s, axis=0, keepdims=True)
             e = jnp.exp(s - m)
             p = e / jnp.sum(e, axis=0, keepdims=True)
             vhb = v_ref[0, h].astype(jnp.float32)          # (S, D)
-            o_ref[0, h] = jnp.sum(p * vhb, axis=0, keepdims=True)
+            if G == 1:
+                o_ref[0, h] = jnp.sum(p * vhb, axis=0, keepdims=True)
+            else:
+                # (S, G, 1) * (S, 1, D) -> reduce S -> (G, D)
+                o_ref[0, h] = jnp.sum(p[:, :, None] * vhb[:, None, :],
+                                      axis=0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, H, 1, D), lambda b, pos: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, G, D), lambda b, pos: (b, 0, 0, 0)),
             pl.BlockSpec((1, H, S, D), lambda b, pos: (b, 0, 0, 0)),
             pl.BlockSpec((1, H, S, D), lambda b, pos: (b, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, H, 1, D), lambda b, pos: (b, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, H, G, D), lambda b, pos: (b, 0, 0, 0)),
     )
     dsz = 2 if key.dtype in ("bf16", "f16") else 4
     call = pl.pallas_call(
         kernel, grid_spec=grid_spec, interpret=interpret,
-        out_shape=jax.ShapeDtypeStruct((B, H, 1, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H, G, D), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * S * D,
+            flops=4 * B * H * G * S * D,
             bytes_accessed=2 * B * H * S * D * dsz,
-            transcendentals=B * H * S),
+            transcendentals=B * H * G * S),
     )
 
     def fn(q, k, v, pos):
         pos = jnp.asarray(pos, jnp.int32).reshape(-1)   # (1,) or (B,)
-        return call(pos, q[:, :, None], k, v)[:, :, 0]
+        if G == 1:
+            return call(pos, q[:, :, None], k, v)[:, :, 0]
+        return call(pos, q, k, v)
 
     return fn
