@@ -956,7 +956,8 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
                                             decode_attn_fits)
             dk = DecodeAttnKey(batch=B, heads=kv_local, seq=cfg.max_seq,
                                head_dim=D, dtype=cfg.dtype,
-                               slotted=slotted, groups=G)
+                               slotted=slotted, groups=G,
+                               stacked=kv["k"].shape[0])
             fits = decode_attn_fits(dk, current_target().vmem_bytes)
             if cfg.decode_attn == "pallas":
                 use_dk = True
@@ -967,9 +968,13 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
                 # roof on the einsum path — do not regress it blind)
                 use_dk = True
         if use_dk:
+            # the kernel reads the FULL stacked cache and indexes the
+            # layer in its BlockSpec (scalar-prefetched li): feeding it
+            # the kc/vc dynamic_slice instead makes XLA materialize the
+            # slab copy (measured net-slower in-loop, decode_form_r5)
             qk = q if G == 1 else q.reshape(B, kv_local, G, D)
             a = build_decode_attn(dk, interpret=not on_tpu())(
-                qk, kc, vc, pos)     # (B, KVH[, G], D) f32
+                qk, kv["k"], kv["v"], pos, li)   # (B, KVH[, G], D) f32
         elif G == 1:
             s = jnp.einsum("bhd,bhsd->bhs", q.astype(ct), kc.astype(ct),
                            preferred_element_type=jnp.float32) * scale

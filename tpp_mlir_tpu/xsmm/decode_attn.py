@@ -49,6 +49,15 @@ class DecodeAttnKey:
     # un-repeated KV head — the slab read (the cost) is identical to
     # MHA over `heads` heads.
     groups: int = 1
+    # stacked > 0: K/V arrive as the FULL (L, B, H, S, D) cache and the
+    # layer index rides scalar prefetch into the BlockSpec index_map.
+    # Feeding a pallas call a dynamic_slice of the cache makes XLA
+    # MATERIALIZE the (B, H, S, D) slab (a pallas call is an opaque
+    # custom call — the slice cannot fuse in, unlike the einsum path);
+    # measured in-loop r5 (decode_form_r5.json) that copy cost more
+    # than the kernel's streaming win. In-kernel layer indexing reads
+    # the cache buffer directly.
+    stacked: int = 0
 
 
 def decode_attn_fits(key: DecodeAttnKey, vmem_bytes: int) -> bool:
@@ -69,15 +78,25 @@ def build_decode_attn(key: DecodeAttnKey, interpret: bool):
     VPU columns."""
     B, H, S, D = key.batch, key.heads, key.seq, key.head_dim
     G = key.groups
+    L = key.stacked
     scale = D ** -0.5
 
-    def kernel(pos_ref, q_ref, k_ref, v_ref, o_ref):
+    def kernel(pos_ref, *refs):
+        if L:
+            # li_ref is consumed by the BlockSpec index maps only
+            _, q_ref, k_ref, v_ref, o_ref = refs
+            kh = lambda h: k_ref[0, 0, h]        # (1,1,H,S,D) block
+            vh = lambda h: v_ref[0, 0, h]
+        else:
+            q_ref, k_ref, v_ref, o_ref = refs
+            kh = lambda h: k_ref[0, h]
+            vh = lambda h: v_ref[0, h]
         b = pl.program_id(0)
         p_live = pos_ref[b] if key.slotted else pos_ref[0]
         live = (jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) <= p_live)
         for h in range(H):
             qh = q_ref[0, h].astype(jnp.float32)           # (G, D)
-            khb = k_ref[0, h].astype(jnp.float32)          # (S, D)
+            khb = kh(h).astype(jnp.float32)                # (S, D)
             if G == 1:
                 s = jnp.sum(khb * qh, axis=1, keepdims=True) * scale
             else:
@@ -87,7 +106,7 @@ def build_decode_attn(key: DecodeAttnKey, interpret: bool):
             m = jnp.max(s, axis=0, keepdims=True)
             e = jnp.exp(s - m)
             p = e / jnp.sum(e, axis=0, keepdims=True)
-            vhb = v_ref[0, h].astype(jnp.float32)          # (S, D)
+            vhb = vh(h).astype(jnp.float32)                # (S, D)
             if G == 1:
                 o_ref[0, h] = jnp.sum(p * vhb, axis=0, keepdims=True)
             else:
@@ -95,16 +114,33 @@ def build_decode_attn(key: DecodeAttnKey, interpret: bool):
                 o_ref[0, h] = jnp.sum(p[:, :, None] * vhb[:, None, :],
                                       axis=0)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, H, G, D), lambda b, pos: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, S, D), lambda b, pos: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, S, D), lambda b, pos: (b, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, H, G, D), lambda b, pos: (b, 0, 0, 0)),
-    )
+    if L:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,   # (pos, layer index)
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, G, D),
+                             lambda b, pos, li: (b, 0, 0, 0)),
+                pl.BlockSpec((1, 1, H, S, D),
+                             lambda b, pos, li: (li[0], b, 0, 0, 0)),
+                pl.BlockSpec((1, 1, H, S, D),
+                             lambda b, pos, li: (li[0], b, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, H, G, D),
+                                   lambda b, pos, li: (b, 0, 0, 0)),
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, G, D), lambda b, pos: (b, 0, 0, 0)),
+                pl.BlockSpec((1, H, S, D), lambda b, pos: (b, 0, 0, 0)),
+                pl.BlockSpec((1, H, S, D), lambda b, pos: (b, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, H, G, D),
+                                   lambda b, pos: (b, 0, 0, 0)),
+        )
     dsz = 2 if key.dtype in ("bf16", "f16") else 4
     call = pl.pallas_call(
         kernel, grid_spec=grid_spec, interpret=interpret,
@@ -115,10 +151,15 @@ def build_decode_attn(key: DecodeAttnKey, interpret: bool):
             transcendentals=B * H * G * S),
     )
 
-    def fn(q, k, v, pos):
+    def fn(q, k, v, pos, li=None):
         pos = jnp.asarray(pos, jnp.int32).reshape(-1)   # (1,) or (B,)
-        if G == 1:
-            return call(pos, q[:, :, None], k, v)[:, :, 0]
-        return call(pos, q, k, v)
+        qq = q[:, :, None] if G == 1 else q
+        if L:
+            assert li is not None, "stacked form needs the layer index"
+            li = jnp.asarray(li, jnp.int32).reshape(1)
+            out = call(pos, li, qq, k, v)
+        else:
+            out = call(pos, qq, k, v)
+        return out[:, :, 0] if G == 1 else out
 
     return fn
