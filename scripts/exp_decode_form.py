@@ -40,6 +40,11 @@ def main() -> int:
     p.add_argument("--json", default="benchmarks/results/decode_form_r5.json")
     p.add_argument("--platform", default="")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--llama", action="store_true",
+                   help="LLaMA-class architecture (RoPE/RMSNorm/SwiGLU)")
+    p.add_argument("--kv-heads", type=int, default=0,
+                   help="GQA: KV heads < query heads (0 = MHA); exercises "
+                        "the grouped decode-attention kernel variant")
     p.add_argument("--reps", type=int, default=3)
     args = p.parse_args()
 
@@ -55,19 +60,23 @@ def main() -> int:
                                       make_decode_step, stack_params)
     from tpp_mlir_tpu.utils.target import current_target
 
+    kvh = args.kv_heads or None
+    mk = GptConfig.llama if args.llama else GptConfig
     if args.tiny:
-        cfg0 = GptConfig(vocab=128, embed=64, heads=4, layers=2,
-                         mlp_ratio=2, max_seq=64, dtype="f32")
+        cfg0 = mk(vocab=128, embed=64, heads=4, layers=2,
+                  mlp_ratio=2, max_seq=64, dtype="f32", kv_heads=kvh)
         s0, g = 8, (4, 12)
         batches = (1, 2)
     else:
-        cfg0 = GptConfig(vocab=50304, embed=768, heads=12, layers=12,
-                         mlp_ratio=4, max_seq=640, dtype="bf16")
+        cfg0 = mk(vocab=50304, embed=768, heads=12, layers=12,
+                  mlp_ratio=4, max_seq=640, dtype="bf16", kv_heads=kvh)
         s0, g = 512, (8, 40)
         batches = (1, 8)
 
     tgt = current_target()
-    results = {"rows": []}
+    results = {"config": {"llama": args.llama or None,
+                          "kv_heads": kvh},
+               "rows": []}
     params0 = init_params(cfg0, seed=0)
 
     for B in batches:

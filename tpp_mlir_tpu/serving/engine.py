@@ -963,9 +963,11 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
                 use_dk = True
             elif fits and on_tpu() and G == 1:
                 # auto: the MHA form is the measured win; the GQA form
-                # (groups > 1) stays opt-in until exp_decode_form
-                # measures it in-loop (GQA b8 already ran 77.5% of HBM
-                # roof on the einsum path — do not regress it blind)
+                # (groups > 1) stays OPT-IN — measured in-loop it LOSES
+                # (llama kv4 b1 0.47 vs 0.42 ms/tok, b8 1.28 vs 0.62;
+                # decode_form_gqa_r5.json): the grouped q block shrinks
+                # the kernel's matvec to G=3 rows per KV head while XLA
+                # batches the whole (B,G) panel per slab read.
                 use_dk = True
         if use_dk:
             # the kernel reads the FULL stacked cache and indexes the
