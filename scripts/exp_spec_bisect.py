@@ -46,6 +46,9 @@ def main() -> int:
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--k", type=int, default=4)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--draft-vocab", type=int, default=0,
+                   help="also measure the truncated-draft-head variant "
+                        "(draft lm_head sliced to this many columns)")
     args = p.parse_args()
 
     import jax
@@ -173,6 +176,33 @@ def main() -> int:
     print(f"macro: {t_macro*1e3:.3f} ms; draft+verify = "
           f"{(t_draft+t_ver)*1e3:.3f} ms; unaccounted {lg*1e3:.3f} ms",
           flush=True)
+
+    # --- truncated draft head (draft_vocab) --------------------------------
+    if args.draft_vocab:
+        dv = args.draft_vocab
+        results["draft_vocab"] = dv
+        draft_t = dict(draft)
+        draft_t["lm_head"] = jnp.asarray(draft["lm_head"][:, :dv])
+        t_draft_t = _slope(
+            lambda n: float(jnp.sum(draft_rounds(draft_t, dcache, n))),
+            g_short, g_long, args.reps)
+        results["draft_round_trunc_ms"] = round(t_draft_t * 1e3, 4)
+        print(f"draft trunc v{dv} (k+1 steps/round): "
+              f"{t_draft_t*1e3:.3f} ms", flush=True)
+
+        gens_t = {n: make_speculative_generate(tcfg, dcfg, n, k=K,
+                                               draft_vocab=dv)
+                  for n in (g_short, g_long)}
+
+        def spec_steps_t(n):
+            toks, stats = gens_t[n](sparams, draft, ids)
+            return float(jnp.sum(toks)) + int(stats["macro_steps"])
+
+        t_macro_t = _slope(spec_steps_t, g_short, g_long, args.reps)
+        results["macro_trunc_ms"] = round(t_macro_t * 1e3, 4)
+        print(f"macro trunc v{dv}: {t_macro_t*1e3:.3f} ms "
+              f"(= {t_macro_t/t_tok:.2f}x t_tok; full-head macro was "
+              f"{t_macro/t_tok:.2f}x)", flush=True)
 
     if args.json:
         json.dump(results, open(args.json, "w"), indent=1)

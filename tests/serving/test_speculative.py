@@ -98,3 +98,35 @@ def test_speculative_self_draft_long_horizon():
         params, ids, jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     assert int(stats["accepted"]) == int(stats["drafted"]), stats
+
+
+def test_speculative_truncated_draft_vocab_exact():
+    """draft_vocab truncates the DRAFT head only: proposals are limited
+    to the vocab prefix, output must STILL be exactly the target greedy
+    stream (out-of-prefix target tokens simply mismatch and are emitted
+    by the verify pass)."""
+    params = init_params(TCFG, seed=5)
+    draft = init_params(DCFG, seed=6)
+    ids = _prompt(5)
+    want = make_generate(TCFG, STEPS, temperature=0.0, use_pallas=False)(
+        params, ids, jax.random.PRNGKey(0))
+    for dv in (16, 96):
+        got, stats = make_speculative_generate(
+            TCFG, DCFG, STEPS, k=3, use_pallas=False,
+            draft_vocab=dv)(params, draft, ids)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_speculative_truncated_self_draft_only_loses_rare_tokens():
+    """Self-draft with a truncated head: rounds whose target token falls
+    inside the prefix still accept; the stream stays exact."""
+    params = init_params(TCFG, seed=1)
+    ids = _prompt(1)
+    got, stats = make_speculative_generate(
+        TCFG, TCFG, STEPS, k=4, use_pallas=False,
+        draft_vocab=TCFG.vocab)(params, params, ids)
+    want = make_generate(TCFG, STEPS, temperature=0.0, use_pallas=False)(
+        params, ids, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # full-width "truncation" is a no-op: acceptance stays 100%
+    assert int(stats["accepted"]) == int(stats["drafted"])

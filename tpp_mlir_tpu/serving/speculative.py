@@ -39,7 +39,8 @@ from .engine import GptConfig, make_decode_step, make_extend, make_prefill
 
 def make_speculative_generate(cfg: GptConfig, draft_cfg: GptConfig,
                               steps: int, k: int = 4,
-                              use_pallas: bool | None = None):
+                              use_pallas: bool | None = None,
+                              draft_vocab: int = 0):
     """Return jitted `generate(params, draft_params, ids) ->
     (tokens (1, steps), stats)` emitting exactly the target's greedy
     continuation. `stats` = {"macro_steps", "drafted", "accepted"}
@@ -47,13 +48,25 @@ def make_speculative_generate(cfg: GptConfig, draft_cfg: GptConfig,
 
     Requires ids.shape[1] + steps + k + 1 <= cfg.max_seq (the verify
     pass writes k+1 speculative cache rows past the frontier; the
-    static-shape cache must hold them)."""
+    static-shape cache must hold them).
+
+    `draft_vocab` (0 = off) truncates the DRAFT's lm_head to its first
+    `draft_vocab` columns: the r5 bisect (spec_bisect_r5.json) showed
+    the K+1 draft steps dominated by the full-vocab head (embed x 50k
+    ~ 77 MB/step vs a ~28 MB 2-layer body), so a frequency-ordered
+    vocab prefix cuts draft bytes ~3x. Greedy-EXACTNESS is preserved:
+    proposals are limited to [0, draft_vocab) token ids, and whenever
+    the target's greedy token lies outside that prefix the draft simply
+    mismatches and the verify pass emits the target's own token — only
+    the acceptance rate (speed) changes, never the output stream."""
     import jax
     import jax.numpy as jnp
 
     assert cfg.vocab == draft_cfg.vocab, "draft must share the vocab"
     assert cfg.max_seq == draft_cfg.max_seq, \
         "draft cache must cover the same positions"
+    assert 0 <= draft_vocab <= cfg.vocab, \
+        f"draft_vocab {draft_vocab} exceeds vocab {cfg.vocab}"
 
     prefill_t = make_prefill(cfg, use_pallas)
     prefill_d = make_prefill(draft_cfg, use_pallas)
@@ -109,6 +122,15 @@ def make_speculative_generate(cfg: GptConfig, draft_cfg: GptConfig,
         assert s0 + steps + k + 1 <= cfg.max_seq, \
             f"prompt {s0} + steps {steps} + k+1 {k + 1} exceeds " \
             f"max_seq {cfg.max_seq}"
+        if draft_vocab:
+            lm = draft_params["lm_head"]
+            if not hasattr(lm, "shape"):
+                raise NotImplementedError(
+                    "draft_vocab requires an unquantized draft lm_head")
+            # one loop-invariant slice, hoisted out of the while_loop:
+            # every draft step then reads E x draft_vocab head bytes
+            draft_params = dict(draft_params)
+            draft_params["lm_head"] = lm[:, :draft_vocab]
         logits, tcache = prefill_t(params, ids)
         _, dcache = prefill_d(draft_params, ids)
         tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
