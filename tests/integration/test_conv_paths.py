@@ -206,3 +206,70 @@ def test_convnet_residual_same_padding_fuses():
     got = tpp_compile(m_low, jit=False)(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def diff_patchify(text, args, atol=1e-3):
+    """Like diff() but with the opt-in patchify rewrite enabled (it is
+    OFF by default: the same-run A/B measured it losing on the ViT
+    rows — patchify_ab_r5.json, PERF.md)."""
+    from tpp_mlir_tpu.passes.pass_manager import PassManager
+    ref = tpp_compile(parse_module(text), jit=False)(*args)
+    low = parse_module(text)
+    PassManager().add("default-tpp-passes", patchify=True).run(low)
+    got = tpp_compile(low, jit=False)(*args)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=atol, rtol=1e-3)
+    return low
+
+
+def test_patchify_conv_nhwc_becomes_matmul():
+    """stride == kernel (ViT patch embed): non-overlapping taps rewrite to
+    reshape+transpose+GEMM (patchify-conv-to-matmul, opt-in)."""
+    text = """func @entry(%i: tensor<2x16x16x3xf32>, %w: tensor<8x8x3x64xf32>, %bias: tensor<64xf32>) {
+  %0 = tl.constant {init = "zero"} : tensor<2x2x2x64xf32>
+  %1 = tl.conv2d_nhwc_hwcf %i, %w, %0 {strides = [8, 8]} : tensor<2x2x2x64xf32>
+  %2 = tl.add %1, %bias : tensor<2x2x2x64xf32>
+  return %2 : tensor<2x2x2x64xf32>
+}
+"""
+    args = (rng(2, 16, 16, 3), rng(8, 8, 3, 64, seed=1) * 0.05,
+            rng(64, seed=2))
+    low = diff_patchify(text, args)
+    s = print_module(low)
+    assert "conv" not in s                  # the conv is gone: pure GEMM
+    assert "tl.matmul" in s or "brgemm" in s or "gemm" in s
+    # and the DEFAULT pipeline keeps the conv (measured faster on v5e)
+    dflt = diff(text, args)
+    assert "conv" in print_module(dflt)
+
+
+def test_patchify_conv_nchw_becomes_matmul():
+    """NCHW patchify (the torch-importer layout in packed mode): same
+    rewrite with a weight transpose + NCHW boundary transposes."""
+    text = """func @entry(%i: tensor<2x3x8x8xf32>, %w: tensor<32x3x4x4xf32>) {
+  %0 = tl.constant {init = "zero"} : tensor<2x32x2x2xf32>
+  %1 = tl.conv2d_nchw_fchw %i, %w, %0 {strides = [4, 4]} : tensor<2x32x2x2xf32>
+  return %1 : tensor<2x32x2x2xf32>
+}
+"""
+    args = (rng(2, 3, 8, 8), rng(32, 3, 4, 4, seed=1) * 0.1)
+    low = diff_patchify(text, args)
+    s = print_module(low)
+    assert "conv" not in s
+
+
+def test_patchify_gate_requires_exact_tiling():
+    """stride == kernel but H % R != 0: the rewrite must NOT fire even
+    when opted in (the conv drops the remainder rows; the reshape form
+    would mis-shape)."""
+    text = """func @entry(%i: tensor<2x10x10x3xf32>, %w: tensor<4x4x3x16xf32>) {
+  %0 = tl.constant {init = "zero"} : tensor<2x2x2x16xf32>
+  %1 = tl.conv2d_nhwc_hwcf %i, %w, %0 {strides = [4, 4]} : tensor<2x2x2x16xf32>
+  return %1 : tensor<2x2x2x16xf32>
+}
+"""
+    args = (rng(2, 10, 10, 3), rng(4, 4, 3, 16, seed=1) * 0.1)
+    low = diff_patchify(text, args)
+    s = print_module(low)
+    assert "conv" in s                       # stayed a conv (xla strategy)

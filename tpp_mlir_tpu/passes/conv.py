@@ -214,6 +214,89 @@ class Conv1x1ToMatmulPass(Pass):
 
 
 @register
+class PatchifyConvToMatmulPass(Pass):
+    """Patchify convs (stride == kernel: non-overlapping taps, the ViT
+    patch embed) ARE GEMMs over reshaped pixel tiles: every output pixel
+    reads a DISJOINT (R,S,C) block, so im2col is one reshape+transpose
+    instead of a strided gather. Extends the stride-restricted conv
+    rewrites of the reference (RewriteConvsToMatmulOrBrgemm.cpp:578
+    keeps stride==1 only).
+
+    MEASURED AND GATED OFF BY DEFAULT (pipeline option patchify=True):
+    the same-run A/B on v5e (scripts/exp_patchify_ab.py,
+    patchify_ab_r5.json) shows the rewrite LOSING on both ViT rows
+    (p16 129 vs 97 us, p8 254 vs 227, reproduced to 0.1%): at C=3 the
+    materialized 6-d transpose + boundary unaries cost more in-program
+    than XLA's fused strided-conv lowering, and an in-kernel patchify
+    BRGEMM is unlowerable (tap block lane dim S*C=24/48 violates the
+    128-divisibility rule). Kept as an opt-in for lane-aligned channel
+    counts where the flat reshape is free.
+
+      NHWC: I(N,H,W,C) -> (N,ho,R,wo,S,C) --swap R,wo--> (N,ho,wo,R,S,C)
+            -> (N*ho*wo, R*S*C) @ (R*S*C, K)
+      NCHW: same with a (r,s,c,k) weight transpose and NCHW boundary
+            transposes on the result (cancelled by sink-transpose when a
+            consumer re-enters NHWC).
+    """
+
+    name = "patchify-conv-to-matmul"
+
+    def run_on_function(self, func: Function, module: Module) -> bool:
+        changed = False
+        b = TppBuilder(func)
+        for op in list(func.ops):
+            if op.parent is None:
+                continue
+            strides = tuple(op.attrs.get("strides", (1, 1)))
+            if strides == (1, 1):
+                continue          # 1x1/unit-stride cases ride conv1x1/brgemm
+            if op.opname == "tl.conv2d_nhwc_hwcf":
+                I, W, O = op.operands
+                N, H, Wd, C = I.type.shape
+                R, S, _, K = W.type.shape
+                if (R, S) != strides or H % R or Wd % S:
+                    continue
+                ho, wo = H // R, Wd // S
+                M = N * ho * wo
+
+                def emit(bb):
+                    xi = bb.reshape(I, (N, ho, R, wo, S, C))
+                    xt = bb.transpose(xi, (0, 1, 3, 2, 4, 5))
+                    xf = bb.reshape(xt, (M, R * S * C))
+                    wf = bb.reshape(W, (R * S * C, K))
+                    of = bb.reshape(O, (M, K))
+                    mm = bb.matmul(xf, wf, of)
+                    return bb.reshape(mm, O.type.shape)
+            elif op.opname == "tl.conv2d_nchw_fchw":
+                I, W, O = op.operands
+                N, C, H, Wd = I.type.shape
+                K, _, R, S = W.type.shape
+                if (R, S) != strides or H % R or Wd % S:
+                    continue
+                ho, wo = H // R, Wd // S
+                M = N * ho * wo
+
+                def emit(bb):
+                    xi = bb.reshape(I, (N, C, ho, R, wo, S))
+                    xt = bb.transpose(xi, (0, 2, 4, 3, 5, 1))
+                    xf = bb.reshape(xt, (M, R * S * C))
+                    wt = bb.transpose(W, (2, 3, 1, 0))     # -> (R,S,C,K)
+                    wf = bb.reshape(wt, (R * S * C, K))
+                    ot = bb.transpose(O, (0, 2, 3, 1))
+                    of = bb.reshape(ot, (M, K))
+                    mm = bb.matmul(xf, wf, of)
+                    m4 = bb.reshape(mm, (N, ho, wo, K))
+                    return bb.transpose(m4, (0, 3, 1, 2))
+            else:
+                continue
+            res = _insert_before(func, op, b, emit)
+            func.replace_all_uses(op.result, res)
+            func.erase(op)
+            changed = True
+        return changed
+
+
+@register
 class PackConv2DPass(Pass):
     """NCHW channel-block packing. NHWC convs are intentionally NOT packed:
     their channel axes are already trailing/lane-aligned, so conv-to-brgemm

@@ -29,7 +29,7 @@ from .pass_manager import register_pipeline
 
 
 @register_pipeline("tpp-mapping")
-def tpp_mapping(pack: bool = True, **opts):
+def tpp_mapping(pack: bool = True, patchify: bool = False, **opts):
     pack_stages = [
         "pack-matmul",
         "pack-vnni",
@@ -46,6 +46,15 @@ def tpp_mapping(pack: bool = True, **opts):
         *layout_stages,
         "fold-const-scale",
         "conv1x1-to-matmul",
+        # patchify-conv-to-matmul is OFF by default: the same-run A/B
+        # (patchify_ab_r5.json) measured the rewrite LOSING on both ViT
+        # rows (p16 129 vs 97 us, p8 254 vs 227) — XLA's strided-conv
+        # lowering fuses the non-overlapping im2col better than the
+        # materialized transpose+GEMM chain, and an in-kernel patchify
+        # BRGEMM is blocked by Mosaic lane constraints at C=3. Opt in
+        # with patchify=True for channel counts where the flat reshape
+        # is lane-aligned.
+        *(["patchify-conv-to-matmul"] if patchify else []),
         "sink-reshape",
         "conv-init-simplify",
         "pack-conv2d",
@@ -84,7 +93,8 @@ def default_tpp_passes(pack: bool = False, **opts):
         "attention-fusion",
         "decompose-softmax",
         "cleanup",
-        *expand_pipeline("tpp-mapping", pack=pack),
+        *expand_pipeline("tpp-mapping", pack=pack,
+                         patchify=opts.get("patchify", False)),
         *expand_pipeline("linalg-lowering"),
         "cleanup",
     ]
