@@ -38,9 +38,13 @@ from tpp_mlir_tpu.runtime import compile as tpp_compile
 DIMS = (16, 32, 64)
 UNARIES = ("relu", "gelu", "tanh", "square", "negate")
 BINARIES = ("add", "mul", "sub", "max")
+# "patchify" = default-tpp-passes with the opt-in patchify-conv-to-matmul
+# rewrite enabled (OFF by default — measured slower on ViT, but its
+# correctness must hold for whoever opts in)
 PIPELINES = (("default-tpp-passes",),
              ("default-tpp-passes-flat",),
-             ("default-tpp-passes-packed",))
+             ("default-tpp-passes-packed",),
+             ("patchify",))
 
 
 class _Gen:
@@ -150,6 +154,48 @@ class _Gen:
         self.lines.append(f"  {v} = tl.reshape {a} : {self.t(shape)}")
         self.pool.append((v, shape))
 
+    def emit_conv(self):
+        """NHWC conv from fresh constants, result reshaped back into the
+        2-D pool. Modes cover every conv-lowering path: 1x1 (conv1x1-to-
+        matmul), 3x3 stride 1 (conv-to-brgemm / native NHWC kernel),
+        stride<kernel (the xla strategy), and stride==kernel (the
+        patchify shape — xla strategy by default, the rewrite under the
+        'patchify' pipeline; both must stay exact)."""
+        N = self.rnd.choice((1, 2))
+        C = self.rnd.choice((3, 8, 16))
+        K = self.rnd.choice((16, 32))
+        mode = self.rnd.choice(("1x1", "3x3", "patchify", "strided"))
+        if mode == "1x1":
+            R = S = 1
+            st = (1, 1)
+            H = W = self.rnd.choice((8, 16))
+        elif mode == "3x3":
+            R = S = 3
+            st = (1, 1)
+            H = W = self.rnd.choice((6, 10))
+        elif mode == "patchify":
+            R = S = self.rnd.choice((2, 4))
+            st = (R, S)
+            H = W = R * self.rnd.choice((2, 4))
+        else:
+            R = S = 3
+            st = (2, 2)
+            H = W = 7
+        ho = (H - R) // st[0] + 1
+        wo = (W - S) // st[1] + 1
+        i = self.const((N, H, W, C))
+        w = self.const((R, S, C, K))
+        o = self.const((N, ho, wo, K), init="zero")
+        v = self.fresh()
+        self.lines.append(
+            f"  {v} = tl.conv2d_nhwc_hwcf {i}, {w}, {o} "
+            f"{{strides = [{st[0]}, {st[1]}]}} "
+            f": {self.t((N, ho, wo, K))}")
+        r = self.fresh()
+        self.lines.append(
+            f"  {r} = tl.reshape {v} : {self.t((N * ho * wo, K))}")
+        self.pool.append((r, (N * ho * wo, K)))
+
     def emit_softmax(self):
         src = self.pick(lambda s: len(s) == 2)
         if src is None:
@@ -170,7 +216,7 @@ class _Gen:
         emitters = [self.emit_matmul, self.emit_matmul, self.emit_bias,
                     self.emit_binary, self.emit_unary, self.emit_unary,
                     self.emit_transpose, self.emit_reshape,
-                    self.emit_softmax]
+                    self.emit_softmax, self.emit_conv]
         for _ in range(self.rnd.randrange(3, 11)):
             self.rnd.choice(emitters)()
         # return a random computed value (returned-intermediate bait:
@@ -203,7 +249,11 @@ def _run_differential(seed: int, pipeline=None, dtype=None):
     want = tpp_compile(ref_mod, jit=False)(*vals)
 
     low_mod = parse_module(text)
-    run_pipeline(low_mod, *pipeline)
+    if pipeline == ("patchify",):
+        from tpp_mlir_tpu.passes.pass_manager import PassManager
+        PassManager().add("default-tpp-passes", patchify=True).run(low_mod)
+    else:
+        run_pipeline(low_mod, *pipeline)
     low_mod.verify()
     got = tpp_compile(low_mod, jit=False,
                       interpret_kernels="reference")(*vals)
