@@ -72,6 +72,10 @@ def main(argv=None) -> int:
     p.add_argument("--draft-layers", type=int, default=2,
                    help="layer count of the synthetic draft model "
                         "(with --speculative)")
+    p.add_argument("--draft-vocab", type=int, default=0,
+                   help="truncate the draft lm_head to this vocab prefix "
+                        "(0 = full; output stays exactly target-greedy — "
+                        "PERF.md: 2.9x cheaper draft rounds, ~5%% in-loop)")
     p.add_argument("--continuous", type=int, default=0, metavar="N",
                    help="continuous batching: serve N queued requests "
                         "(random prompt lengths <= --prompt-len) through "
@@ -141,7 +145,8 @@ def main(argv=None) -> int:
                          kv_heads=cfg.kv_heads, kv_quant=cfg.kv_quant)
         draft = stack_params(init_params(dcfg, seed=args.seed + 1))
         gen = make_speculative_generate(cfg, dcfg, args.steps,
-                                        k=args.speculative)
+                                        k=args.speculative,
+                                        draft_vocab=args.draft_vocab)
         t0 = time.perf_counter()
         out, stats = gen(params, draft, ids)
         out = np.asarray(out)
