@@ -461,6 +461,26 @@ def test_grouped_gemm_gelu_epilogue_split_k():
     check(key, (ge, a, w), atol=1e-5)
 
 
+def test_grouped_gemm_stacked_layers_matches_reference():
+    """layers > 0: the weight table is (L, G, k, n) and the layer index
+    is a scalar-prefetch operand — every layer must read ITS table (the
+    stacked-scan form that avoids the per-layer slab copy)."""
+    from tpp_mlir_tpu.xsmm.flags import GroupedGemmKey
+
+    bm, G, L = 8, 4, 3
+    key = GroupedGemmKey(n_groups=G, m=6 * bm, n=128, k=64, bm=bm,
+                         layers=L, unary_kind="gelu")
+    ge = jnp.asarray([0, 2, 1, 3, 3, 1], jnp.int32)
+    a, w = rng(6 * bm, 64), rng(L, G, 64, 128, seed=1)
+    for li in range(L):
+        check(key, (jnp.asarray(li, jnp.int32), ge, a, w), atol=1e-5)
+    # layer slices really differ (guards a frozen li plumbing bug)
+    f = build_kernel(key, interpret=True)
+    o0 = np.asarray(f(jnp.asarray(0, jnp.int32), ge, a, w))
+    o2 = np.asarray(f(jnp.asarray(2, jnp.int32), ge, a, w))
+    assert np.abs(o0 - o2).max() > 1e-3
+
+
 # -- int8 compute GEMM -------------------------------------------------------
 
 def test_int8_gemm_matches_int32_reference():

@@ -75,6 +75,13 @@ def test_grouped_and_int8_gemm_mosaic_lowerable():
     assert_lowerable(gfn, ge, jnp.zeros((256, 128), jnp.bfloat16),
                      jnp.zeros((2, 128, 256), jnp.bfloat16))
 
+    skey = GroupedGemmKey(n_groups=2, m=256, n=256, k=128, bm=128,
+                          dtype="bf16", unary_kind="gelu", layers=3)
+    sfn = build_kernel(skey, interpret=False)
+    assert_lowerable(sfn, jnp.zeros((), jnp.int32), ge,
+                     jnp.zeros((256, 128), jnp.bfloat16),
+                     jnp.zeros((3, 2, 128, 256), jnp.bfloat16))
+
     ikey = Int8GemmKey(m=32, n=256, k=128)
     ifn = build_kernel(ikey, interpret=False)
     assert_lowerable(ifn, jnp.zeros((32, 128), jnp.int8),

@@ -63,6 +63,14 @@ class GptConfig:
     # row-block quantum of the grouped form (per-expert rows pad to a
     # multiple of this; also the kernel's m block)
     moe_group_bm: int = 128
+    # grouped form under the stacked-layer scan: keep the expert
+    # weights OUT of the scan xs and index the layer inside the
+    # kernel's BlockSpec (GroupedGemmKey.layers) instead of slicing a
+    # (n_e, E, F) slab per layer — a value-level slice feeding a
+    # pallas_call materializes a copy (same finding as the decode
+    # attention cache, exp_decode_form r5). False = the r5a per-layer
+    # slab form (the exp_moe_stack.py A/B knob).
+    moe_group_stacked: bool = True
     # int8 MXU COMPUTE for QTensor (quantize_params) weights: prefill
     # and any matmul with >= 32 activation rows runs int8 x int8 -> s32
     # on the MXU (~2x bf16 rate) with per-row activation quantization.
@@ -477,7 +485,7 @@ def _moe_ffn_sorted(h, blk, top_k: int, capacity_factor: float = 1.25):
     return out[:T].astype(h.dtype)
 
 
-def _moe_ffn_grouped(h, blk, cfg):
+def _moe_ffn_grouped(h, blk, cfg, stacked=None):
     """Dropless grouped-expert dispatch — the megablocks form on the
     grouped Pallas BRGEMM (xsmm GroupedGemmKey): sort the T*k (token,
     expert) assignments by expert, pad each expert's rows to a bm
@@ -495,13 +503,14 @@ def _moe_ffn_grouped(h, blk, cfg):
     from ..xsmm.flags import GroupedGemmKey
     from .quant import QTensor
 
-    if isinstance(blk["w1"], QTensor):   # weight-only quant: stream form
-        return _moe_ffn_scan(h, blk, cfg.top_k)
+    if stacked is None and isinstance(blk["w1"], QTensor):
+        return _moe_ffn_scan(h, blk, cfg.top_k)   # weight-only quant form
     top_k = cfg.top_k
     gates, idx = _moe_gates(h, blk["wr"], top_k)      # (T, k)
     T, E = h.shape
     n_e = blk["wr"].shape[-1]
-    F = blk["w1"].shape[-1]
+    w1 = blk["w1"] if stacked is None else stacked[0]
+    F = w1.shape[-1]
     bm = cfg.moe_group_bm
     A = T * top_k
     # sum_e round_up(cnt_e, bm) <= A + n_e*(bm-1) < (ceil(A/bm)+n_e)*bm:
@@ -545,12 +554,26 @@ def _moe_ffn_grouped(h, blk, cfg):
     hp = jnp.concatenate([h, jnp.zeros((1, E), h.dtype)], 0)
     xs = hp[tt]                                       # (A_pad, E) sorted
     ge = pe[::bm].astype(jnp.int32)                   # block -> expert
-    k1 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=F, k=E,
-                        dtype=cfg.dtype, bm=bm, unary_kind="gelu")
-    k2 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=E, k=F,
-                        dtype=cfg.dtype, bm=bm)
-    a = build_kernel(k1)(ge, xs, blk["w1"])           # gelu(xs @ w1[e])
-    ys = build_kernel(k2)(ge, a, blk["w2"])           # (A_pad, E)
+    if stacked is not None:
+        # stacked-layer scan: the (L, n_e, ., .) weight tables stay
+        # whole and the kernel BlockSpec indexes the layer (no per-layer
+        # slab copy — see GptConfig.moe_group_stacked)
+        w1f, w2f, li = stacked
+        L = w1f.shape[0]
+        k1 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=F, k=E,
+                            dtype=cfg.dtype, bm=bm, unary_kind="gelu",
+                            layers=L)
+        k2 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=E, k=F,
+                            dtype=cfg.dtype, bm=bm, layers=L)
+        a = build_kernel(k1)(li, ge, xs, w1f)         # gelu(xs @ w1[li,e])
+        ys = build_kernel(k2)(li, ge, a, w2f)         # (A_pad, E)
+    else:
+        k1 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=F, k=E,
+                            dtype=cfg.dtype, bm=bm, unary_kind="gelu")
+        k2 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=E, k=F,
+                            dtype=cfg.dtype, bm=bm)
+        a = build_kernel(k1)(ge, xs, blk["w1"])       # gelu(xs @ w1[e])
+        ys = build_kernel(k2)(ge, a, blk["w2"])       # (A_pad, E)
     # combine by GATHER: padded row of original assignment a = t*k + j
     # is offs[e] + its rank among its expert's assignments (no inverse
     # permutation needed — rank came from the cumsum, not a second
@@ -566,14 +589,16 @@ def _moe_ffn_grouped(h, blk, cfg):
     return out.astype(h.dtype)
 
 
-def _moe_ffn_prefill(h, blk, cfg):
+def _moe_ffn_prefill(h, blk, cfg, stacked=None):
     """Prefill-time MoE FFN dispatch: exact scan (default), the sorted
     capacity-bounded form ('sorted'), or the dropless grouped-expert
-    Pallas BRGEMM form ('grouped')."""
+    Pallas BRGEMM form ('grouped'). `stacked` (grouped only) carries
+    (w1_full, w2_full, layer_index) when the caller scans stacked
+    layers with the expert tables held out of the scan xs."""
     if cfg.moe_prefill_form == "sorted":
         return _moe_ffn_sorted(h, blk, cfg.top_k, cfg.moe_capacity_factor)
     if cfg.moe_prefill_form == "grouped":
-        return _moe_ffn_grouped(h, blk, cfg)
+        return _moe_ffn_grouped(h, blk, cfg, stacked=stacked)
     return _moe_ffn_scan(h, blk, cfg.top_k)
 
 
@@ -710,7 +735,8 @@ def _attention_full(q, k, v, cfg: GptConfig, use_pallas: bool):
         B, S, E).astype(q.dtype)
 
 
-def _prefill_layer(x, blk, cfg: GptConfig, use_pallas: bool):
+def _prefill_layer(x, blk, cfg: GptConfig, use_pallas: bool,
+                   moe_stacked=None):
     """One pre-LN causal block over (B, S0, E); returns (x, k4, v4) with
     k4/v4 = this layer's (B, S0, kv_h, D) cache entries (un-repeated for
     GQA — the cache stores KV heads only)."""
@@ -740,8 +766,8 @@ def _prefill_layer(x, blk, cfg: GptConfig, use_pallas: bool):
         x = x + _mm(act, blk["w2"], int8=i8).astype(x.dtype)
     elif cfg.n_experts:
         E_ = x.shape[-1]
-        x = x + _moe_ffn_prefill(h.reshape(B * S0, E_), blk,
-                                 cfg).reshape(B, S0, E_)
+        x = x + _moe_ffn_prefill(h.reshape(B * S0, E_), blk, cfg,
+                                 stacked=moe_stacked).reshape(B, S0, E_)
     else:
         h = _dot(h, blk["w1"], blk["b1"], int8=i8)
         h = jax.nn.gelu(h.astype(jnp.float32),
@@ -779,11 +805,35 @@ def make_prefill(cfg: GptConfig, use_pallas: bool | None = None):
         x = x.astype(_np_dtype(cfg.dtype))
         blocks = params["blocks"]
         if isinstance(blocks, dict):
-            def layer(x, blk):
-                x, k4, v4 = _prefill_layer(x, blk, cfg, use_pallas)
-                return x, (k4, v4)
+            from .quant import QTensor
 
-            x, (ks, vs) = jax.lax.scan(layer, x, blocks)
+            hold_out = (bool(cfg.n_experts)
+                        and cfg.moe_prefill_form == "grouped"
+                        and cfg.moe_group_stacked
+                        and not isinstance(blocks["w1"], QTensor))
+            if hold_out:
+                # grouped MoE: the stacked (L, n_e, ., .) expert tables
+                # stay OUT of the scan xs — the grouped kernel indexes
+                # the layer in its BlockSpec (no per-layer slab copy)
+                w1f, w2f = blocks["w1"], blocks["w2"]
+                rest = {kk: v for kk, v in blocks.items()
+                        if kk not in ("w1", "w2")}
+
+                def layer(x, inp):
+                    blk, li = inp
+                    x, k4, v4 = _prefill_layer(
+                        x, blk, cfg, use_pallas,
+                        moe_stacked=(w1f, w2f, li))
+                    return x, (k4, v4)
+
+                x, (ks, vs) = jax.lax.scan(
+                    layer, x, (rest, jnp.arange(w1f.shape[0])))
+            else:
+                def layer(x, blk):
+                    x, k4, v4 = _prefill_layer(x, blk, cfg, use_pallas)
+                    return x, (k4, v4)
+
+                x, (ks, vs) = jax.lax.scan(layer, x, blocks)
         else:
             ks, vs = [], []
             for blk in blocks:
@@ -1134,7 +1184,7 @@ def make_extend(cfg: GptConfig, donate: bool = False):
         x = x.astype(_np_dtype(cfg.dtype))        # (B, T, E)
         kv = {key: val for key, val in cache.items() if key != "pos"}
 
-        def layer(x, blk, kv, li):
+        def layer(x, blk, kv, li, moe_stacked=None):
             h = _block_norm(x, blk, "ln1", cfg)
             q = _dot(h, blk["wq"], blk["bq"]).reshape(B, T, H, D)
             k = _dot(h, blk["wk"], blk["bk"]).reshape(B, T, KVH, D)
@@ -1216,8 +1266,9 @@ def make_extend(cfg: GptConfig, donate: bool = False):
                 x = x + _mm(act, blk["w2"]).astype(x.dtype)
             elif cfg.n_experts:
                 E_ = x.shape[-1]
-                x = x + _moe_ffn_prefill(h.reshape(B * T, E_), blk,
-                                         cfg).reshape(B, T, E_)
+                x = x + _moe_ffn_prefill(
+                    h.reshape(B * T, E_), blk, cfg,
+                    stacked=moe_stacked).reshape(B, T, E_)
             else:
                 h = _dot(h, blk["w1"], blk["b1"])
                 h = jax.nn.gelu(h.astype(jnp.float32),
@@ -1227,10 +1278,23 @@ def make_extend(cfg: GptConfig, donate: bool = False):
 
         blocks = params["blocks"]
         if isinstance(blocks, dict):
+            from .quant import QTensor
+
+            hold_out = (bool(cfg.n_experts)
+                        and cfg.moe_prefill_form == "grouped"
+                        and cfg.moe_group_stacked
+                        and not isinstance(blocks["w1"], QTensor))
+            if hold_out:   # see make_prefill: no per-layer slab copy
+                w1f, w2f = blocks["w1"], blocks["w2"]
+                blocks = {kk: v for kk, v in blocks.items()
+                          if kk not in ("w1", "w2")}
+
             def body(carry, inp):
                 x, kv = carry
                 blk, li = inp
-                x, kv = layer(x, blk, kv, li)
+                x, kv = layer(x, blk, kv, li,
+                              moe_stacked=(w1f, w2f, li) if hold_out
+                              else None)
                 return (x, kv), None
 
             L = kv["k"].shape[0]

@@ -306,6 +306,15 @@ class GroupedGemmKey:
     bm: int = 128                  # row-block = the group padding quantum
     bn: int = 0
     bk: int = 0
+    # layers > 0: B is the FULL stacked (layers, n_groups, k, n) weight
+    # table and the call takes a scalar-prefetched layer index first:
+    # fn(li, ge, a, b). Inside a lax.scan over layers this keeps the
+    # per-layer weight slice INSIDE the kernel's BlockSpec (li[0],
+    # ge[i], r, j) — XLA never materializes the (n_groups, k, n) slab
+    # copy a value-level dynamic_slice feeding a pallas_call costs
+    # (same in-kernel indexing pattern as the stacked-cache decode
+    # attention, exp_decode_form r5).
+    layers: int = 0
 
 
 @dataclass(frozen=True)

@@ -1177,25 +1177,50 @@ def _build_grouped_gemm(key, interpret: bool):
     nj, kr = pl.cdiv(n, bn), pl.cdiv(k, bk)
     grid = (m // bm, nj, kr)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, r, ge: (i, r)),
-            pl.BlockSpec((1, bk, bn), lambda i, j, r, ge: (ge[i], r, j)),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, r, ge: (i, j)),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-    )
+    if key.layers:
+        # stacked-weights variant: w is (layers, n_groups, k, n) and the
+        # layer index rides as a SECOND scalar-prefetch operand feeding
+        # the weight BlockSpec — the per-layer slice never exists as a
+        # value, so a lax.scan over layers pays no slab copy.
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, r, li, ge: (i, r)),
+                pl.BlockSpec((1, 1, bk, bn),
+                             lambda i, j, r, li, ge: (li[0], ge[i], r, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn),
+                                   lambda i, j, r, li, ge: (i, j)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, r, ge: (i, r)),
+                pl.BlockSpec((1, bk, bn),
+                             lambda i, j, r, ge: (ge[i], r, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, r, ge: (i, j)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        )
 
-    def kernel(ge_ref, x_ref, w_ref, o_ref, acc_ref):
+    def kernel(*refs):
+        if key.layers:
+            _li_ref, _ge_ref, x_ref, w_ref, o_ref, acc_ref = refs
+            w_blk = w_ref[0, 0]
+        else:
+            _ge_ref, x_ref, w_ref, o_ref, acc_ref = refs
+            w_blk = w_ref[0]
         r = pl.program_id(2)
 
         @pl.when(r == 0)
         def _init():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        acc_ref[:] += jnp.dot(x_ref[:], w_ref[0],
+        acc_ref[:] += jnp.dot(x_ref[:], w_blk,
                               preferred_element_type=jnp.float32)
 
         @pl.when(r == kr - 1)
@@ -1219,9 +1244,15 @@ def _build_grouped_gemm(key, interpret: bool):
     )
     mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
 
-    def fn(ge, x, w):
-        return call(ge.astype(jnp.int32), x.astype(mxu_dt),
-                    w.astype(mxu_dt))
+    if key.layers:
+        def fn(li, ge, x, w):
+            li = jnp.asarray(li, jnp.int32).reshape(1)
+            return call(li, ge.astype(jnp.int32), x.astype(mxu_dt),
+                        w.astype(mxu_dt))
+    else:
+        def fn(ge, x, w):
+            return call(ge.astype(jnp.int32), x.astype(mxu_dt),
+                        w.astype(mxu_dt))
 
     return fn
 

@@ -184,7 +184,7 @@ def grouped_gemm_reference(key):
     out_dtype = _jdt(key.out_dtype or key.dtype)
     bm = key.bm
 
-    def fn(ge, a, b):
+    def body(ge, a, b):
         nb = a.shape[0] // bm
         blocks = a.reshape(nb, bm, key.k).astype(jnp.float32)
         w = b.astype(jnp.float32)[ge]                 # (nb, k, n)
@@ -192,7 +192,14 @@ def grouped_gemm_reference(key):
         if key.unary_kind:
             acc = _UNARY_FNS[key.unary_kind](acc)
         return acc.reshape(key.m, key.n).astype(out_dtype)
-    return fn
+
+    if key.layers:
+        def fn(li, ge, a, b):
+            li = jnp.asarray(li, jnp.int32).reshape(())
+            return body(ge, a, jax.lax.dynamic_index_in_dim(
+                b, li, axis=0, keepdims=False))
+        return fn
+    return body
 
 
 def int8_gemm_reference(key):
