@@ -49,6 +49,9 @@ def main() -> int:
     p.add_argument("--draft-vocab", type=int, default=0,
                    help="also measure the truncated-draft-head variant "
                         "(draft lm_head sliced to this many columns)")
+    p.add_argument("--trunk", type=int, default=0,
+                   help="also measure the tied-trunk (self-speculative) "
+                        "macro with this many target layers as the draft")
     args = p.parse_args()
 
     import jax
@@ -203,6 +206,30 @@ def main() -> int:
         print(f"macro trunc v{dv}: {t_macro_t*1e3:.3f} ms "
               f"(= {t_macro_t/t_tok:.2f}x t_tok; full-head macro was "
               f"{t_macro/t_tok:.2f}x)", flush=True)
+
+    # --- tied-trunk (self-speculative) macro --------------------------------
+    if args.trunk:
+        results["trunk_layers"] = args.trunk
+        gens_k = {n: make_speculative_generate(tcfg, None, n, k=K,
+                                               trunk_layers=args.trunk)
+                  for n in (g_short, g_long)}
+
+        def spec_steps_k(n):
+            toks, stats = gens_k[n](sparams, ids)
+            return float(jnp.sum(toks)) + int(stats["macro_steps"])
+
+        t_macro_k = _slope(spec_steps_k, g_short, g_long, args.reps)
+        results["macro_trunk_ms"] = round(t_macro_k * 1e3, 4)
+        # acceptance on THIS model/prompt (random-init: expect low; with
+        # imported real weights this is the early-exit acceptance rate)
+        _, st = gens_k[g_long](sparams, ids)
+        acc = int(st["accepted"]), int(st["drafted"])
+        results["trunk_acceptance"] = {"accepted": acc[0],
+                                       "drafted": acc[1]}
+        print(f"macro trunk N={args.trunk}: {t_macro_k*1e3:.3f} ms "
+              f"(= {t_macro_k/t_tok:.2f}x t_tok; separate-draft macro "
+              f"{t_macro/t_tok:.2f}x); acceptance {acc[0]}/{acc[1]}",
+              flush=True)
 
     if args.json:
         json.dump(results, open(args.json, "w"), indent=1)

@@ -130,3 +130,45 @@ def test_speculative_truncated_self_draft_only_loses_rare_tokens():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     # full-width "truncation" is a no-op: acceptance stays 100%
     assert int(stats["accepted"]) == int(stats["drafted"])
+
+
+def test_speculative_trunk_draft_exact():
+    """Tied-trunk (self-speculative) draft: the target's first N blocks
+    + shared head propose; output must be exactly the target greedy
+    stream, with NO separate draft params or prefill."""
+    params = stack_params(init_params(TCFG, seed=7))
+    ids = _prompt(7)
+    want = make_generate(TCFG, STEPS, temperature=0.0, use_pallas=False)(
+        params, ids, jax.random.PRNGKey(0))
+    for n in (1, 2):
+        got, stats = make_speculative_generate(
+            TCFG, None, STEPS, k=3, use_pallas=False,
+            trunk_layers=n)(params, ids)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert int(stats["accepted"]) <= int(stats["drafted"])
+
+
+def test_speculative_full_trunk_accepts_everything():
+    """trunk_layers == layers makes the draft the target itself (shared
+    cache init included): acceptance must be 100%."""
+    params = stack_params(init_params(TCFG, seed=8))
+    ids = _prompt(8)
+    got, stats = make_speculative_generate(
+        TCFG, None, STEPS, k=4, use_pallas=False,
+        trunk_layers=TCFG.layers)(params, ids)
+    want = make_generate(TCFG, STEPS, temperature=0.0, use_pallas=False)(
+        params, ids, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert int(stats["accepted"]) == int(stats["drafted"])
+
+
+def test_speculative_trunk_composes_with_draft_vocab():
+    """Trunk draft + truncated draft head: still exactly target-greedy."""
+    params = stack_params(init_params(TCFG, seed=9))
+    ids = _prompt(9)
+    want = make_generate(TCFG, STEPS, temperature=0.0, use_pallas=False)(
+        params, ids, jax.random.PRNGKey(0))
+    got, _ = make_speculative_generate(
+        TCFG, None, STEPS, k=3, use_pallas=False, trunk_layers=2,
+        draft_vocab=32)(params, ids)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -37,10 +37,11 @@ from __future__ import annotations
 from .engine import GptConfig, make_decode_step, make_extend, make_prefill
 
 
-def make_speculative_generate(cfg: GptConfig, draft_cfg: GptConfig,
+def make_speculative_generate(cfg: GptConfig, draft_cfg: GptConfig | None,
                               steps: int, k: int = 4,
                               use_pallas: bool | None = None,
-                              draft_vocab: int = 0):
+                              draft_vocab: int = 0,
+                              trunk_layers: int = 0):
     """Return jitted `generate(params, draft_params, ids) ->
     (tokens (1, steps), stats)` emitting exactly the target's greedy
     continuation. `stats` = {"macro_steps", "drafted", "accepted"}
@@ -58,10 +59,30 @@ def make_speculative_generate(cfg: GptConfig, draft_cfg: GptConfig,
     proposals are limited to [0, draft_vocab) token ids, and whenever
     the target's greedy token lies outside that prefix the draft simply
     mismatches and the verify pass emits the target's own token — only
-    the acceptance rate (speed) changes, never the output stream."""
+    the acceptance rate (speed) changes, never the output stream.
+
+    `trunk_layers` N > 0 makes the draft SELF-SPECULATIVE (tied-trunk /
+    early-exit): the draft is the TARGET's first N blocks + the target's
+    final norm and lm_head, so (a) it costs ZERO extra parameters,
+    (b) there is no separate draft prefill — its trunk KV cache starts
+    as a slice of the target's layers [0, N), and (c) on real imported
+    weights the proposals are the target's own early-exit predictions
+    (genuinely correlated, unlike an unrelated small draft). Exactness
+    is untouched: draft numerics only ever change the acceptance RATE
+    (the r5 lesson that headroom needs a cheaper draft BODY — this is
+    the cheapest body that still tracks the target). Pass
+    draft_cfg=None; the returned generate takes (params, ids)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
+    if trunk_layers:
+        assert draft_cfg is None, \
+            "trunk_layers derives the draft from the target; do not " \
+            "pass a separate draft_cfg"
+        assert 0 < trunk_layers <= cfg.layers, (trunk_layers, cfg.layers)
+        draft_cfg = dataclasses.replace(cfg, layers=trunk_layers)
     assert cfg.vocab == draft_cfg.vocab, "draft must share the vocab"
     assert cfg.max_seq == draft_cfg.max_seq, \
         "draft cache must cover the same positions"
@@ -69,7 +90,8 @@ def make_speculative_generate(cfg: GptConfig, draft_cfg: GptConfig,
         f"draft_vocab {draft_vocab} exceeds vocab {cfg.vocab}"
 
     prefill_t = make_prefill(cfg, use_pallas)
-    prefill_d = make_prefill(draft_cfg, use_pallas)
+    prefill_d = None if trunk_layers else make_prefill(draft_cfg,
+                                                       use_pallas)
     draft_step = make_decode_step(draft_cfg)
     verify = make_extend(cfg)
 
@@ -122,6 +144,15 @@ def make_speculative_generate(cfg: GptConfig, draft_cfg: GptConfig,
         assert s0 + steps + k + 1 <= cfg.max_seq, \
             f"prompt {s0} + steps {steps} + k+1 {k + 1} exceeds " \
             f"max_seq {cfg.max_seq}"
+        if trunk_layers:
+            blocks = params["blocks"]
+            assert isinstance(blocks, dict), \
+                "trunk_layers needs the stack_params (L, ...) layout"
+            # the draft IS the target's first N blocks + its final norm
+            # and head; the slice is loop-invariant (hoisted once)
+            draft_params = dict(params)
+            draft_params["blocks"] = jax.tree_util.tree_map(
+                lambda a: a[:trunk_layers], blocks)
         if draft_vocab:
             lm = draft_params["lm_head"]
             if not hasattr(lm, "shape"):
@@ -132,7 +163,14 @@ def make_speculative_generate(cfg: GptConfig, draft_cfg: GptConfig,
             draft_params = dict(draft_params)
             draft_params["lm_head"] = lm[:, :draft_vocab]
         logits, tcache = prefill_t(params, ids)
-        _, dcache = prefill_d(draft_params, ids)
+        if trunk_layers:
+            # no draft prefill: the trunk's prompt cache IS the target's
+            # first N layers (identical weights on identical inputs);
+            # draft-written rows past the prompt only affect acceptance
+            dcache = {kk: (v if kk == "pos" else v[:trunk_layers])
+                      for kk, v in tcache.items()}
+        else:
+            _, dcache = prefill_d(draft_params, ids)
         tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 
         buf = jnp.zeros((steps + k + 1,), jnp.int32)
@@ -160,4 +198,6 @@ def make_speculative_generate(cfg: GptConfig, draft_cfg: GptConfig,
                  "accepted": accepted}
         return buf[None, :steps], stats
 
+    if trunk_layers:
+        return jax.jit(lambda params, ids: generate(params, None, ids))
     return jax.jit(generate)

@@ -72,6 +72,11 @@ def main(argv=None) -> int:
     p.add_argument("--draft-layers", type=int, default=2,
                    help="layer count of the synthetic draft model "
                         "(with --speculative)")
+    p.add_argument("--trunk-draft", type=int, default=0, metavar="N",
+                   help="with --speculative: self-speculative tied-trunk "
+                        "draft — the target's first N blocks + shared "
+                        "head propose (zero extra params, no draft "
+                        "prefill); overrides --draft-layers")
     p.add_argument("--draft-vocab", type=int, default=0,
                    help="truncate the draft lm_head to this vocab prefix "
                         "(0 = full; output stays exactly target-greedy — "
@@ -139,16 +144,25 @@ def main(argv=None) -> int:
             print("--speculative serves the B=1 latency path",
                   file=sys.stderr)
             return 2
-        dcfg = GptConfig(vocab=cfg.vocab, embed=cfg.embed, heads=cfg.heads,
-                         layers=args.draft_layers, mlp_ratio=cfg.mlp_ratio,
-                         max_seq=cfg.max_seq, dtype=cfg.dtype,
-                         kv_heads=cfg.kv_heads, kv_quant=cfg.kv_quant)
-        draft = stack_params(init_params(dcfg, seed=args.seed + 1))
-        gen = make_speculative_generate(cfg, dcfg, args.steps,
-                                        k=args.speculative,
-                                        draft_vocab=args.draft_vocab)
-        t0 = time.perf_counter()
-        out, stats = gen(params, draft, ids)
+        if args.trunk_draft:
+            gen = make_speculative_generate(cfg, None, args.steps,
+                                            k=args.speculative,
+                                            draft_vocab=args.draft_vocab,
+                                            trunk_layers=args.trunk_draft)
+            t0 = time.perf_counter()
+            out, stats = gen(params, ids)
+        else:
+            dcfg = GptConfig(vocab=cfg.vocab, embed=cfg.embed,
+                             heads=cfg.heads, layers=args.draft_layers,
+                             mlp_ratio=cfg.mlp_ratio, max_seq=cfg.max_seq,
+                             dtype=cfg.dtype, kv_heads=cfg.kv_heads,
+                             kv_quant=cfg.kv_quant)
+            draft = stack_params(init_params(dcfg, seed=args.seed + 1))
+            gen = make_speculative_generate(cfg, dcfg, args.steps,
+                                            k=args.speculative,
+                                            draft_vocab=args.draft_vocab)
+            t0 = time.perf_counter()
+            out, stats = gen(params, draft, ids)
         out = np.asarray(out)
         dt = time.perf_counter() - t0
         acc = int(stats["accepted"])
