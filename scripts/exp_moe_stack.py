@@ -98,8 +98,11 @@ def main() -> int:
     def ffn_direct(h, wr, w1, w2):
         return _moe_ffn_grouped(h, {"wr": wr, "w1": w1, "w2": w2}, cfg0)
 
+    # operands ride as ARGS, never closures: a closed-over device array
+    # becomes an HLO literal and the remote-compile request dies with
+    # Broken pipe at these sizes (CLAUDE.md r4)
     f_direct = jax.jit(ffn_direct)
-    r = perf.bench(lambda h: f_direct(h, wrf[0], w1f[0], w2f[0]), (h0,),
+    r = perf.bench(f_direct, (h0, wrf[0], w1f[0], w2f[0]),
                    iters=iters_ffn, flops=fl_ffn)
     results["ffn_direct"] = {"us": round(r.mean_seconds * 1e6, 1),
                              "pct_useful_roof": pct(r.mean_seconds, fl_ffn)}
@@ -116,7 +119,7 @@ def main() -> int:
         return h
 
     f_xs = jax.jit(scan_xs)
-    r = perf.bench(lambda h: f_xs(h, wrf, w1f, w2f), (h0,),
+    r = perf.bench(f_xs, (h0, wrf, w1f, w2f),
                    iters=iters_scan, flops=L * fl_ffn)
     results["ffn_scan_xs"] = {
         "us_per_layer": round(r.mean_seconds / L * 1e6, 1),
@@ -135,7 +138,7 @@ def main() -> int:
         return h
 
     f_st = jax.jit(scan_stacked)
-    r = perf.bench(lambda h: f_st(h, wrf, w1f, w2f), (h0,),
+    r = perf.bench(f_st, (h0, wrf, w1f, w2f),
                    iters=iters_scan, flops=L * fl_ffn)
     results["ffn_scan_stacked"] = {
         "us_per_layer": round(r.mean_seconds / L * 1e6, 1),
