@@ -42,6 +42,9 @@ def main() -> int:
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--llama", action="store_true",
                    help="LLaMA-class architecture (RoPE/RMSNorm/SwiGLU)")
+    p.add_argument("--kv-quant", choices=["int8"], default=None,
+                   help="int8 KV cache: A/B the int8-aware streaming "
+                        "kernel vs the XLA dequant-einsum path in-loop")
     p.add_argument("--kv-heads", type=int, default=0,
                    help="GQA: KV heads < query heads (0 = MHA); exercises "
                         "the grouped decode-attention kernel variant")
@@ -64,18 +67,20 @@ def main() -> int:
     mk = GptConfig.llama if args.llama else GptConfig
     if args.tiny:
         cfg0 = mk(vocab=128, embed=64, heads=4, layers=2,
-                  mlp_ratio=2, max_seq=64, dtype="f32", kv_heads=kvh)
+                  mlp_ratio=2, max_seq=64, dtype="f32", kv_heads=kvh,
+                  kv_quant=args.kv_quant)
         s0, g = 8, (4, 12)
         batches = (1, 2)
     else:
         cfg0 = mk(vocab=50304, embed=768, heads=12, layers=12,
-                  mlp_ratio=4, max_seq=640, dtype="bf16", kv_heads=kvh)
+                  mlp_ratio=4, max_seq=640, dtype="bf16", kv_heads=kvh,
+                  kv_quant=args.kv_quant)
         s0, g = 512, (8, 40)
         batches = (1, 8)
 
     tgt = current_target()
     results = {"config": {"llama": args.llama or None,
-                          "kv_heads": kvh},
+                          "kv_heads": kvh, "kv_quant": args.kv_quant},
                "rows": []}
     params0 = init_params(cfg0, seed=0)
 

@@ -406,3 +406,59 @@ def test_decode_attn_pallas_gqa():
     np.testing.assert_allclose(np.asarray(lp, np.float32),
                                np.asarray(lx, np.float32),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_decode_attn_pallas_int8_kv():
+    """int8-KV cache through the streaming decode-attention kernel:
+    the in-kernel scale folding (K scale into logits, V scale into the
+    softmax weights) must match the XLA dequant-einsum path through the
+    full decode step."""
+    import dataclasses
+
+    qcfg = dataclasses.replace(CFG, kv_quant="int8")
+    params = init_params(qcfg, seed=0)
+    ids = np.random.default_rng(0).integers(
+        0, qcfg.vocab, (2, 8)).astype(np.int32)
+    _, cache = make_prefill(qcfg, use_pallas=False)(params,
+                                                    jnp.asarray(ids))
+    tok = jnp.asarray([3, 5], jnp.int32)
+    lx, cx = make_decode_step(
+        dataclasses.replace(qcfg, decode_attn="xla"))(params, cache, tok)
+    lp, cp = make_decode_step(
+        dataclasses.replace(qcfg, decode_attn="pallas"))(params, cache,
+                                                         tok)
+    np.testing.assert_allclose(np.asarray(lp, np.float32),
+                               np.asarray(lx, np.float32),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(cp["k"]), np.asarray(cx["k"]))
+    np.testing.assert_allclose(np.asarray(cp["k_s"], np.float32),
+                               np.asarray(cx["k_s"], np.float32),
+                               atol=1e-7, rtol=1e-7)
+
+
+def test_decode_attn_pallas_int8_kv_slotted():
+    """int8 KV + slotted (per-row pos) through the kernel — the
+    continuous-batching composition."""
+    import dataclasses
+
+    from tpp_mlir_tpu.serving import init_slot_cache, make_insert
+
+    qcfg = dataclasses.replace(CFG, kv_quant="int8")
+    params = init_params(qcfg, seed=0)
+    prefill = make_prefill(qcfg, use_pallas=False)
+    insert = make_insert(qcfg)
+    cache = init_slot_cache(qcfg, slots=2)
+    for slot, n in ((0, 5), (1, 8)):
+        ids = np.random.default_rng(slot).integers(
+            0, qcfg.vocab, (1, 8)).astype(np.int32)
+        _, pc = prefill(params, jnp.asarray(ids))
+        cache = insert(cache, pc, slot, n)
+    tok = jnp.asarray([3, 5], jnp.int32)
+    lx, _ = make_decode_step(
+        dataclasses.replace(qcfg, decode_attn="xla"))(params, cache, tok)
+    lp, _ = make_decode_step(
+        dataclasses.replace(qcfg, decode_attn="pallas"))(params, cache,
+                                                         tok)
+    np.testing.assert_allclose(np.asarray(lp, np.float32),
+                               np.asarray(lx, np.float32),
+                               atol=1e-4, rtol=1e-4)

@@ -88,3 +88,20 @@ def test_grouped_and_int8_gemm_mosaic_lowerable():
                      jnp.zeros((128, 256), jnp.int8),
                      jnp.zeros((32,), jnp.float32),
                      jnp.zeros((256,), jnp.float32))
+
+
+def test_decode_attn_int8_kv_mosaic_lowerable():
+    """The int8-KV decode-attention kernel (stacked + scale operands)
+    traces compiled-mode without Mosaic-unsupported primitives."""
+    from tpp_mlir_tpu.xsmm.decode_attn import (DecodeAttnKey,
+                                               build_decode_attn)
+
+    key = DecodeAttnKey(batch=2, heads=8, seq=128, head_dim=128,
+                        dtype="bf16", stacked=2, kv_quant=True)
+    fn = build_decode_attn(key, interpret=False)
+    q = jnp.zeros((2, 8, 128), jnp.bfloat16)
+    kc = jnp.zeros((2, 2, 8, 128, 128), jnp.int8)
+    ks = jnp.zeros((2, 2, 8, 128), jnp.float32)
+    assert_lowerable(lambda *a: fn(*a, li=jnp.asarray(0, jnp.int32),
+                                   k_s=ks, v_s=ks),
+                     q, kc, kc, jnp.asarray(5, jnp.int32))

@@ -999,7 +999,7 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
             live = jnp.arange(cfg.max_seq) <= pos
             lv1, lvg = live[None, None], live[None, None, None]
         use_dk = False
-        if not quant_kv and cfg.decode_attn != "xla":
+        if cfg.decode_attn != "xla":
             from ..utils.target import current_target, on_tpu
             from ..xsmm.decode_attn import (DecodeAttnKey,
                                             build_decode_attn,
@@ -1007,7 +1007,8 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
             dk = DecodeAttnKey(batch=B, heads=kv_local, seq=cfg.max_seq,
                                head_dim=D, dtype=cfg.dtype,
                                slotted=slotted, groups=G,
-                               stacked=kv["k"].shape[0])
+                               stacked=kv["k"].shape[0],
+                               kv_quant=quant_kv)
             fits = decode_attn_fits(dk, current_target().vmem_bytes)
             if cfg.decode_attn == "pallas":
                 use_dk = True
@@ -1026,7 +1027,9 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
             # slab copy (measured net-slower in-loop, decode_form_r5)
             qk = q if G == 1 else q.reshape(B, kv_local, G, D)
             a = build_decode_attn(dk, interpret=not on_tpu())(
-                qk, kv["k"], kv["v"], pos, li)   # (B, KVH[, G], D) f32
+                qk, kv["k"], kv["v"], pos, li,
+                k_s=kv.get("k_s"), v_s=kv.get("v_s"))
+            # (B, KVH[, G], D) f32
         elif G == 1:
             s = jnp.einsum("bhd,bhsd->bhs", q.astype(ct), kc.astype(ct),
                            preferred_element_type=jnp.float32) * scale

@@ -58,13 +58,23 @@ class DecodeAttnKey:
     # than the kernel's streaming win. In-kernel layer indexing reads
     # the cache buffer directly.
     stacked: int = 0
+    # int8 KV cache: K/V payloads are int8 with per-(head, token) f32
+    # scales over D (engine layout (L, B, H, S); the wrapper appends a
+    # trailing unit dim so the scale column lands sublane-aligned next
+    # to its (S, ·) score column). The kernel folds the K scale into
+    # the logits and the V scale into the softmax weights — the slab
+    # streams at 1 byte/element, halving decode attention's dominant
+    # byte component (exp_decode_b8: the KV read IS the b8 bound).
+    kv_quant: bool = False
 
 
 def decode_attn_fits(key: DecodeAttnKey, vmem_bytes: int) -> bool:
     """VMEM gate: K + V (1, H, S, D) blocks are double-buffered by
     Pallas (CLAUDE.md r3: budget 2x the naive block sum)."""
-    dsz = 2 if key.dtype in ("bf16", "f16") else 4
+    dsz = 1 if key.kv_quant else 2 if key.dtype in ("bf16", "f16") else 4
     blocks = 2 * key.heads * key.seq * key.head_dim * dsz
+    if key.kv_quant:
+        blocks += 2 * key.heads * key.seq * 4     # f32 scale columns
     return 2 * blocks + (1 << 20) < int(vmem_bytes * 0.9)
 
 
@@ -83,30 +93,39 @@ def build_decode_attn(key: DecodeAttnKey, interpret: bool):
 
     def kernel(pos_ref, *refs):
         if L:
-            # li_ref is consumed by the BlockSpec index maps only
-            _, q_ref, k_ref, v_ref, o_ref = refs
-            kh = lambda h: k_ref[0, 0, h]        # (1,1,H,S,D) block
-            vh = lambda h: v_ref[0, 0, h]
+            refs = refs[1:]   # li_ref: consumed by BlockSpec maps only
+            lead = (0, 0)     # (1,1,H,...) blocks
+        else:
+            lead = (0,)       # (1,H,...) blocks
+        if key.kv_quant:
+            q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref = refs
         else:
             q_ref, k_ref, v_ref, o_ref = refs
-            kh = lambda h: k_ref[0, h]
-            vh = lambda h: v_ref[0, h]
+            ks_ref = vs_ref = None
         b = pl.program_id(0)
         p_live = pos_ref[b] if key.slotted else pos_ref[0]
         live = (jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) <= p_live)
         for h in range(H):
             qh = q_ref[0, h].astype(jnp.float32)           # (G, D)
-            khb = kh(h).astype(jnp.float32)                # (S, D)
+            khb = k_ref[lead + (h,)].astype(jnp.float32)   # (S, D)
             if G == 1:
                 s = jnp.sum(khb * qh, axis=1, keepdims=True) * scale
             else:
                 # (S, 1, D) * (1, G, D) -> reduce D -> (S, G)
                 s = jnp.sum(khb[:, None, :] * qh[None], axis=2) * scale
+            if key.kv_quant:
+                # per-token K scale folds into the logits: the (S, 1)
+                # scale column broadcasts over the G score columns
+                s = s * ks_ref[lead + (h,)]
             s = jnp.where(live, s, -1e30)                  # (S, G)
             m = jnp.max(s, axis=0, keepdims=True)
             e = jnp.exp(s - m)
             p = e / jnp.sum(e, axis=0, keepdims=True)
-            vhb = vh(h).astype(jnp.float32)                # (S, D)
+            if key.kv_quant:
+                # V's scale folds into the softmax weights:
+                # sum_s p_s (v_q[s] vs_s) == sum_s (p_s vs_s) v_q[s]
+                p = p * vs_ref[lead + (h,)]
+            vhb = v_ref[lead + (h,)].astype(jnp.float32)   # (S, D)
             if G == 1:
                 o_ref[0, h] = jnp.sum(p * vhb, axis=0, keepdims=True)
             else:
@@ -115,51 +134,63 @@ def build_decode_attn(key: DecodeAttnKey, interpret: bool):
                                       axis=0)
 
     if L:
+        slab = lambda b, pos, li: (li[0], b, 0, 0, 0)
+        in_specs = [
+            pl.BlockSpec((1, H, G, D), lambda b, pos, li: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, H, S, D), slab),
+            pl.BlockSpec((1, 1, H, S, D), slab),
+        ]
+        if key.kv_quant:
+            in_specs += [pl.BlockSpec((1, 1, H, S, 1), slab)] * 2
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # (pos, layer index)
             grid=(B,),
-            in_specs=[
-                pl.BlockSpec((1, H, G, D),
-                             lambda b, pos, li: (b, 0, 0, 0)),
-                pl.BlockSpec((1, 1, H, S, D),
-                             lambda b, pos, li: (li[0], b, 0, 0, 0)),
-                pl.BlockSpec((1, 1, H, S, D),
-                             lambda b, pos, li: (li[0], b, 0, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, H, G, D),
                                    lambda b, pos, li: (b, 0, 0, 0)),
         )
     else:
+        row = lambda b, pos: (b, 0, 0, 0)
+        in_specs = [
+            pl.BlockSpec((1, H, G, D), row),
+            pl.BlockSpec((1, H, S, D), row),
+            pl.BlockSpec((1, H, S, D), row),
+        ]
+        if key.kv_quant:
+            in_specs += [pl.BlockSpec((1, H, S, 1), row)] * 2
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B,),
-            in_specs=[
-                pl.BlockSpec((1, H, G, D), lambda b, pos: (b, 0, 0, 0)),
-                pl.BlockSpec((1, H, S, D), lambda b, pos: (b, 0, 0, 0)),
-                pl.BlockSpec((1, H, S, D), lambda b, pos: (b, 0, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, H, G, D),
-                                   lambda b, pos: (b, 0, 0, 0)),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, H, G, D), row),
         )
-    dsz = 2 if key.dtype in ("bf16", "f16") else 4
+    dsz = 1 if key.kv_quant else 2 if key.dtype in ("bf16", "f16") else 4
+    scale_bytes = 2 * B * H * S * 4 if key.kv_quant else 0
     call = pl.pallas_call(
         kernel, grid_spec=grid_spec, interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((B, H, G, D), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * G * S * D,
-            bytes_accessed=2 * B * H * S * D * dsz,
+            bytes_accessed=2 * B * H * S * D * dsz + scale_bytes,
             transcendentals=B * H * G * S),
     )
 
-    def fn(q, k, v, pos, li=None):
+    def fn(q, k, v, pos, li=None, k_s=None, v_s=None):
         pos = jnp.asarray(pos, jnp.int32).reshape(-1)   # (1,) or (B,)
         qq = q[:, :, None] if G == 1 else q
+        extra = ()
+        if key.kv_quant:
+            assert k_s is not None and v_s is not None
+            # trailing unit dim: the (S,) scale row becomes a sublane-
+            # aligned (S, 1) column next to its (S, G) scores
+            extra = (k_s[..., None].astype(jnp.float32),
+                     v_s[..., None].astype(jnp.float32))
         if L:
             assert li is not None, "stacked form needs the layer index"
             li = jnp.asarray(li, jnp.int32).reshape(1)
-            out = call(pos, li, qq, k, v)
+            out = call(pos, li, qq, k, v, *extra)
         else:
-            out = call(pos, qq, k, v)
+            out = call(pos, qq, k, v, *extra)
         return out[:, :, 0] if G == 1 else out
 
     return fn
