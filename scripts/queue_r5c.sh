@@ -8,6 +8,8 @@
 #   3. round-end flagship re-measure in ONE driver run (verdict r4 #9).
 set -x
 cd /root/repo
+python scripts/exp_decode_form.py --kv-quant int8 \
+    --json benchmarks/results/decode_form_int8kv_r5c.json
 python scripts/exp_spec_bisect.py --trunk 2 --draft-vocab 8192 \
     --json benchmarks/results/spec_trunk_r5c.json
 python scripts/bench_serving.py --experts 8 --moe-prefill grouped \

@@ -69,12 +69,20 @@ class DecodeAttnKey:
 
 
 def decode_attn_fits(key: DecodeAttnKey, vmem_bytes: int) -> bool:
-    """VMEM gate: K + V (1, H, S, D) blocks are double-buffered by
-    Pallas (CLAUDE.md r3: budget 2x the naive block sum)."""
-    dsz = 1 if key.kv_quant else 2 if key.dtype in ("bf16", "f16") else 4
-    blocks = 2 * key.heads * key.seq * key.head_dim * dsz
+    """VMEM gate: K + V blocks are double-buffered by Pallas (CLAUDE.md
+    r3: budget 2x the naive block sum). Lane padding is REAL — a (S, 1)
+    f32 scale column occupies S x 128 lanes in VMEM (measured OOM r5b:
+    12 whole-H scale columns padded to 15.7 MB), so the int8 variant
+    runs a per-head (B, H) grid and this gate models padded sizes."""
+    pad = lambda d: -(-d // 128) * 128
     if key.kv_quant:
-        blocks += 2 * key.heads * key.seq * 4     # f32 scale columns
+        # per-head blocks: K + V (S, D-padded) int8 + two (S, 128) f32
+        # scale columns
+        blocks = (2 * key.seq * pad(key.head_dim)
+                  + 2 * key.seq * 128 * 4)
+    else:
+        dsz = 2 if key.dtype in ("bf16", "f16") else 4
+        blocks = 2 * key.heads * key.seq * pad(key.head_dim) * dsz
     return 2 * blocks + (1 << 20) < int(vmem_bytes * 0.9)
 
 
@@ -91,77 +99,124 @@ def build_decode_attn(key: DecodeAttnKey, interpret: bool):
     L = key.stacked
     scale = D ** -0.5
 
-    def kernel(pos_ref, *refs):
-        if L:
-            refs = refs[1:]   # li_ref: consumed by BlockSpec maps only
-            lead = (0, 0)     # (1,1,H,...) blocks
+    def _attend(qh, khb, vhb, live, ks=None, vs=None):
+        """One head's matvec attention: qh (G, D), khb/vhb (S, D) f32,
+        optional (S, 1) per-token dequant scale columns."""
+        if G == 1:
+            s = jnp.sum(khb * qh, axis=1, keepdims=True) * scale
         else:
-            lead = (0,)       # (1,H,...) blocks
-        if key.kv_quant:
-            q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref = refs
-        else:
-            q_ref, k_ref, v_ref, o_ref = refs
-            ks_ref = vs_ref = None
-        b = pl.program_id(0)
-        p_live = pos_ref[b] if key.slotted else pos_ref[0]
-        live = (jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) <= p_live)
-        for h in range(H):
-            qh = q_ref[0, h].astype(jnp.float32)           # (G, D)
-            khb = k_ref[lead + (h,)].astype(jnp.float32)   # (S, D)
-            if G == 1:
-                s = jnp.sum(khb * qh, axis=1, keepdims=True) * scale
-            else:
-                # (S, 1, D) * (1, G, D) -> reduce D -> (S, G)
-                s = jnp.sum(khb[:, None, :] * qh[None], axis=2) * scale
-            if key.kv_quant:
-                # per-token K scale folds into the logits: the (S, 1)
-                # scale column broadcasts over the G score columns
-                s = s * ks_ref[lead + (h,)]
-            s = jnp.where(live, s, -1e30)                  # (S, G)
-            m = jnp.max(s, axis=0, keepdims=True)
-            e = jnp.exp(s - m)
-            p = e / jnp.sum(e, axis=0, keepdims=True)
-            if key.kv_quant:
-                # V's scale folds into the softmax weights:
-                # sum_s p_s (v_q[s] vs_s) == sum_s (p_s vs_s) v_q[s]
-                p = p * vs_ref[lead + (h,)]
-            vhb = v_ref[lead + (h,)].astype(jnp.float32)   # (S, D)
-            if G == 1:
-                o_ref[0, h] = jnp.sum(p * vhb, axis=0, keepdims=True)
-            else:
-                # (S, G, 1) * (S, 1, D) -> reduce S -> (G, D)
-                o_ref[0, h] = jnp.sum(p[:, :, None] * vhb[:, None, :],
-                                      axis=0)
+            # (S, 1, D) * (1, G, D) -> reduce D -> (S, G)
+            s = jnp.sum(khb[:, None, :] * qh[None], axis=2) * scale
+        if ks is not None:
+            # per-token K scale folds into the logits: the (S, 1)
+            # scale column broadcasts over the G score columns
+            s = s * ks
+        s = jnp.where(live, s, -1e30)                      # (S, G)
+        m = jnp.max(s, axis=0, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=0, keepdims=True)
+        if vs is not None:
+            # V's scale folds into the softmax weights:
+            # sum_s p_s (v_q[s] vs_s) == sum_s (p_s vs_s) v_q[s]
+            p = p * vs
+        if G == 1:
+            return jnp.sum(p * vhb, axis=0, keepdims=True)
+        # (S, G, 1) * (S, 1, D) -> reduce S -> (G, D)
+        return jnp.sum(p[:, :, None] * vhb[:, None, :], axis=0)
 
-    if L:
+    if key.kv_quant:
+        # per-head (B, H) grid: the (S, 1) f32 scale columns pad their
+        # lane dim to 128 in VMEM, so whole-H scale blocks cost
+        # H*S*128*4 bytes double-buffered (measured scoped-vmem OOM at
+        # GPT-2-small geometry, r5b) — per-head blocks keep the padding
+        # to one column pair
+        def kernel(pos_ref, *refs):
+            if L:
+                refs = refs[1:]   # li_ref: BlockSpec maps only
+                lead = (0, 0, 0)  # (1,1,1,S,·) blocks
+            else:
+                lead = (0, 0)     # (1,1,S,·) blocks
+            q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref = refs
+            b = pl.program_id(0)
+            p_live = pos_ref[b] if key.slotted else pos_ref[0]
+            live = (jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+                    <= p_live)
+            o_ref[0, 0] = _attend(
+                q_ref[0, 0].astype(jnp.float32),
+                k_ref[lead].astype(jnp.float32),
+                v_ref[lead].astype(jnp.float32),
+                live, ks_ref[lead], vs_ref[lead])
+    else:
+        def kernel(pos_ref, *refs):
+            if L:
+                refs = refs[1:]   # li_ref: BlockSpec maps only
+                lead = (0, 0)     # (1,1,H,...) blocks
+            else:
+                lead = (0,)       # (1,H,...) blocks
+            q_ref, k_ref, v_ref, o_ref = refs
+            b = pl.program_id(0)
+            p_live = pos_ref[b] if key.slotted else pos_ref[0]
+            live = (jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+                    <= p_live)
+            for h in range(H):
+                o_ref[0, h] = _attend(
+                    q_ref[0, h].astype(jnp.float32),
+                    k_ref[lead + (h,)].astype(jnp.float32),
+                    v_ref[lead + (h,)].astype(jnp.float32), live)
+
+    if key.kv_quant:
+        if L:
+            head = lambda b, h, pos, li: (b, h, 0, 0)
+            slab = lambda b, h, pos, li: (li[0], b, h, 0, 0)
+            in_specs = [
+                pl.BlockSpec((1, 1, G, D), head),
+                pl.BlockSpec((1, 1, 1, S, D), slab),
+                pl.BlockSpec((1, 1, 1, S, D), slab),
+                pl.BlockSpec((1, 1, 1, S, 1), slab),
+                pl.BlockSpec((1, 1, 1, S, 1), slab),
+            ]
+            n_pref = 2
+        else:
+            head = lambda b, h, pos: (b, h, 0, 0)
+            slab = lambda b, h, pos: (b, h, 0, 0)
+            in_specs = [
+                pl.BlockSpec((1, 1, G, D), head),
+                pl.BlockSpec((1, 1, S, D), slab),
+                pl.BlockSpec((1, 1, S, D), slab),
+                pl.BlockSpec((1, 1, S, 1), slab),
+                pl.BlockSpec((1, 1, S, 1), slab),
+            ]
+            n_pref = 1
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_pref,
+            grid=(B, H),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1, G, D), head),
+        )
+    elif L:
         slab = lambda b, pos, li: (li[0], b, 0, 0, 0)
-        in_specs = [
-            pl.BlockSpec((1, H, G, D), lambda b, pos, li: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 1, H, S, D), slab),
-            pl.BlockSpec((1, 1, H, S, D), slab),
-        ]
-        if key.kv_quant:
-            in_specs += [pl.BlockSpec((1, 1, H, S, 1), slab)] * 2
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # (pos, layer index)
             grid=(B,),
-            in_specs=in_specs,
+            in_specs=[
+                pl.BlockSpec((1, H, G, D),
+                             lambda b, pos, li: (b, 0, 0, 0)),
+                pl.BlockSpec((1, 1, H, S, D), slab),
+                pl.BlockSpec((1, 1, H, S, D), slab),
+            ],
             out_specs=pl.BlockSpec((1, H, G, D),
                                    lambda b, pos, li: (b, 0, 0, 0)),
         )
     else:
         row = lambda b, pos: (b, 0, 0, 0)
-        in_specs = [
-            pl.BlockSpec((1, H, G, D), row),
-            pl.BlockSpec((1, H, S, D), row),
-            pl.BlockSpec((1, H, S, D), row),
-        ]
-        if key.kv_quant:
-            in_specs += [pl.BlockSpec((1, H, S, 1), row)] * 2
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B,),
-            in_specs=in_specs,
+            in_specs=[
+                pl.BlockSpec((1, H, G, D), row),
+                pl.BlockSpec((1, H, S, D), row),
+                pl.BlockSpec((1, H, S, D), row),
+            ],
             out_specs=pl.BlockSpec((1, H, G, D), row),
         )
     dsz = 1 if key.kv_quant else 2 if key.dtype in ("bf16", "f16") else 4
