@@ -73,6 +73,13 @@ _SLOW_TESTS = {
     "tests/serving/test_speculative.py::test_speculative_with_quantized_draft",
     "tests/serving/test_speculative.py::test_speculative_self_draft_accepts_everything",
     "tests/serving/test_speculative.py::test_speculative_self_draft_long_horizon",
+    # r5b: keep one exactness representative per new speculative knob
+    # fast (trunk: test_speculative_trunk_draft_exact; vocab:
+    # test_speculative_truncated_draft_vocab_exact stays fast too)
+    "tests/serving/test_speculative.py::test_speculative_truncated_self_draft_only_loses_rare_tokens",
+    "tests/serving/test_speculative.py::test_speculative_full_trunk_accepts_everything",
+    "tests/serving/test_speculative.py::test_speculative_trunk_composes_with_draft_vocab",
+    "tests/serving/test_serving.py::test_decode_attn_pallas_int8_kv_slotted",
     "tests/serving/test_extend.py::test_extend_quantized_weights_stacked",
     "tests/serving/test_extend.py::test_extend_then_decode_chain",
     "tests/serving/test_moe.py::test_tpp_serve_moe_cli",
