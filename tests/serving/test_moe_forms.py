@@ -151,3 +151,89 @@ def test_decode_step_forced_form_matches_auto(form):
     got, _ = make_decode_step(forced)(params, cache, tok)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5)
+
+
+def _grad_leaves(ffn, h, blk):
+    def loss(h, wr, w1, w2):
+        o = ffn(h, {"wr": wr, "w1": w1, "w2": w2})
+        return jnp.sum(jnp.sin(o.astype(jnp.float32)))
+    return jax.grad(loss, argnums=(0, 1, 2, 3))(
+        h, blk["wr"], blk["w1"], blk["w2"])
+
+
+@pytest.mark.parametrize("T,bm", [(16, 8), (96, 8), (64, 16)])
+def test_grouped_ffn_grads_match_scan_oracle(T, bm):
+    """The custom-VJP grouped form is differentiable and its grads on
+    EVERY leaf (h, router, w1, w2) match jax.grad through the exact
+    scan oracle — the megablocks training form, pinned leaf-by-leaf
+    (CLAUDE.md: a loss-only differential proves nothing about grads)."""
+    from tpp_mlir_tpu.serving.engine import _moe_ffn_grouped
+
+    blk = _blk()
+    cfg = GptConfig(embed=32, heads=4, n_experts=8, top_k=2,
+                    moe_group_bm=bm)
+    h = jax.random.normal(jax.random.PRNGKey(T + bm + 1), (T, 32))
+    want = _grad_leaves(lambda h, b: _moe_ffn_scan(h, b, 2), h, blk)
+    got = _grad_leaves(lambda h, b: _moe_ffn_grouped(h, b, cfg), h, blk)
+    for g, w, name in zip(got, want, ("dh", "dwr", "dw1", "dw2")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=5e-5, rtol=5e-4, err_msg=name)
+
+
+def test_grouped_ffn_grads_unbalanced_routing():
+    """Empty experts (router biased hard to one expert) must produce
+    EXACTLY ZERO weight grads for untouched experts — the min-1-block
+    padding keeps every expert indexed so the wgrad kernel writes every
+    output block (its documented coverage contract)."""
+    from tpp_mlir_tpu.serving.engine import _moe_ffn_grouped
+
+    blk = _blk()
+    blk = dict(blk, wr=blk["wr"].at[:, 3].add(6.0))
+    cfg = GptConfig(embed=32, heads=4, n_experts=8, top_k=2,
+                    moe_group_bm=8)
+    h = jax.random.normal(jax.random.PRNGKey(11), (48, 32))
+    want = _grad_leaves(lambda h, b: _moe_ffn_scan(h, b, 2), h, blk)
+    got = _grad_leaves(lambda h, b: _moe_ffn_grouped(h, b, cfg), h, blk)
+    for g, w, name in zip(got, want, ("dh", "dwr", "dw1", "dw2")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=5e-5, rtol=5e-4, err_msg=name)
+    # untouched experts: identically zero (not just small)
+    touched = np.unique(np.asarray(
+        jax.lax.top_k(h @ blk["wr"], 2)[1]).ravel())
+    for e in range(8):
+        if e not in touched:
+            assert not np.asarray(got[2][e]).any(), e
+            assert not np.asarray(got[3][e]).any(), e
+
+
+def test_grouped_training_through_prefill():
+    """End-to-end: jax.grad of a CE loss through make_prefill with the
+    grouped form (moe_group_stacked=False — the training layout)
+    matches the exact-scan configuration on the expert-weight leaves."""
+    kw = dict(vocab=67, embed=32, heads=4, layers=2, mlp_ratio=2,
+              max_seq=32, dtype="f32", n_experts=4, top_k=2)
+    exact = GptConfig(**kw)
+    grouped = GptConfig(moe_prefill_form="grouped", moe_group_bm=8,
+                        moe_group_stacked=False, **kw)
+    params = stack_params(init_params(exact, seed=0))
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, 67, (2, 24)), jnp.int32)
+
+    def loss_fn(cfg):
+        prefill = make_prefill(cfg, use_pallas=False)
+
+        def loss(params):
+            logits, _ = prefill(params, ids)
+            lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32))
+            tgt = ids[:, 1:]
+            return -jnp.mean(jnp.take_along_axis(
+                lp, tgt[..., None], axis=-1))
+        return loss
+
+    g_exact = jax.grad(loss_fn(exact))(params)
+    g_group = jax.grad(loss_fn(grouped))(params)
+    for leaf in ("w1", "w2", "wr", "wq"):
+        np.testing.assert_allclose(
+            np.asarray(g_group["blocks"][leaf]),
+            np.asarray(g_exact["blocks"][leaf]),
+            atol=5e-5, rtol=5e-4, err_msg=leaf)

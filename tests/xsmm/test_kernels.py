@@ -569,3 +569,44 @@ def test_wres_ln_stats_needs_wres_path():
         # batch > 1 never fits wres
         _build_brgemm(BrgemmKey(batch=4, m=256, n=256, k=256,
                                 beta0=True, prologue="ln_stats"), True)
+
+
+def test_grouped_gemm_transpose_b_matches_reference():
+    """transpose_b: B given as (G, n, k) — the grouped dgrad form
+    (dy @ w[ge]^T with the FFN weights in their natural layout)."""
+    from tpp_mlir_tpu.xsmm.flags import GroupedGemmKey
+
+    bm, G = 8, 4
+    key = GroupedGemmKey(n_groups=G, m=6 * bm, n=128, k=64, bm=bm,
+                         transpose_b=True)
+    ge = jnp.asarray([0, 0, 1, 3, 3, 2], jnp.int32)
+    a, w = rng(6 * bm, 64), rng(G, 128, 64, seed=1)
+    check(key, (ge, a, w))
+
+
+def test_grouped_wgrad_matches_reference():
+    """Accumulate-until-group-change wgrad: every group's dW is the sum
+    of its sorted blocks' A^T dY, including multi-block groups and a
+    single-block tail group."""
+    from tpp_mlir_tpu.xsmm.flags import GroupedWgradKey
+
+    bm, G = 8, 4
+    m, k, n = 6 * bm, 64, 128
+    key = GroupedWgradKey(n_groups=G, m=m, k=k, n=n, bm=bm)
+    # sorted, every group covered (the kernel's documented contract)
+    ge = jnp.asarray([0, 0, 1, 2, 3, 3], jnp.int32)
+    xt, dy = rng(k, m), rng(m, n, seed=1)
+    check(key, (ge, xt, dy), atol=2e-5)
+
+
+def test_grouped_wgrad_split_n():
+    """bn < n: the j-outer grid re-sweeps the blocks per n-tile; each
+    tile must still accumulate its group's full row range."""
+    from tpp_mlir_tpu.xsmm.flags import GroupedWgradKey
+
+    bm, G = 8, 2
+    m, k, n = 4 * bm, 32, 256
+    key = GroupedWgradKey(n_groups=G, m=m, k=k, n=n, bm=bm, bn=128)
+    ge = jnp.asarray([0, 0, 0, 1], jnp.int32)
+    xt, dy = rng(k, m), rng(m, n, seed=2)
+    check(key, (ge, xt, dy), atol=2e-5)

@@ -105,3 +105,22 @@ def test_decode_attn_int8_kv_mosaic_lowerable():
     assert_lowerable(lambda *a: fn(*a, li=jnp.asarray(0, jnp.int32),
                                    k_s=ks, v_s=ks),
                      q, kc, kc, jnp.asarray(5, jnp.int32))
+
+
+def test_grouped_training_kernels_mosaic_lowerable():
+    """The grouped dgrad (transpose_b) and wgrad kernels trace
+    compiled-mode without Mosaic-unsupported primitives."""
+    from tpp_mlir_tpu.xsmm.flags import GroupedGemmKey, GroupedWgradKey
+
+    tkey = GroupedGemmKey(n_groups=2, m=256, n=128, k=256, bm=128,
+                          dtype="bf16", transpose_b=True, out_dtype="f32")
+    tfn = build_kernel(tkey, interpret=False)
+    ge = jnp.zeros((2,), jnp.int32)
+    assert_lowerable(tfn, ge, jnp.zeros((256, 256), jnp.bfloat16),
+                     jnp.zeros((2, 128, 256), jnp.bfloat16))
+
+    wkey = GroupedWgradKey(n_groups=2, m=256, k=256, n=128, bm=128,
+                           dtype="bf16")
+    wfn = build_kernel(wkey, interpret=False)
+    assert_lowerable(wfn, ge, jnp.zeros((256, 256), jnp.bfloat16),
+                     jnp.zeros((256, 128), jnp.bfloat16))

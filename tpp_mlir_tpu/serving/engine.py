@@ -28,6 +28,7 @@ Weights come from the same torch module the importer benchmarks
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 
@@ -506,87 +507,248 @@ def _moe_ffn_grouped(h, blk, cfg, stacked=None):
     if stacked is None and isinstance(blk["w1"], QTensor):
         return _moe_ffn_scan(h, blk, cfg.top_k)   # weight-only quant form
     top_k = cfg.top_k
-    gates, idx = _moe_gates(h, blk["wr"], top_k)      # (T, k)
     T, E = h.shape
     n_e = blk["wr"].shape[-1]
-    w1 = blk["w1"] if stacked is None else stacked[0]
-    F = w1.shape[-1]
     bm = cfg.moe_group_bm
+    if stacked is None:
+        # differentiable (custom-VJP) core: forward identical, backward
+        # runs the grouped dgrad/wgrad kernels -- training at grouped
+        # speed (see _grouped_ffn_trainable)
+        core = _grouped_ffn_trainable(top_k, n_e, bm, cfg.dtype)
+        return core(h, blk["wr"], blk["w1"], blk["w2"])
+    # stacked-layer scan: inference prefill only (the (L, ...) weight
+    # tables stay whole and the kernel BlockSpec indexes the layer -- no
+    # per-layer slab copy; see GptConfig.moe_group_stacked). Training
+    # with the grouped form sets moe_group_stacked=False.
+    gates, idx = _moe_gates(h, blk["wr"], top_k)      # (T, k)
+    w1f, w2f, li = stacked
+    F = w1f.shape[-1]
+    L = w1f.shape[0]
+    d = _grouped_dispatch(idx, T, n_e, bm, top_k)
+    hp = jnp.concatenate([h, jnp.zeros((1, E), h.dtype)], 0)
+    xs = hp[d["tt"]]                                  # (A_pad, E) sorted
+    A_pad, ge = d["A_pad"], d["ge"]
+    k1 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=F, k=E,
+                        dtype=cfg.dtype, bm=bm, unary_kind="gelu",
+                        layers=L)
+    k2 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=E, k=F,
+                        dtype=cfg.dtype, bm=bm, layers=L)
+    a = build_kernel(k1)(li, ge, xs, w1f)             # gelu(xs @ w1[li,e])
+    ys = build_kernel(k2)(li, ge, a, w2f)             # (A_pad, E)
+    return _grouped_combine(gates, ys, d["rows"], top_k).astype(h.dtype)
+
+
+def _grouped_dispatch(idx, T: int, n_e: int, bm: int, top_k: int):
+    """The scatter-free single-sort grouped dispatch maps (shared by the
+    inference path and the custom-VJP training core).
+
+    SCATTER-FREE: XLA:TPU lowers scatter to a serialized per-index loop
+    (measured: the .at[].set/add spelling ran the end-to-end prefill at
+    half the rate). SINGLE-SORT: a TPU sort is a bitonic network
+    (~log^2(A) compare passes with fixed overhead) — the r4 two-argsort
+    glue cost ~230 us against a ~510 us kernel pair. The one sort runs
+    on the fused key e*A + i (unique, orders like a stable sort by
+    expert); source token = (key % A) // top_k, assignment id = key % A.
+    The combine side's rank-within-expert comes from a one-hot cumsum.
+
+    Per-expert rows pad to a bm multiple with a MINIMUM of one block
+    (sum_e max(round_up(cnt_e, bm), bm) <= (ceil(A/bm) + n_e) * bm — the
+    same STATIC bound, so one compiled kernel serves every routing; the
+    min block keeps every expert indexed in ge, which is the grouped-
+    wgrad kernel's write-coverage contract).
+
+    Returns {A_pad, ge (A_pad//bm,) block->expert, tt (A_pad,) source
+    token (T = padding sentinel), aid (A_pad,) flat assignment id
+    (A = sentinel), rows (T, top_k) assignment -> padded slot}."""
+    import jax
+    import jax.numpy as jnp
+
     A = T * top_k
-    # sum_e round_up(cnt_e, bm) <= A + n_e*(bm-1) < (ceil(A/bm)+n_e)*bm:
-    # a STATIC row bound, so one compiled kernel serves every routing.
     A_pad = (-(-A // bm) + n_e) * bm
-    # The entire dispatch is SCATTER-FREE: XLA:TPU lowers scatter to a
-    # serialized per-index loop (measured: the .at[].set/add spelling of
-    # this dispatch ran the end-to-end prefill at half the rate). It is
-    # also SINGLE-SORT: a TPU sort is a bitonic network (~log^2(A)
-    # compare passes, each with fixed overhead), so the r4 two-argsort
-    # glue cost ~230 us against a ~510 us kernel pair. The one remaining
-    # sort carries the token id as payload (slot -> token needs a true
-    # permutation inverse); the combine side's rank-within-expert comes
-    # from a one-hot cumsum ((A, n_e) log-passes, far cheaper).
     e_flat = idx.reshape(A)
     oh = (e_flat[:, None] == jnp.arange(n_e)).astype(jnp.int32)
     csum = jnp.cumsum(oh, axis=0)                     # (A, n_e) inclusive
     rank = jnp.take_along_axis(csum, e_flat[:, None], 1)[:, 0] - 1
     counts = csum[-1]                                 # (n_e,)
     start = jnp.cumsum(counts) - counts               # exclusive
-    padded = ((counts + bm - 1) // bm) * bm
+    padded = jnp.maximum(((counts + bm - 1) // bm) * bm, bm)
     ends = jnp.cumsum(padded)
     offs = ends - padded
-    # the ONE sort, single-operand: the fused key e*A + i is unique and
-    # orders identically to a stable sort by expert (i is the flat
-    # assignment index), so one int32 sort replaces the two-operand
-    # (key, payload) network — each bitonic compare pass moves half the
-    # bytes. Recover the source token as (key % A) // top_k.
     fused = e_flat.astype(jnp.int32) * jnp.int32(A) + \
         jnp.arange(A, dtype=jnp.int32)
-    t_s = (jax.lax.sort(fused) % jnp.int32(A)) // jnp.int32(top_k)
-    # padded slot p -> (expert, local slot) -> sorted index; invalid
-    # (padding) slots read token T of an h extended with one zero row
+    srt = jax.lax.sort(fused)
+    a_s = srt % jnp.int32(A)                          # flat assignment id
+    t_s = a_s // jnp.int32(top_k)
+    # padded slot p -> (expert, local slot) -> sorted index; padding
+    # slots read the sentinel (token T / assignment A)
     pslot = jnp.arange(A_pad)
     pe = jnp.minimum(jnp.searchsorted(ends, pslot, side="right"),
                      n_e - 1)
     loc = pslot - offs[pe]
     valid = loc < counts[pe]
     si = start[pe] + jnp.where(valid, loc, 0)
-    tt = jnp.where(valid, t_s[si], T)
-    hp = jnp.concatenate([h, jnp.zeros((1, E), h.dtype)], 0)
-    xs = hp[tt]                                       # (A_pad, E) sorted
-    ge = pe[::bm].astype(jnp.int32)                   # block -> expert
-    if stacked is not None:
-        # stacked-layer scan: the (L, n_e, ., .) weight tables stay
-        # whole and the kernel BlockSpec indexes the layer (no per-layer
-        # slab copy — see GptConfig.moe_group_stacked)
-        w1f, w2f, li = stacked
-        L = w1f.shape[0]
-        k1 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=F, k=E,
-                            dtype=cfg.dtype, bm=bm, unary_kind="gelu",
-                            layers=L)
-        k2 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=E, k=F,
-                            dtype=cfg.dtype, bm=bm, layers=L)
-        a = build_kernel(k1)(li, ge, xs, w1f)         # gelu(xs @ w1[li,e])
-        ys = build_kernel(k2)(li, ge, a, w2f)         # (A_pad, E)
-    else:
-        k1 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=F, k=E,
-                            dtype=cfg.dtype, bm=bm, unary_kind="gelu")
-        k2 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=E, k=F,
-                            dtype=cfg.dtype, bm=bm)
-        a = build_kernel(k1)(ge, xs, blk["w1"])       # gelu(xs @ w1[e])
-        ys = build_kernel(k2)(ge, a, blk["w2"])       # (A_pad, E)
-    # combine by GATHER: padded row of original assignment a = t*k + j
-    # is offs[e] + its rank among its expert's assignments (no inverse
-    # permutation needed — rank came from the cumsum, not a second
-    # sort). UNROLLED over top_k: a single ys[(T,k)] gather makes XLA
-    # materialize the (T, k, E) f32 intermediate and stream it three
-    # more times through the multiply/reduce (~138 MB VPU traffic);
-    # k separate gathers fuse into one FMA pass per expert choice.
-    rows = (offs[e_flat] + rank).reshape(T, top_k)
-    out = jnp.zeros((T, E), jnp.float32)
+    return {
+        "A_pad": A_pad,
+        "ge": pe[::bm].astype(jnp.int32),
+        "tt": jnp.where(valid, t_s[si], T),
+        "aid": jnp.where(valid, a_s[si], A),
+        "rows": (offs[e_flat] + rank).reshape(T, top_k),
+    }
+
+
+def _grouped_combine(gates, ys, rows, top_k: int):
+    """Gather-combine: out[t] = sum_j gates[t, j] * ys[rows[t, j]].
+    UNROLLED over top_k: a single ys[(T, k)] gather makes XLA
+    materialize the (T, k, E) f32 intermediate and stream it three more
+    times through the multiply/reduce (~138 MB of VPU traffic at the
+    serving geometry); k separate gathers fuse into one FMA pass each
+    (39 us, moe_grouped_r5)."""
+    import jax.numpy as jnp
+
+    T = gates.shape[0]
+    out = jnp.zeros((T, ys.shape[-1]), jnp.float32)
     for j in range(top_k):
         out = out + (gates[:, j, None].astype(jnp.float32)
                      * ys[rows[:, j]].astype(jnp.float32))
-    return out.astype(h.dtype)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _grouped_ffn_trainable(top_k: int, n_e: int, bm: int, dtype: str):
+    """Differentiable dropless grouped-expert FFN: custom-VJP
+    `core(h, wr, w1, w2) -> (T, E)` whose forward IS the inference
+    grouped path (single-sort dispatch + two grouped Pallas BRGEMMs)
+    and whose backward stays on grouped kernels AND scatter-free — the
+    megablocks training form on this framework's machinery:
+
+      dys    gather of dout by the slot->token map, x gathered gates
+             (the combine's backward is a GATHER because the dispatch
+             already carries the inverse maps — no scatter-add)
+      da     grouped dgrad: dys @ w2[ge]^T — GroupedGemmKey.transpose_b
+             with w2 in its NATURAL (n_e, F, E) = (g, n, k) layout
+      dz1    exact-gelu VJP on the saved f32 pre-activation
+      dw1/2  GroupedWgradKey: accumulate-until-expert-change, one MXU
+             pass per (row block, n-tile) — dense-wgrad flops, no
+             n_experts x inflation and no capacity table
+      dxs    grouped dgrad over w1 (n_e, E, F) = (g, n, k)
+      dh     top_k gathers of dxs by `rows` + the router VJP
+      dwr    VJP of the renormalized softmax over the FIXED top-k
+             selection (routing indices carry no gradient — the
+             standard MoE convention)
+
+    Under plain jit (no grad) only the primal runs — the fused-gelu
+    inference kernels, unchanged. Under AD the forward saves xs, the
+    f32 z1 (so value-level gelu matches the fused kernel's f32-epilogue
+    numerics exactly) and ys; wrap the caller in jax.checkpoint to
+    trade the activation memory back."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..xsmm import build_kernel
+    from ..xsmm.flags import GroupedGemmKey, GroupedWgradKey
+
+    def _keys(T, E, F):
+        A_pad = (-(-T * top_k // bm) + n_e) * bm
+        k1 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=F, k=E, dtype=dtype,
+                            bm=bm, unary_kind="gelu")
+        k2 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=E, k=F, dtype=dtype,
+                            bm=bm)
+        return A_pad, k1, k2
+
+    def _gates_given_idx(h, wr, idx):
+        # _moe_gates with the selection FIXED: lax.top_k's values are
+        # the logits at the top-k indices, so this matches its numerics
+        logits = _mm(h, wr)
+        vals = jnp.take_along_axis(logits, idx, axis=-1)
+        return jax.nn.softmax(vals, axis=-1)
+
+    @jax.custom_vjp
+    def core(h, wr, w1, w2):
+        T, E = h.shape
+        F = w1.shape[-1]
+        gates, idx = _moe_gates(h, wr, top_k)
+        d = _grouped_dispatch(idx, T, n_e, bm, top_k)
+        hp = jnp.concatenate([h, jnp.zeros((1, E), h.dtype)], 0)
+        xs = hp[d["tt"]]
+        _, k1, k2 = _keys(T, E, F)
+        a = build_kernel(k1)(d["ge"], xs, w1)         # gelu(xs @ w1[e])
+        ys = build_kernel(k2)(d["ge"], a, w2)         # (A_pad, E)
+        return _grouped_combine(gates, ys, d["rows"], top_k) \
+            .astype(h.dtype)
+
+    def fwd(h, wr, w1, w2):
+        import dataclasses
+
+        T, E = h.shape
+        F = w1.shape[-1]
+        gates, idx = _moe_gates(h, wr, top_k)
+        d = _grouped_dispatch(idx, T, n_e, bm, top_k)
+        hp = jnp.concatenate([h, jnp.zeros((1, E), h.dtype)], 0)
+        xs = hp[d["tt"]]
+        _, k1, k2 = _keys(T, E, F)
+        # pre-activation saved in f32: gelu on the f32 accumulator is
+        # exactly the fused kernel's epilogue path
+        z1 = build_kernel(dataclasses.replace(
+            k1, unary_kind=None, out_dtype="f32"))(d["ge"], xs, w1)
+        a = jax.nn.gelu(z1, approximate=False).astype(xs.dtype)
+        ys = build_kernel(k2)(d["ge"], a, w2)
+        out = _grouped_combine(gates, ys, d["rows"], top_k).astype(h.dtype)
+        return out, (h, wr, w1, w2, gates, idx, d["ge"], d["tt"],
+                     d["aid"], d["rows"], xs, z1, ys)
+
+    def bwd(res, dout):
+        import dataclasses
+
+        h, wr, w1, w2, gates, idx, ge, tt, aid, rows, xs, z1, ys = res
+        T, E = h.shape
+        F = w1.shape[-1]
+        A = T * top_k
+        A_pad, k1, k2 = _keys(T, E, F)
+        cdt = _np_dtype(dtype)
+        do32 = dout.astype(jnp.float32)
+        # combine backward — all gathers (sentinel rows read zero):
+        # dys[p] = gates_flat[aid[p]] * dout[tt[p]]
+        dop = jnp.concatenate([do32, jnp.zeros((1, E), jnp.float32)], 0)
+        gflat = jnp.concatenate(
+            [gates.reshape(A).astype(jnp.float32),
+             jnp.zeros((1,), jnp.float32)], 0)
+        dys = (gflat[aid][:, None] * dop[tt]).astype(cdt)
+        # dgates[t, j] = dout[t] . ys[rows[t, j]]
+        dgates = jnp.stack(
+            [jnp.sum(do32 * ys[rows[:, j]].astype(jnp.float32), axis=-1)
+             for j in range(top_k)], axis=-1)
+        # kernel-pair backward on grouped kernels
+        da = build_kernel(dataclasses.replace(
+            k2, n=F, k=E, transpose_b=True,
+            out_dtype="f32"))(ge, dys, w2)            # dys @ w2[e]^T
+        _, gelu_vjp = jax.vjp(
+            lambda z: jax.nn.gelu(z, approximate=False), z1)
+        dz1 = gelu_vjp(da)[0].astype(cdt)
+        a = jax.nn.gelu(z1, approximate=False).astype(cdt)
+        dw2 = build_kernel(GroupedWgradKey(
+            n_groups=n_e, m=A_pad, k=F, n=E, dtype=dtype, bm=bm))(
+                ge, a.T, dys)                         # (n_e, F, E) f32
+        dw1 = build_kernel(GroupedWgradKey(
+            n_groups=n_e, m=A_pad, k=E, n=F, dtype=dtype, bm=bm))(
+                ge, xs.T, dz1)                        # (n_e, E, F) f32
+        dxs = build_kernel(dataclasses.replace(
+            k1, n=E, k=F, unary_kind=None, transpose_b=True,
+            out_dtype="f32"))(ge, dz1, w1)            # dz1 @ w1[e]^T
+        # dispatch backward: xs rows are copies of h rows at KNOWN
+        # slots, so dh = sum_j dxs[rows[:, j]] — gathers, no scatter
+        dh = jnp.zeros((T, E), jnp.float32)
+        for j in range(top_k):
+            dh = dh + dxs[rows[:, j]]
+        # router backward through the fixed top-k selection
+        _, gvjp = jax.vjp(lambda h_, wr_: _gates_given_idx(h_, wr_, idx),
+                          h, wr)
+        dh_g, dwr = gvjp(dgates.astype(gates.dtype))
+        dh = dh + dh_g.astype(jnp.float32)
+        return (dh.astype(h.dtype), dwr.astype(wr.dtype),
+                dw1.astype(w1.dtype), dw2.astype(w2.dtype))
+
+    core.defvjp(fwd, bwd)
+    return core
 
 
 def _moe_ffn_prefill(h, blk, cfg, stacked=None):
@@ -1012,13 +1174,19 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
             fits = decode_attn_fits(dk, current_target().vmem_bytes)
             if cfg.decode_attn == "pallas":
                 use_dk = True
-            elif fits and on_tpu() and G == 1:
-                # auto: the MHA form is the measured win; the GQA form
-                # (groups > 1) stays OPT-IN — measured in-loop it LOSES
-                # (llama kv4 b1 0.47 vs 0.42 ms/tok, b8 1.28 vs 0.62;
-                # decode_form_gqa_r5.json): the grouped q block shrinks
-                # the kernel's matvec to G=3 rows per KV head while XLA
-                # batches the whole (B,G) panel per slab read.
+            elif fits and on_tpu() and G == 1 and not quant_kv:
+                # auto: the MHA bf16/f32 form is the measured win; two
+                # variants stay OPT-IN after losing in-loop:
+                # - GQA (groups > 1): llama kv4 b1 0.47 vs 0.42 ms/tok,
+                #   b8 1.28 vs 0.62 (decode_form_gqa_r5.json) — the
+                #   grouped q block shrinks the kernel's matvec to G
+                #   rows per KV head while XLA batches the (B, G) panel;
+                # - int8 KV: b1 1.63 vs 0.39, b8 15.2 vs 0.93
+                #   (decode_form_int8kv_r5c.json) — the per-head grid
+                #   the (S, 1) scale columns force (lane-padding VMEM
+                #   OOM otherwise) serializes 96 small programs, and
+                #   XLA's dequant-einsum already banks the int8 byte
+                #   win (0.93 ms/tok ~ the unquantized kernel's 0.915).
                 use_dk = True
         if use_dk:
             # the kernel reads the FULL stacked cache and indexes the

@@ -315,6 +315,35 @@ class GroupedGemmKey:
     # (same in-kernel indexing pattern as the stacked-cache decode
     # attention, exp_decode_form r5).
     layers: int = 0
+    # B given as (n_groups, n, k) — the grouped dgrad: dy @ w[ge]^T.
+    # The MoE FFN pair's backward needs NO weight transpose copies:
+    # w2 (n_e, F, E) already IS (g, n, k) for da = dys @ w2^T, and
+    # w1 (n_e, E, F) for dxs = dz1 @ w1^T (ops/trainable.py pattern).
+    transpose_b: bool = False
+
+
+@dataclass(frozen=True)
+class GroupedWgradKey:
+    """Key for the grouped weight gradient:
+
+        dW[g] = sum_{i : ge[i] == g} A[i*bm:(i+1)*bm].T @ dY[i*bm:(i+1)*bm]
+
+    A arrives PRE-TRANSPOSED as (k, m) so every grid step is a standard
+    (k, bm) x (bm, bn) MXU pass; rows are sorted by group (the grouped
+    forward's layout), so the kernel accumulates in scratch while ge[i]
+    stays constant and the VMEM->HBM write-back on block-index change
+    finalizes each group. CONTRACT: every group in [0, n_groups) must
+    own at least one block of ge (the engine pads each expert to >= 1
+    block) — a never-indexed output block is never written."""
+
+    n_groups: int
+    m: int                          # padded rows; m % bm == 0
+    k: int                          # A rows (input features)
+    n: int                          # dY cols (output features)
+    dtype: str = "f32"
+    precision: str = "default"
+    bm: int = 128
+    bn: int = 0
 
 
 @dataclass(frozen=True)

@@ -1153,6 +1153,8 @@ def _build_grouped_gemm(key, interpret: bool):
     assert isinstance(key, GroupedGemmKey)
     m, n, k, bm = key.m, key.n, key.k, key.bm
     assert m % bm == 0, (m, bm)
+    assert not (key.transpose_b and key.layers), \
+        "transpose_b (training dgrad) is per-layer only"
     out_dtype = _jdt(key.out_dtype or key.dtype)
     t = current_target()
     sub, lane = t.min_tile(key.dtype)
@@ -1195,13 +1197,18 @@ def _build_grouped_gemm(key, interpret: bool):
             scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         )
     else:
+        if key.transpose_b:
+            w_spec = pl.BlockSpec((1, bn, bk),
+                                  lambda i, j, r, ge: (ge[i], j, r))
+        else:
+            w_spec = pl.BlockSpec((1, bk, bn),
+                                  lambda i, j, r, ge: (ge[i], r, j))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((bm, bk), lambda i, j, r, ge: (i, r)),
-                pl.BlockSpec((1, bk, bn),
-                             lambda i, j, r, ge: (ge[i], r, j)),
+                w_spec,
             ],
             out_specs=pl.BlockSpec((bm, bn), lambda i, j, r, ge: (i, j)),
             scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
@@ -1220,8 +1227,16 @@ def _build_grouped_gemm(key, interpret: bool):
         def _init():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        acc_ref[:] += jnp.dot(x_ref[:], w_blk,
-                              preferred_element_type=jnp.float32)
+        if key.transpose_b:
+            # x (bm, bk) @ w (bn, bk)^T — the dgrad contraction
+            # (ops/trainable.py / BrgemmKey transpose_b spelling)
+            acc_ref[:] += jax.lax.dot_general(
+                x_ref[:], w_blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            acc_ref[:] += jnp.dot(x_ref[:], w_blk,
+                                  preferred_element_type=jnp.float32)
 
         @pl.when(r == kr - 1)
         def _finish():
@@ -1253,6 +1268,88 @@ def _build_grouped_gemm(key, interpret: bool):
         def fn(ge, x, w):
             return call(ge.astype(jnp.int32), x.astype(mxu_dt),
                         w.astype(mxu_dt))
+
+    return fn
+
+
+def _build_grouped_wgrad(key, interpret: bool):
+    """Grouped weight gradient — the training complement of the grouped
+    (ragged-batch) GEMM: dW[g] = sum over g's sorted row blocks of
+    A_blk.T @ dY_blk, one MXU pass per (block, n-tile) with NO
+    capacity table, scatter, or n_groups x flops inflation (flops =
+    2*m*k*n, the dense wgrad cost over the padded rows).
+
+    Rows are sorted by group (the grouped forward's layout), so the
+    scratch accumulates while ge[i] is constant and is written to the
+    (ge[i], ., j) output block exactly on each group's LAST step — the
+    VMEM->HBM write-back on block-index change finalizes it. A is
+    passed pre-transposed (k, m) so the step dot stays the standard
+    (k, bm) x (bm, bn) form. Contract: every group owns >= 1 block
+    (engine pads each expert to min one block) — unindexed output
+    blocks are never written."""
+    from .flags import GroupedWgradKey
+    assert isinstance(key, GroupedWgradKey)
+    m, k, n, bm = key.m, key.k, key.n, key.bm
+    assert m % bm == 0, (m, bm)
+    t = current_target()
+    dsize = 2 if key.dtype in ("bf16", "f16") else 4
+    lane = 128
+    bn = key.bn or _divisor_block(n, 512, lane)
+
+    def vmem_use(bn_):
+        return (2 * (k * bm + bm * bn_) * dsize   # xT + dy blocks
+                + 2 * k * bn_ * 4                 # out block (dbl-buf)
+                + 4 * k * bn_)                    # f32 scratch
+
+    budget = int(t.vmem_bytes * 0.8)
+    while vmem_use(bn) > budget and bn % 2 == 0 and bn // 2 >= lane \
+            and bn // 2 % lane == 0 and n % (bn // 2) == 0:
+        bn //= 2
+    nb, nj = m // bm, pl.cdiv(n, bn)
+    grid = (nj, nb)   # block sweep innermost: accumulate per group
+
+    def kernel(ge_ref, xt_ref, dy_ref, o_ref, acc_ref):
+        i = pl.program_id(1)
+        prev = ge_ref[jnp.maximum(i - 1, 0)]
+        nxt = ge_ref[jnp.minimum(i + 1, nb - 1)]
+
+        @pl.when((i == 0) | (ge_ref[i] != prev))
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += jnp.dot(xt_ref[:], dy_ref[:],
+                              preferred_element_type=jnp.float32)
+
+        @pl.when((i == nb - 1) | (ge_ref[i] != nxt))
+        def _finish():
+            o_ref[0] = acc_ref[:]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, bm), lambda j, i, ge: (0, i)),
+            pl.BlockSpec((bm, bn), lambda j, i, ge: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((1, k, bn), lambda j, i, ge: (ge[i], 0, j)),
+        scratch_shapes=[pltpu.VMEM((k, bn), jnp.float32)],
+    )
+    cost = pl.CostEstimate(
+        flops=2 * m * k * n,
+        bytes_accessed=(nj * m * k + m * n) * dsize
+        + key.n_groups * k * n * 4,
+        transcendentals=0)
+    call = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((key.n_groups, k, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=cost, interpret=interpret)
+    mxu_dt = _mxu_input_dtype(key.dtype, interpret, key.precision)
+
+    def fn(ge, xt, dy):
+        return call(ge.astype(jnp.int32), xt.astype(mxu_dt),
+                    dy.astype(mxu_dt))
 
     return fn
 
@@ -3212,6 +3309,9 @@ def _build_dispatch(key, interpret: bool):
         return _build_conv_nhwc(key, interpret)
     if isinstance(key, GroupedGemmKey):
         return _build_grouped_gemm(key, interpret)
+    from .flags import GroupedWgradKey
+    if isinstance(key, GroupedWgradKey):
+        return _build_grouped_wgrad(key, interpret)
     from .flags import Int8GemmKey
     if isinstance(key, Int8GemmKey):
         return _build_int8_gemm(key, interpret)

@@ -187,8 +187,9 @@ def grouped_gemm_reference(key):
     def body(ge, a, b):
         nb = a.shape[0] // bm
         blocks = a.reshape(nb, bm, key.k).astype(jnp.float32)
-        w = b.astype(jnp.float32)[ge]                 # (nb, k, n)
-        acc = jnp.einsum("gmk,gkn->gmn", blocks, w)
+        w = b.astype(jnp.float32)[ge]                 # (nb, k|n, n|k)
+        eq = "gmk,gnk->gmn" if key.transpose_b else "gmk,gkn->gmn"
+        acc = jnp.einsum(eq, blocks, w)
         if key.unary_kind:
             acc = _UNARY_FNS[key.unary_kind](acc)
         return acc.reshape(key.m, key.n).astype(out_dtype)
@@ -200,6 +201,21 @@ def grouped_gemm_reference(key):
                 b, li, axis=0, keepdims=False))
         return fn
     return body
+
+
+def grouped_wgrad_reference(key):
+    """Straight-line semantics of the grouped weight gradient:
+    dW[g] = sum_{i: ge[i]==g} A[i].T @ dY[i] (A arrives as (k, m))."""
+    bm = key.bm
+
+    def fn(ge, xt, dy):
+        nb = key.m // bm
+        xb = xt.astype(jnp.float32).reshape(key.k, nb, bm)
+        yb = dy.astype(jnp.float32).reshape(nb, bm, key.n)
+        db = jnp.einsum("kim,imn->ikn", xb, yb)       # per-block wgrad
+        oh = (ge[:, None] == jnp.arange(key.n_groups)).astype(jnp.float32)
+        return jnp.einsum("ig,ikn->gkn", oh, db)
+    return fn
 
 
 def int8_gemm_reference(key):
@@ -219,10 +235,12 @@ def int8_gemm_reference(key):
 
 def reference_kernel(key):
     from .kernels import _build_binary, _build_unary
-    from .flags import GroupedGemmKey, Int8GemmKey
+    from .flags import GroupedGemmKey, GroupedWgradKey, Int8GemmKey
 
     if isinstance(key, GroupedGemmKey):
         return grouped_gemm_reference(key)
+    if isinstance(key, GroupedWgradKey):
+        return grouped_wgrad_reference(key)
     if isinstance(key, Int8GemmKey):
         return int8_gemm_reference(key)
     if isinstance(key, BrgemmKey):
