@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""MoE training-step forms on v5e: exact scan-over-experts vs the
+custom-VJP dropless grouped form (r5c; engine._grouped_ffn_trainable).
+
+Full GPT-MoE train step (prefill CE loss -> jax.grad -> SGD), stacked
+params under the layer scan, params threaded through the timing scan's
+carry (a real cross-iteration dependency). Useful-flops roof counts
+top_k x dense FFN in fwd and 3x that for fwd+dgrad+wgrad (attention /
+router / embed flops included at the same 3x; update flops excluded —
+bench_train.py convention).
+
+The grouped form runs moe_group_stacked=False (the training layout:
+the custom VJP is per-layer; weights ride the scan xs, paying the
+measured ~127 us/layer slab copy each direction — still ~n_e/top_k x
+less compute than the scan form).
+
+Usage: python scripts/exp_moe_train.py [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import json
+import time
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--json", default="benchmarks/results/moe_train_r5c.json")
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--platform", default="")
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpp_mlir_tpu.serving import (GptConfig, init_params, make_prefill,
+                                      stack_params)
+    from tpp_mlir_tpu.utils.target import current_target, roofline_flops
+
+    if args.tiny:
+        cfg0 = GptConfig(vocab=128, embed=64, heads=4, layers=2,
+                         mlp_ratio=2, max_seq=64, dtype="f32",
+                         n_experts=4, top_k=2, moe_group_bm=8)
+        B, s0, pair = 2, 16, (2, 6)
+    else:
+        cfg0 = GptConfig(vocab=50304, embed=768, heads=12, layers=12,
+                         mlp_ratio=4, max_seq=640, dtype="bf16",
+                         n_experts=8, top_k=2, moe_group_bm=128)
+        B, s0, pair = 8, 512, (2, 8)
+
+    E, F = cfg0.embed, cfg0.mlp_ratio * cfg0.embed
+    k, L = cfg0.top_k, cfg0.layers
+    T = B * s0
+    roof = roofline_flops(cfg0.dtype) / 1e12
+    blk_fl = (4 * 2 * T * E * E + k * (2 * 2 * T * E * F)
+              + 2 * 2 * B * cfg0.heads * s0 * s0 * (E // cfg0.heads))
+    fl = 3 * (L * blk_fl + 2 * T * E * cfg0.vocab)    # fwd+dgrad+wgrad
+    results = {"target": current_target().name,
+               "geometry": {"B": B, "s0": s0, "embed": E, "ffn": F,
+                            "experts": cfg0.n_experts, "top_k": k,
+                            "layers": L, "dtype": cfg0.dtype}}
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg0.vocab, (B, s0)), jnp.int32)
+
+    for form in ("scan", "grouped"):
+        cfg = dataclasses.replace(
+            cfg0, moe_prefill_form=form,
+            moe_group_stacked=False)   # training layout (see docstring)
+        params = stack_params(init_params(cfg, seed=0))
+        prefill = make_prefill(cfg, use_pallas=None)
+
+        def loss(params, ids):
+            logits, _ = prefill(params, ids)
+            lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32))
+            tgt = ids[:, 1:]
+            return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+
+        grad_fn = jax.grad(loss)
+
+        @functools.partial(jax.jit, static_argnums=2)
+        def train_n(params, ids, n, grad_fn=grad_fn):
+            def body(params, _):
+                g = grad_fn(params, ids)
+                params = jax.tree_util.tree_map(
+                    lambda p, gi: (p - 1e-4 * gi.astype(jnp.float32))
+                    .astype(p.dtype) if jnp.issubdtype(
+                        p.dtype, jnp.floating) else p,
+                    params, g)
+                return params, jnp.sum(
+                    params["lnf_g"].astype(jnp.float32))
+            params, sums = jax.lax.scan(body, params, None, length=n)
+            return sums
+
+        for n in pair:
+            for attempt in range(3):
+                try:
+                    float(jnp.sum(train_n(params, ids, n)))
+                    break
+                except Exception as e:
+                    if attempt == 2:
+                        raise
+                    print(f"retry {form} n={n}: {type(e).__name__}",
+                          flush=True)
+                    time.sleep(15)
+        slopes = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            float(jnp.sum(train_n(params, ids, pair[0])))
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(jnp.sum(train_n(params, ids, pair[1])))
+            tl = time.perf_counter() - t0
+            slopes.append((tl - ts) / (pair[1] - pair[0]))
+        slopes.sort()
+        sec = slopes[len(slopes) // 2]
+        tf = fl / sec / 1e12
+        results[form] = {
+            "ms_per_step": round(sec * 1e3, 3),
+            "tflops_useful": round(tf, 1),
+            "pct_useful_roof": round(100 * tf / roof, 1),
+            "tokens_per_s": round(T / sec, 1)}
+        print(f"train form={form}: {sec*1e3:.2f} ms/step, {tf:.1f} TF "
+              f"useful = {100*tf/roof:.1f}% of roof, {T/sec:,.0f} tok/s",
+              flush=True)
+
+    if args.json:
+        json.dump(results, open(args.json, "w"), indent=1)
+        print(f"wrote {args.json}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
