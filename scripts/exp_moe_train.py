@@ -55,7 +55,10 @@ def main() -> int:
         cfg0 = GptConfig(vocab=50304, embed=768, heads=12, layers=12,
                          mlp_ratio=4, max_seq=640, dtype="bf16",
                          n_experts=8, top_k=2, moe_group_bm=128)
-        B, s0, pair = 8, 512, (2, 8)
+        # B8 s512 OOMs HBM (23 GB: the scan form saves n_e per-expert
+        # (T, F) activations per layer for backward); the A/B compares
+        # forms, not absolute scale
+        B, s0, pair = 4, 256, (2, 8)
 
     E, F = cfg0.embed, cfg0.mlp_ratio * cfg0.embed
     k, L = cfg0.top_k, cfg0.layers
