@@ -32,6 +32,12 @@ def main() -> int:
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--platform", default="")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--forms", default="scan,grouped",
+                   help="comma list of forms to measure")
+    p.add_argument("--bm", type=int, default=0,
+                   help="override moe_group_bm (training geometry pads "
+                        "A=T*k up to (ceil(A/bm)+n_e)*bm; smaller bm "
+                        "cuts the pad share at small T)")
     args = p.parse_args()
 
     import jax
@@ -59,6 +65,8 @@ def main() -> int:
         # (T, F) activations per layer for backward); the A/B compares
         # forms, not absolute scale
         B, s0, pair = 4, 256, (2, 8)
+    if args.bm:
+        cfg0 = dataclasses.replace(cfg0, moe_group_bm=args.bm)
 
     E, F = cfg0.embed, cfg0.mlp_ratio * cfg0.embed
     k, L = cfg0.top_k, cfg0.layers
@@ -74,7 +82,8 @@ def main() -> int:
     ids = jnp.asarray(np.random.default_rng(0).integers(
         0, cfg0.vocab, (B, s0)), jnp.int32)
 
-    for form in ("scan", "grouped"):
+    results["bm"] = cfg0.moe_group_bm
+    for form in args.forms.split(","):
         cfg = dataclasses.replace(
             cfg0, moe_prefill_form=form,
             moe_group_stacked=False)   # training layout (see docstring)
