@@ -28,7 +28,9 @@ import time
 
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--json", default="benchmarks/results/moe_train_r5c.json")
+    p.add_argument("--json", default="",
+                   help="output path (default folds --bm into the name "
+                        "so bm sweeps don't overwrite each other)")
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--platform", default="")
     p.add_argument("--tiny", action="store_true")
@@ -39,6 +41,18 @@ def main() -> int:
                         "A=T*k up to (ceil(A/bm)+n_e)*bm; smaller bm "
                         "cuts the pad share at small T)")
     args = p.parse_args()
+
+    args.forms = [f.strip() for f in args.forms.split(",") if f.strip()]
+    bad = set(args.forms) - {"scan", "sorted", "grouped"}
+    if bad:
+        p.error(f"unknown forms {sorted(bad)}: pick from scan,sorted,grouped"
+                " (unrecognized names would silently measure the scan form)")
+    if args.bm and (args.bm <= 0 or args.bm % 8):
+        p.error(f"--bm {args.bm}: Mosaic needs the row block 8-divisible "
+                "(fail fast locally, not after a remote compile)")
+    if not args.json:
+        suffix = f"_bm{args.bm}" if args.bm else ""
+        args.json = f"benchmarks/results/moe_train_r5c{suffix}.json"
 
     import jax
 
@@ -83,7 +97,7 @@ def main() -> int:
         0, cfg0.vocab, (B, s0)), jnp.int32)
 
     results["bm"] = cfg0.moe_group_bm
-    for form in args.forms.split(","):
+    for form in args.forms:
         cfg = dataclasses.replace(
             cfg0, moe_prefill_form=form,
             moe_group_stacked=False)   # training layout (see docstring)
