@@ -237,3 +237,72 @@ def test_grouped_training_through_prefill():
             np.asarray(g_group["blocks"][leaf]),
             np.asarray(g_exact["blocks"][leaf]),
             atol=5e-5, rtol=5e-4, err_msg=leaf)
+
+
+@pytest.mark.parametrize("remat", [False, True])
+def test_grouped_stacked_training_through_prefill(remat):
+    """r5 verdict #1a: jax.grad of a CE loss through make_prefill with
+    the grouped form in the STACKED layout (moe_group_stacked=True —
+    expert tables held out of the scan xs, layer index in the kernel
+    BlockSpec, custom-VJP backward on the same stacked kernels) matches
+    the exact-scan configuration leaf-by-leaf; remat=True additionally
+    wraps each layer in jax.checkpoint (same grads, less live memory)."""
+    kw = dict(vocab=67, embed=32, heads=4, layers=3, mlp_ratio=2,
+              max_seq=32, dtype="f32", n_experts=4, top_k=2)
+    exact = GptConfig(**kw)
+    stacked = GptConfig(moe_prefill_form="grouped", moe_group_bm=8,
+                        moe_group_stacked=True, remat=remat, **kw)
+    params = stack_params(init_params(exact, seed=0))
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, 67, (2, 24)), jnp.int32)
+
+    def loss_fn(cfg):
+        prefill = make_prefill(cfg, use_pallas=False)
+
+        def loss(params):
+            logits, _ = prefill(params, ids)
+            lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32))
+            tgt = ids[:, 1:]
+            return -jnp.mean(jnp.take_along_axis(
+                lp, tgt[..., None], axis=-1))
+        return loss
+
+    g_exact = jax.grad(loss_fn(exact))(params)
+    g_stack = jax.grad(loss_fn(stacked))(params)
+    for leaf in ("w1", "w2", "wr", "wq"):
+        np.testing.assert_allclose(
+            np.asarray(g_stack["blocks"][leaf]),
+            np.asarray(g_exact["blocks"][leaf]),
+            atol=5e-5, rtol=5e-4, err_msg=leaf)
+    np.testing.assert_allclose(
+        np.asarray(g_stack["wte"]), np.asarray(g_exact["wte"]),
+        atol=5e-5, rtol=5e-4, err_msg="wte")
+
+
+def test_grouped_stacked_matches_per_layer_grads():
+    """The stacked (layers=L, in-kernel indexing) training path and the
+    r5a per-layer path (moe_group_stacked=False, weights in the scan xs)
+    are the SAME math: grads must agree to float noise, not just both
+    match the oracle within tolerance."""
+    kw = dict(vocab=67, embed=32, heads=4, layers=2, mlp_ratio=2,
+              max_seq=32, dtype="f32", n_experts=4, top_k=2,
+              moe_prefill_form="grouped", moe_group_bm=8)
+    per_layer = GptConfig(moe_group_stacked=False, **kw)
+    stacked = GptConfig(moe_group_stacked=True, **kw)
+    params = stack_params(init_params(per_layer, seed=1))
+    ids = jnp.asarray(np.random.default_rng(1).integers(
+        0, 67, (2, 16)), jnp.int32)
+
+    def grad_of(cfg):
+        prefill = make_prefill(cfg, use_pallas=False)
+
+        def loss(params):
+            logits, _ = prefill(params, ids)
+            return jnp.mean(jnp.sin(logits.astype(jnp.float32)))
+        return jax.grad(loss)(params)
+
+    ga, gb = grad_of(per_layer), grad_of(stacked)
+    for leaf in ("w1", "w2", "wr"):
+        np.testing.assert_allclose(
+            np.asarray(gb["blocks"][leaf]), np.asarray(ga["blocks"][leaf]),
+            atol=1e-6, rtol=1e-5, err_msg=leaf)

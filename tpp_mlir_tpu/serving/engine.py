@@ -93,6 +93,15 @@ class GptConfig:
     rms_norm: bool = False
     swiglu: bool = False
     rope_theta: float = 10000.0
+    # Activation checkpointing (training): wrap each layer of the
+    # prefill scan in jax.checkpoint, so backward re-runs one layer's
+    # forward instead of saving every layer's activations — the lever
+    # that fits the B8 s512 MoE training geometry in HBM (the scan
+    # form's saved per-expert (T, F) activations OOM'd at 23 GB, r5).
+    # ~4/3x forward flops for ~L x less live activation memory.
+    # Inference (no grad) is unaffected: checkpoint is identity under
+    # plain jit.
+    remat: bool = False
 
     @classmethod
     def llama(cls, **kw):
@@ -497,11 +506,6 @@ def _moe_ffn_grouped(h, blk, cfg, stacked=None):
     Each expert's weights stream ~once; no (n_e, C, E) capacity table
     or scatter round trip materializes between the GEMMs — gelu is the
     first kernel's epilogue. h: (T, E) -> (T, E)."""
-    import jax
-    import jax.numpy as jnp
-
-    from ..xsmm import build_kernel
-    from ..xsmm.flags import GroupedGemmKey
     from .quant import QTensor
 
     if stacked is None and isinstance(blk["w1"], QTensor):
@@ -516,26 +520,18 @@ def _moe_ffn_grouped(h, blk, cfg, stacked=None):
         # speed (see _grouped_ffn_trainable)
         core = _grouped_ffn_trainable(top_k, n_e, bm, cfg.dtype)
         return core(h, blk["wr"], blk["w1"], blk["w2"])
-    # stacked-layer scan: inference prefill only (the (L, ...) weight
-    # tables stay whole and the kernel BlockSpec indexes the layer -- no
-    # per-layer slab copy; see GptConfig.moe_group_stacked). Training
-    # with the grouped form sets moe_group_stacked=False.
-    gates, idx = _moe_gates(h, blk["wr"], top_k)      # (T, k)
+    # stacked-layer scan: the (L, ...) weight tables stay whole and the
+    # kernel BlockSpec indexes the layer -- no per-layer slab copy (see
+    # GptConfig.moe_group_stacked). Routed through the custom-VJP core
+    # with layers=L: under plain jit only the primal runs -- the same
+    # fused-gelu kernel pair as the r5b inference path -- and under AD
+    # the backward stays on grouped kernels with the SAME in-kernel
+    # layer indexing, so training stops paying the scan-xs slab copies
+    # (r5 verdict #1a; the r5a per-layer form is moe_group_stacked=False).
     w1f, w2f, li = stacked
-    F = w1f.shape[-1]
-    L = w1f.shape[0]
-    d = _grouped_dispatch(idx, T, n_e, bm, top_k)
-    hp = jnp.concatenate([h, jnp.zeros((1, E), h.dtype)], 0)
-    xs = hp[d["tt"]]                                  # (A_pad, E) sorted
-    A_pad, ge = d["A_pad"], d["ge"]
-    k1 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=F, k=E,
-                        dtype=cfg.dtype, bm=bm, unary_kind="gelu",
-                        layers=L)
-    k2 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=E, k=F,
-                        dtype=cfg.dtype, bm=bm, layers=L)
-    a = build_kernel(k1)(li, ge, xs, w1f)             # gelu(xs @ w1[li,e])
-    ys = build_kernel(k2)(li, ge, a, w2f)             # (A_pad, E)
-    return _grouped_combine(gates, ys, d["rows"], top_k).astype(h.dtype)
+    core = _grouped_ffn_trainable(top_k, n_e, bm, cfg.dtype,
+                                  layers=w1f.shape[0])
+    return core(h, blk["wr"], w1f, w2f, li)
 
 
 def _grouped_dispatch(idx, T: int, n_e: int, bm: int, top_k: int):
@@ -614,7 +610,8 @@ def _grouped_combine(gates, ys, rows, top_k: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _grouped_ffn_trainable(top_k: int, n_e: int, bm: int, dtype: str):
+def _grouped_ffn_trainable(top_k: int, n_e: int, bm: int, dtype: str,
+                           layers: int = 0):
     """Differentiable dropless grouped-expert FFN: custom-VJP
     `core(h, wr, w1, w2) -> (T, E)` whose forward IS the inference
     grouped path (single-sort dispatch + two grouped Pallas BRGEMMs)
@@ -639,10 +636,24 @@ def _grouped_ffn_trainable(top_k: int, n_e: int, bm: int, dtype: str):
     Under plain jit (no grad) only the primal runs — the fused-gelu
     inference kernels, unchanged. Under AD the forward saves xs, the
     f32 z1 (so value-level gelu matches the fused kernel's f32-epilogue
-    numerics exactly) and ys; wrap the caller in jax.checkpoint to
-    trade the activation memory back."""
+    numerics exactly) and ys; wrap the caller in jax.checkpoint
+    (GptConfig.remat) to trade the activation memory back.
+
+    `layers` L > 0 is the STACKED-layer training form (r5 verdict #1a):
+    core(h, wr, w1f, w2f, li) with the FULL (L, n_e, ., .) expert
+    tables held out of the layer scan's xs and the layer index fed to
+    every grouped kernel's BlockSpec (GroupedGemmKey.layers) — forward
+    AND dgrad pay no per-layer slab copy (the measured ~127 us/layer
+    cost of a value-level slice feeding a pallas_call). The wgrad stays
+    per-layer compact; its cotangent scatters into the zeros (L, ...)
+    table with one DUS, which XLA's add-of-DUS-into-zeros rewrite folds
+    into the scan's gradient accumulator in place (layers touch
+    disjoint slabs, so the accumulation is exact in any dtype)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from ..xsmm import build_kernel
     from ..xsmm.flags import GroupedGemmKey, GroupedWgradKey
@@ -650,10 +661,14 @@ def _grouped_ffn_trainable(top_k: int, n_e: int, bm: int, dtype: str):
     def _keys(T, E, F):
         A_pad = (-(-T * top_k // bm) + n_e) * bm
         k1 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=F, k=E, dtype=dtype,
-                            bm=bm, unary_kind="gelu")
+                            bm=bm, unary_kind="gelu", layers=layers)
         k2 = GroupedGemmKey(n_groups=n_e, m=A_pad, n=E, k=F, dtype=dtype,
-                            bm=bm)
+                            bm=bm, layers=layers)
         return A_pad, k1, k2
+
+    def _run(kk, ge, x, w, li):
+        fn = build_kernel(kk)
+        return fn(li, ge, x, w) if layers else fn(ge, x, w)
 
     def _gates_given_idx(h, wr, idx):
         # _moe_gates with the selection FIXED: lax.top_k's values are
@@ -662,8 +677,7 @@ def _grouped_ffn_trainable(top_k: int, n_e: int, bm: int, dtype: str):
         vals = jnp.take_along_axis(logits, idx, axis=-1)
         return jax.nn.softmax(vals, axis=-1)
 
-    @jax.custom_vjp
-    def core(h, wr, w1, w2):
+    def _core(h, wr, w1, w2, li):
         T, E = h.shape
         F = w1.shape[-1]
         gates, idx = _moe_gates(h, wr, top_k)
@@ -671,14 +685,12 @@ def _grouped_ffn_trainable(top_k: int, n_e: int, bm: int, dtype: str):
         hp = jnp.concatenate([h, jnp.zeros((1, E), h.dtype)], 0)
         xs = hp[d["tt"]]
         _, k1, k2 = _keys(T, E, F)
-        a = build_kernel(k1)(d["ge"], xs, w1)         # gelu(xs @ w1[e])
-        ys = build_kernel(k2)(d["ge"], a, w2)         # (A_pad, E)
+        a = _run(k1, d["ge"], xs, w1, li)             # gelu(xs @ w1[e])
+        ys = _run(k2, d["ge"], a, w2, li)             # (A_pad, E)
         return _grouped_combine(gates, ys, d["rows"], top_k) \
             .astype(h.dtype)
 
-    def fwd(h, wr, w1, w2):
-        import dataclasses
-
+    def _fwd(h, wr, w1, w2, li):
         T, E = h.shape
         F = w1.shape[-1]
         gates, idx = _moe_gates(h, wr, top_k)
@@ -688,18 +700,17 @@ def _grouped_ffn_trainable(top_k: int, n_e: int, bm: int, dtype: str):
         _, k1, k2 = _keys(T, E, F)
         # pre-activation saved in f32: gelu on the f32 accumulator is
         # exactly the fused kernel's epilogue path
-        z1 = build_kernel(dataclasses.replace(
-            k1, unary_kind=None, out_dtype="f32"))(d["ge"], xs, w1)
+        z1 = _run(dataclasses.replace(k1, unary_kind=None,
+                                      out_dtype="f32"),
+                  d["ge"], xs, w1, li)
         a = jax.nn.gelu(z1, approximate=False).astype(xs.dtype)
-        ys = build_kernel(k2)(d["ge"], a, w2)
+        ys = _run(k2, d["ge"], a, w2, li)
         out = _grouped_combine(gates, ys, d["rows"], top_k).astype(h.dtype)
-        return out, (h, wr, w1, w2, gates, idx, d["ge"], d["tt"],
+        return out, (h, wr, w1, w2, li, gates, idx, d["ge"], d["tt"],
                      d["aid"], d["rows"], xs, z1, ys)
 
-    def bwd(res, dout):
-        import dataclasses
-
-        h, wr, w1, w2, gates, idx, ge, tt, aid, rows, xs, z1, ys = res
+    def _bwd(res, dout):
+        h, wr, w1, w2, li, gates, idx, ge, tt, aid, rows, xs, z1, ys = res
         T, E = h.shape
         F = w1.shape[-1]
         A = T * top_k
@@ -717,10 +728,12 @@ def _grouped_ffn_trainable(top_k: int, n_e: int, bm: int, dtype: str):
         dgates = jnp.stack(
             [jnp.sum(do32 * ys[rows[:, j]].astype(jnp.float32), axis=-1)
              for j in range(top_k)], axis=-1)
-        # kernel-pair backward on grouped kernels
-        da = build_kernel(dataclasses.replace(
-            k2, n=F, k=E, transpose_b=True,
-            out_dtype="f32"))(ge, dys, w2)            # dys @ w2[e]^T
+        # kernel-pair backward on grouped kernels (layers flows through
+        # the replaced keys, so the stacked form's dgrad reads w1f/w2f
+        # with in-kernel layer indexing too)
+        da = _run(dataclasses.replace(k2, n=F, k=E, transpose_b=True,
+                                      out_dtype="f32"),
+                  ge, dys, w2, li)                    # dys @ w2[e]^T
         _, gelu_vjp = jax.vjp(
             lambda z: jax.nn.gelu(z, approximate=False), z1)
         dz1 = gelu_vjp(da)[0].astype(cdt)
@@ -731,9 +744,9 @@ def _grouped_ffn_trainable(top_k: int, n_e: int, bm: int, dtype: str):
         dw1 = build_kernel(GroupedWgradKey(
             n_groups=n_e, m=A_pad, k=E, n=F, dtype=dtype, bm=bm))(
                 ge, xs.T, dz1)                        # (n_e, E, F) f32
-        dxs = build_kernel(dataclasses.replace(
-            k1, n=E, k=F, unary_kind=None, transpose_b=True,
-            out_dtype="f32"))(ge, dz1, w1)            # dz1 @ w1[e]^T
+        dxs = _run(dataclasses.replace(k1, n=E, k=F, unary_kind=None,
+                                       transpose_b=True, out_dtype="f32"),
+                   ge, dz1, w1, li)                   # dz1 @ w1[e]^T
         # dispatch backward: xs rows are copies of h rows at KNOWN
         # slots, so dh = sum_j dxs[rows[:, j]] — gathers, no scatter
         dh = jnp.zeros((T, E), jnp.float32)
@@ -744,10 +757,34 @@ def _grouped_ffn_trainable(top_k: int, n_e: int, bm: int, dtype: str):
                           h, wr)
         dh_g, dwr = gvjp(dgates.astype(gates.dtype))
         dh = dh + dh_g.astype(jnp.float32)
+        if layers:
+            # compact per-layer wgrad -> one DUS into the zeros table;
+            # layer scan iterations touch disjoint slabs (XLA folds the
+            # add-of-DUS-into-zeros into the accumulator in place)
+            dw1f = jnp.zeros(w1.shape, w1.dtype).at[li].set(
+                dw1.astype(w1.dtype))
+            dw2f = jnp.zeros(w2.shape, w2.dtype).at[li].set(
+                dw2.astype(w2.dtype))
+            dli = np.zeros(np.shape(li), jax.dtypes.float0)
+            return (dh.astype(h.dtype), dwr.astype(wr.dtype),
+                    dw1f, dw2f, dli)
         return (dh.astype(h.dtype), dwr.astype(wr.dtype),
                 dw1.astype(w1.dtype), dw2.astype(w2.dtype))
 
-    core.defvjp(fwd, bwd)
+    if layers:
+        @jax.custom_vjp
+        def core(h, wr, w1, w2, li):
+            return _core(h, wr, w1, w2, li)
+
+        core.defvjp(_fwd, _bwd)
+        return core
+
+    @jax.custom_vjp
+    def core(h, wr, w1, w2):
+        return _core(h, wr, w1, w2, None)
+
+    core.defvjp(lambda h, wr, w1, w2: _fwd(h, wr, w1, w2, None),
+                lambda res, dout: _bwd(res, dout))
     return core
 
 
@@ -988,6 +1025,10 @@ def make_prefill(cfg: GptConfig, use_pallas: bool | None = None):
                         moe_stacked=(w1f, w2f, li))
                     return x, (k4, v4)
 
+                if cfg.remat:
+                    # prevent_cse=False: lax.scan already isolates
+                    # iterations, the guard only costs compile time
+                    layer = jax.checkpoint(layer, prevent_cse=False)
                 x, (ks, vs) = jax.lax.scan(
                     layer, x, (rest, jnp.arange(w1f.shape[0])))
             else:
@@ -995,6 +1036,8 @@ def make_prefill(cfg: GptConfig, use_pallas: bool | None = None):
                     x, k4, v4 = _prefill_layer(x, blk, cfg, use_pallas)
                     return x, (k4, v4)
 
+                if cfg.remat:
+                    layer = jax.checkpoint(layer, prevent_cse=False)
                 x, (ks, vs) = jax.lax.scan(layer, x, blocks)
         else:
             ks, vs = [], []

@@ -356,15 +356,22 @@ class Int8GemmKey:
     Wq (k, n) int8 weights (per-out-column symmetric — quant.QTensor),
     both scales f32. The dot runs int8 x int8 -> int32 on the MXU (~2x
     the bf16 rate on v5e); dequantization happens ONCE on the (bm, bn)
-    f32 accumulator tile. Beyond the reference's layout-only integer
-    support (TensorInit int is init-only — no quantized compute exists
-    there)."""
+    f32 accumulator tile. `has_bias` adds a broadcast (n,) f32 bias on
+    the dequantized tile and `unary_kind` a fused activation — the same
+    post-op surface the bf16 BrgemmKey carries (reference fused_brgemm
+    post-ops, runtime/Xsmm/XsmmRunnerUtils.cpp:363-457): without them
+    the int8 path left bias+gelu as separate (T, n) f32 HBM round
+    trips, holding e2e int8 prefill at 48.9%% of the compute roof while
+    the GEMM alone ran 103-153%% (r5 verdict #3). Beyond the reference's
+    layout-only integer support (TensorInit int is init-only — no
+    quantized compute exists there)."""
 
     m: int
     n: int
     k: int
     out_dtype: str = "f32"
     unary_kind: str | None = None
+    has_bias: bool = False
     bm: int = 0
     bn: int = 0
     bk: int = 0

@@ -1153,8 +1153,6 @@ def _build_grouped_gemm(key, interpret: bool):
     assert isinstance(key, GroupedGemmKey)
     m, n, k, bm = key.m, key.n, key.k, key.bm
     assert m % bm == 0, (m, bm)
-    assert not (key.transpose_b and key.layers), \
-        "transpose_b (training dgrad) is per-layer only"
     out_dtype = _jdt(key.out_dtype or key.dtype)
     t = current_target()
     sub, lane = t.min_tile(key.dtype)
@@ -1180,17 +1178,27 @@ def _build_grouped_gemm(key, interpret: bool):
     grid = (m // bm, nj, kr)
 
     if key.layers:
-        # stacked-weights variant: w is (layers, n_groups, k, n) and the
-        # layer index rides as a SECOND scalar-prefetch operand feeding
-        # the weight BlockSpec — the per-layer slice never exists as a
-        # value, so a lax.scan over layers pays no slab copy.
+        # stacked-weights variant: w is (layers, n_groups, k, n) — or
+        # (layers, n_groups, n, k) under transpose_b (the training
+        # dgrad) — and the layer index rides as a SECOND scalar-prefetch
+        # operand feeding the weight BlockSpec — the per-layer slice
+        # never exists as a value, so a lax.scan over layers pays no
+        # slab copy (forward NOR backward: threading this through the
+        # custom-VJP trainable path is the r5 verdict #1a fix).
+        if key.transpose_b:
+            w_spec = pl.BlockSpec(
+                (1, 1, bn, bk),
+                lambda i, j, r, li, ge: (li[0], ge[i], j, r))
+        else:
+            w_spec = pl.BlockSpec(
+                (1, 1, bk, bn),
+                lambda i, j, r, li, ge: (li[0], ge[i], r, j))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((bm, bk), lambda i, j, r, li, ge: (i, r)),
-                pl.BlockSpec((1, 1, bk, bn),
-                             lambda i, j, r, li, ge: (li[0], ge[i], r, j)),
+                w_spec,
             ],
             out_specs=pl.BlockSpec((bm, bn),
                                    lambda i, j, r, li, ge: (i, j)),
