@@ -610,3 +610,49 @@ def test_grouped_wgrad_split_n():
     ge = jnp.asarray([0, 0, 0, 1], jnp.int32)
     xt, dy = rng(k, m), rng(m, n, seed=2)
     check(key, (ge, xt, dy), atol=2e-5)
+
+
+def test_int8_gemm_fused_bias_gelu():
+    """r5 verdict #3: bias + activation fuse into the int8 kernel's
+    accumulator-tile epilogue (the bf16 BrgemmKey post-op surface).
+    Exact vs the int32-accumulate reference with the same epilogue,
+    and vs the value-level bias+gelu on the unfused kernel's output."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpp_mlir_tpu.serving.quant import quantize, quantize_tokens
+    from tpp_mlir_tpu.xsmm.flags import Int8GemmKey
+
+    M, K, N = 32, 64, 256
+    x, w = rng(M, K, seed=7), rng(K, N, seed=8)
+    b = rng(N, seed=9)
+    qt = quantize(w)
+    xq, xs = quantize_tokens(x)
+    for unary in (None, "gelu", "relu"):
+        key = Int8GemmKey(m=M, n=N, k=K, has_bias=True, unary_kind=unary)
+        check(key, (xq, qt.q, xs, qt.scale, b), atol=1e-6, rtol=1e-6)
+    # fused == unfused(value-level) on the same quantized operands
+    plain = build_kernel(Int8GemmKey(m=M, n=N, k=K), interpret=True)(
+        xq, qt.q, xs, qt.scale)
+    want = jax.nn.gelu(plain + jnp.asarray(b, jnp.float32)[None],
+                       approximate=False)
+    got = build_kernel(
+        Int8GemmKey(m=M, n=N, k=K, has_bias=True, unary_kind="gelu"),
+        interpret=True)(xq, qt.q, xs, qt.scale, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_int8_gemm_fused_bias_split_n():
+    """Bias blocks follow the n-tile when bn < n."""
+    from tpp_mlir_tpu.serving.quant import quantize, quantize_tokens
+    from tpp_mlir_tpu.xsmm.flags import Int8GemmKey
+
+    M, K, N = 64, 256, 256
+    key = Int8GemmKey(m=M, n=N, k=K, bm=32, bn=128, bk=128,
+                      has_bias=True, unary_kind="relu")
+    x, w = rng(M, K, seed=10), rng(K, N, seed=11)
+    qt = quantize(w)
+    xq, xs = quantize_tokens(x)
+    check(key, (xq, qt.q, xs, qt.scale, rng(N, seed=12)),
+          atol=1e-6, rtol=1e-6)

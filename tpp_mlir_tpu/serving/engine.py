@@ -324,13 +324,16 @@ def _rope(x, pos, theta: float):
                             x2 * cos + x1 * sin], axis=-1).astype(x.dtype)
 
 
-def _mm_int8(x, w):
+def _mm_int8(x, w, b=None, unary=None):
     """int8 COMPUTE path: quantize the activation rows to symmetric int8
     (per-row scale) and run the int8 x int8 -> int32 Pallas MXU GEMM
     (xsmm Int8GemmKey, ~2x the bf16 MXU rate on v5e), dequantizing once
-    on the f32 accumulator tile. Adds activation-quantization error on
-    top of the weight-only path (bounded by max|row|/254 per element
-    pre-contraction); rows pad to the int8 sublane quantum (32)."""
+    on the f32 accumulator tile — with bias and activation FUSED into
+    that tile epilogue (r5 verdict #3: left unfused they were separate
+    (T, n) f32 HBM round trips the bf16 path never pays). Adds
+    activation-quantization error on top of the weight-only path
+    (bounded by max|row|/254 per element pre-contraction); rows pad to
+    the int8 sublane quantum (32)."""
     import jax.numpy as jnp
 
     from ..xsmm import build_kernel
@@ -346,8 +349,10 @@ def _mm_int8(x, w):
     if Mp != M:
         xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
         xs = jnp.pad(xs, (0, Mp - M))
-    key = Int8GemmKey(m=Mp, n=N, k=K, out_dtype="f32")
-    y = build_kernel(key)(xq, w.q, xs, w.scale)
+    key = Int8GemmKey(m=Mp, n=N, k=K, out_dtype="f32",
+                      has_bias=b is not None, unary_kind=unary)
+    args = (xq, w.q, xs, w.scale) + ((b,) if b is not None else ())
+    y = build_kernel(key)(*args)
     return y[:M].reshape(*lead, N)
 
 
@@ -374,13 +379,32 @@ def _mm(x, w, int8: bool = False):
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
 
-def _dot(x, w, b=None, int8: bool = False):
+def _dot(x, w, b=None, int8: bool = False, unary: str | None = None):
+    """Contraction + bias (+ optional fused activation). On the int8
+    MXU-compute route bias and `unary` fuse into the kernel's
+    accumulator-tile epilogue; on every other route the math is the
+    byte-identical legacy sequence (bias in f32, cast, activation in
+    f32) so existing numerics are untouched."""
+    import math
+
+    import jax
     import jax.numpy as jnp
 
-    y = _mm(x, w, int8=int8)
+    from .quant import QTensor
+
+    if (int8 and isinstance(w, QTensor)
+            and math.prod(x.shape[:-1]) >= 32):
+        return _mm_int8(x, w, b=b, unary=unary).astype(x.dtype)
+    y = _mm(x, w)
     if b is not None:
         y = y + b.astype(jnp.float32)
-    return y.astype(x.dtype)
+    y = y.astype(x.dtype)
+    if unary == "gelu":
+        y = jax.nn.gelu(y.astype(jnp.float32),
+                        approximate=False).astype(x.dtype)
+    elif unary is not None:
+        raise NotImplementedError(f"unfused fallback for unary={unary}")
+    return y
 
 
 def _moe_gates(h, wr, top_k: int):
@@ -968,9 +992,9 @@ def _prefill_layer(x, blk, cfg: GptConfig, use_pallas: bool,
         x = x + _moe_ffn_prefill(h.reshape(B * S0, E_), blk, cfg,
                                  stacked=moe_stacked).reshape(B, S0, E_)
     else:
-        h = _dot(h, blk["w1"], blk["b1"], int8=i8)
-        h = jax.nn.gelu(h.astype(jnp.float32),
-                        approximate=False).astype(x.dtype)
+        # gelu rides _dot's fused epilogue on the int8 route; the
+        # fallback applies the byte-identical legacy sequence
+        h = _dot(h, blk["w1"], blk["b1"], int8=i8, unary="gelu")
         x = x + _dot(h, blk["w2"], blk["b2"], int8=i8)
     return x, k.reshape(B, S0, H, D), v.reshape(B, S0, H, D)
 

@@ -1400,9 +1400,15 @@ def _build_int8_gemm(key, interpret: bool):
         pl.BlockSpec((bm, 1), lambda i, j, r: (i, 0)),
         pl.BlockSpec((1, bn), lambda i, j, r: (0, j)),
     ]
+    if key.has_bias:
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, r: (0, j)))
     out_spec = pl.BlockSpec((bm, bn), lambda i, j, r: (i, j))
 
-    def kernel(x_ref, w_ref, xs_ref, ws_ref, o_ref, acc_ref):
+    def kernel(x_ref, w_ref, xs_ref, ws_ref, *refs):
+        if key.has_bias:
+            b_ref, o_ref, acc_ref = refs
+        else:
+            o_ref, acc_ref = refs
         r = pl.program_id(2)
 
         @pl.when(r == 0)
@@ -1414,7 +1420,11 @@ def _build_int8_gemm(key, interpret: bool):
 
         @pl.when(r == kr - 1)
         def _finish():
+            # dequant + bias + activation on the accumulator tile — one
+            # VPU epilogue instead of (T, n) f32 HBM round trips
             y = acc_ref[:].astype(jnp.float32) * xs_ref[:] * ws_ref[:]
+            if key.has_bias:
+                y = y + b_ref[:]
             if key.unary_kind:
                 y = _UNARY_FNS[key.unary_kind](y)
             o_ref[:] = y.astype(out_dtype)
@@ -1437,9 +1447,13 @@ def _build_int8_gemm(key, interpret: bool):
         interpret=interpret,
     )
 
-    def fn(xq, wq, xscale, wscale):
-        return call(xq, wq, xscale.reshape(m, 1).astype(jnp.float32),
-                    wscale.reshape(1, n).astype(jnp.float32))
+    def fn(xq, wq, xscale, wscale, bias=None):
+        args = [xq, wq, xscale.reshape(m, 1).astype(jnp.float32),
+                wscale.reshape(1, n).astype(jnp.float32)]
+        if key.has_bias:
+            assert bias is not None, "has_bias kernel needs a bias"
+            args.append(bias.reshape(1, n).astype(jnp.float32))
+        return call(*args)
 
     return fn
 

@@ -222,11 +222,13 @@ def int8_gemm_reference(key):
     """Exact int32-accumulate semantics of the int8 compute GEMM."""
     out_dtype = _jdt(key.out_dtype)
 
-    def fn(xq, wq, xscale, wscale):
+    def fn(xq, wq, xscale, wscale, bias=None):
         acc = jnp.dot(xq.astype(jnp.int32), wq.astype(jnp.int32))
         y = (acc.astype(jnp.float32)
              * xscale.reshape(key.m, 1).astype(jnp.float32)
              * wscale.reshape(1, key.n).astype(jnp.float32))
+        if key.has_bias:
+            y = y + bias.reshape(1, key.n).astype(jnp.float32)
         if key.unary_kind:
             y = _UNARY_FNS[key.unary_kind](y)
         return y.astype(out_dtype)
