@@ -462,3 +462,38 @@ def test_decode_attn_pallas_int8_kv_slotted():
     np.testing.assert_allclose(np.asarray(lp, np.float32),
                                np.asarray(lx, np.float32),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_decode_attn_packed_pairs_matches_xla():
+    """r5 verdict #4: the pack2 head-pair cache layout ((L,B,H/2,S,2D),
+    two heads per 128-lane group) through the full decode loop matches
+    the baseline XLA einsum path — logits AND (unpacked) cache rows."""
+    import dataclasses
+
+    params = init_params(CFG, seed=0)
+    ids = np.random.default_rng(0).integers(
+        0, CFG.vocab, (2, 8)).astype(np.int32)
+    base = dataclasses.replace(CFG, decode_attn="xla")
+    packd = dataclasses.replace(CFG, decode_attn="pallas", kv_packed=True)
+    _, cache_x = make_prefill(base, use_pallas=False)(
+        params, jnp.asarray(ids))
+    _, cache_p = make_prefill(packd, use_pallas=False)(
+        params, jnp.asarray(ids))
+    # packed cache == pack(unpacked cache)
+    L, B, H, S, D = cache_x["k"].shape
+    want_packed = np.asarray(cache_x["k"]).reshape(
+        L, B, H // 2, 2, S, D).swapaxes(3, 4).reshape(
+        L, B, H // 2, S, 2 * D)
+    np.testing.assert_allclose(np.asarray(cache_p["k"]), want_packed,
+                               atol=0, rtol=0)
+    tok = jnp.asarray([3, 5], jnp.int32)
+    step_x = make_decode_step(base)
+    step_p = make_decode_step(packd)
+    for _ in range(3):
+        lx, cache_x = step_x(params, cache_x, tok)
+        lp, cache_p = step_p(params, cache_p, tok)
+        np.testing.assert_allclose(np.asarray(lp, np.float32),
+                                   np.asarray(lx, np.float32),
+                                   atol=1e-4, rtol=1e-4)
+        tok = jnp.argmax(lx, axis=-1).astype(jnp.int32)
+    assert int(cache_p["pos"]) == int(cache_x["pos"])

@@ -124,3 +124,38 @@ def test_grouped_training_kernels_mosaic_lowerable():
     wfn = build_kernel(wkey, interpret=False)
     assert_lowerable(wfn, ge, jnp.zeros((256, 256), jnp.bfloat16),
                      jnp.zeros((256, 128), jnp.bfloat16))
+
+
+def test_r6_kernel_variants_mosaic_lowerable():
+    """r6 additions: stacked+transpose_b grouped dgrad, int8 GEMM with
+    fused bias+gelu, and the pack2 head-pair decode attention all trace
+    compiled-mode without Mosaic-unsupported primitives."""
+    from tpp_mlir_tpu.xsmm.decode_attn import (DecodeAttnKey,
+                                               build_decode_attn)
+    from tpp_mlir_tpu.xsmm.flags import GroupedGemmKey, Int8GemmKey
+
+    ge = jnp.zeros((2,), jnp.int32)
+    li = jnp.zeros((), jnp.int32)
+    stkey = GroupedGemmKey(n_groups=2, m=256, n=128, k=256, bm=128,
+                           dtype="bf16", transpose_b=True,
+                           out_dtype="f32", layers=3)
+    stfn = build_kernel(stkey, interpret=False)
+    assert_lowerable(stfn, li, ge, jnp.zeros((256, 256), jnp.bfloat16),
+                     jnp.zeros((3, 2, 128, 256), jnp.bfloat16))
+
+    ikey = Int8GemmKey(m=32, n=256, k=128, has_bias=True,
+                       unary_kind="gelu")
+    ifn = build_kernel(ikey, interpret=False)
+    assert_lowerable(ifn, jnp.zeros((32, 128), jnp.int8),
+                     jnp.zeros((128, 256), jnp.int8),
+                     jnp.zeros((32,), jnp.float32),
+                     jnp.zeros((256,), jnp.float32),
+                     jnp.zeros((256,), jnp.float32))
+
+    pkey = DecodeAttnKey(batch=2, heads=4, seq=128, head_dim=64,
+                         dtype="bf16", stacked=2, pack2=True)
+    pfn = build_decode_attn(pkey, interpret=False)
+    q = jnp.zeros((2, 2, 128), jnp.bfloat16)
+    kc = jnp.zeros((2, 2, 2, 128, 128), jnp.bfloat16)
+    assert_lowerable(lambda *a: pfn(*a, li=jnp.asarray(0, jnp.int32)),
+                     q, kc, kc, jnp.asarray(5, jnp.int32))

@@ -93,6 +93,14 @@ class GptConfig:
     rms_norm: bool = False
     swiglu: bool = False
     rope_theta: float = 10000.0
+    # Pack TWO D=64 heads per 128-lane group in the KV cache
+    # ((L, B, H/2, S, 2D) layout) and run the pack2 decode-attention
+    # kernel: each cache row streams 256 contiguous bytes instead of
+    # 128 and VMEM holds half the lane-padded blocks (r5 verdict #4
+    # A/B against the b8 decode residual). MHA + unquantized KV +
+    # Pallas decode only; prefill/extend are unaffected except the
+    # cache layout (make_extend rejects packed caches).
+    kv_packed: bool = False
     # Activation checkpointing (training): wrap each layer of the
     # prefill scan in jax.checkpoint, so backward re-runs one layer's
     # forward instead of saving every layer's activations — the lever
@@ -124,6 +132,16 @@ class GptConfig:
                 "MoE experts use GELU in v1 (SwiGLU experts: future work)"
         if self.rope:
             assert self.head_dim % 2 == 0, "RoPE needs an even head_dim"
+        if self.kv_packed:
+            assert self.kv_heads is None, "kv_packed is MHA-only"
+            assert self.heads % 2 == 0, "kv_packed pairs heads"
+            assert 2 * self.head_dim <= 128, \
+                f"kv_packed packs two heads per 128-lane group; " \
+                f"head_dim {self.head_dim} is already lane-full"
+            assert self.kv_quant is None, "kv_packed is bf16/f32 KV only"
+            assert self.decode_attn != "xla", \
+                "kv_packed needs the Pallas decode kernel (the packed " \
+                "layout has no einsum path)"
 
     @property
     def head_dim(self) -> int:
@@ -1080,6 +1098,15 @@ def make_prefill(cfg: GptConfig, use_pallas: bool | None = None):
         # (L, B, S0, H, D) -> per-head-contiguous (L, B, H, S0, D)
         ks = jnp.transpose(ks, (0, 1, 3, 2, 4))
         vs = jnp.transpose(vs, (0, 1, 3, 2, 4))
+        if cfg.kv_packed:
+            # head-PAIR-contiguous (L, B, H/2, S0, 2D): adjacent heads
+            # share a 128-lane group (see GptConfig.kv_packed)
+            def pack(a):
+                Lc, Bc, Hc, Sc, Dc = a.shape
+                return a.reshape(Lc, Bc, Hc // 2, 2, Sc, Dc) \
+                        .swapaxes(3, 4).reshape(Lc, Bc, Hc // 2, Sc,
+                                                2 * Dc)
+            ks, vs = pack(ks), pack(vs)
         pad = ((0, 0), (0, 0), (0, 0), (0, cfg.max_seq - S0), (0, 0))
         cache = {"pos": jnp.asarray(S0, jnp.int32)}
         if cfg.kv_quant == "int8":
@@ -1167,6 +1194,12 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
             # post-rotation keys, so no re-rotation on read
             q = _rope(q, pos, cfg.rope_theta)
             k = _rope(k, pos, cfg.rope_theta)
+        if cfg.kv_packed:
+            # head-pair packing: adjacent heads are contiguous in the
+            # projection output, so the (B, H, D) -> (B, H/2, 2D)
+            # reshape is free and matches the packed cache layout
+            k = k.reshape(B, kv_local // 2, 2 * D)
+            v = v.reshape(B, kv_local // 2, 2 * D)
         kv = dict(kv)
         if quant_kv:
             # int8 KV: quantize the written token per (batch, head) and
@@ -1237,9 +1270,13 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
                                head_dim=D, dtype=cfg.dtype,
                                slotted=slotted, groups=G,
                                stacked=kv["k"].shape[0],
-                               kv_quant=quant_kv)
+                               kv_quant=quant_kv, pack2=cfg.kv_packed)
             fits = decode_attn_fits(dk, current_target().vmem_bytes)
-            if cfg.decode_attn == "pallas":
+            if cfg.kv_packed:
+                # the packed layout exists only for the Pallas kernel
+                assert fits, "kv_packed cache blocks exceed VMEM"
+                use_dk = True
+            elif cfg.decode_attn == "pallas":
                 use_dk = True
             elif fits and on_tpu() and G == 1 and not quant_kv:
                 # auto: the MHA bf16/f32 form is the measured win; two
@@ -1260,7 +1297,10 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
             # layer in its BlockSpec (scalar-prefetched li): feeding it
             # the kc/vc dynamic_slice instead makes XLA materialize the
             # slab copy (measured net-slower in-loop, decode_form_r5)
-            qk = q if G == 1 else q.reshape(B, kv_local, G, D)
+            if cfg.kv_packed:
+                qk = q.reshape(B, kv_local // 2, 2 * D)
+            else:
+                qk = q if G == 1 else q.reshape(B, kv_local, G, D)
             a = build_decode_attn(dk, interpret=not on_tpu())(
                 qk, kv["k"], kv["v"], pos, li,
                 k_s=kv.get("k_s"), v_s=kv.get("v_s"))
@@ -1402,6 +1442,9 @@ def make_extend(cfg: GptConfig, donate: bool = False):
     carry layout are the measured-fastest decode (PERF.md serving) and
     stay byte-identical; extend generalizes the same design to T>1
     (the chunk dimension joins the query side of the attention)."""
+    assert not cfg.kv_packed, \
+        "make_extend reads the cache through the composed einsum path; " \
+        "the packed (H/2, S, 2D) layout is decode-kernel only"
     import jax
     import jax.numpy as jnp
 

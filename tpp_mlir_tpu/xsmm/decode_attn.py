@@ -66,6 +66,16 @@ class DecodeAttnKey:
     # streams at 1 byte/element, halving decode attention's dominant
     # byte component (exp_decode_b8: the KV read IS the b8 bound).
     kv_quant: bool = False
+    # pack2 (r5 verdict #4 A/B): at D = 64 each K/V row is 128 BYTES
+    # (bf16) and lane-pads to half-empty vregs in VMEM; pack TWO
+    # adjacent heads per 128-lane group — cache (B, H/2, S, 2D), q
+    # (B, H/2, 2D) — so rows stream 256 bytes contiguous and VMEM holds
+    # half the padded blocks. The per-pair scores are two masked lane
+    # reductions (full-lane VPU ops only: lane-slice reshapes do not
+    # lower, CLAUDE.md r3); softmax runs on the (S, 2) column pair and
+    # the AV pass rebuilds a (S, 2D) weight panel from the two columns.
+    # MHA, unquantized KV only.
+    pack2: bool = False
 
 
 def decode_attn_fits(key: DecodeAttnKey, vmem_bytes: int) -> bool:
@@ -82,7 +92,9 @@ def decode_attn_fits(key: DecodeAttnKey, vmem_bytes: int) -> bool:
                   + 2 * key.seq * 128 * 4)
     else:
         dsz = 2 if key.dtype in ("bf16", "f16") else 4
-        blocks = 2 * key.heads * key.seq * pad(key.head_dim) * dsz
+        heads = key.heads // 2 if key.pack2 else key.heads
+        dim = 2 * key.head_dim if key.pack2 else key.head_dim
+        blocks = 2 * heads * key.seq * pad(dim) * dsz
     return 2 * blocks + (1 << 20) < int(vmem_bytes * 0.9)
 
 
@@ -98,6 +110,12 @@ def build_decode_attn(key: DecodeAttnKey, interpret: bool):
     G = key.groups
     L = key.stacked
     scale = D ** -0.5
+    if key.pack2:
+        assert G == 1 and not key.kv_quant, "pack2 is MHA, bf16/f32 KV only"
+        assert H % 2 == 0 and 2 * D <= 128, (H, D)
+        Hs, Ds = H // 2, 2 * D      # packed slots: head pairs, 2D lanes
+    else:
+        Hs, Ds = H, D
 
     def _attend(qh, khb, vhb, live, ks=None, vs=None):
         """One head's matvec attention: qh (G, D), khb/vhb (S, D) f32,
@@ -123,6 +141,23 @@ def build_decode_attn(key: DecodeAttnKey, interpret: bool):
             return jnp.sum(p * vhb, axis=0, keepdims=True)
         # (S, G, 1) * (S, 1, D) -> reduce S -> (G, D)
         return jnp.sum(p[:, :, None] * vhb[:, None, :], axis=0)
+
+    def _attend_pair(qh, khb, vhb, live, ma, mb):
+        """One packed head PAIR: qh (1, 2D), khb/vhb (S, 2D) f32 with
+        head a on lanes [0, D) and head b on [D, 2D). Scores are two
+        masked full-lane reductions (a lane-slice reshape does not
+        lower); the AV pass rebuilds the (S, 2D) weight panel from the
+        two softmax columns via the same masks."""
+        prod = khb * qh
+        sa = jnp.sum(prod * ma, axis=1, keepdims=True)
+        sb = jnp.sum(prod * mb, axis=1, keepdims=True)
+        s = jnp.concatenate([sa, sb], axis=1) * scale      # (S, 2)
+        s = jnp.where(live, s, -1e30)
+        m = jnp.max(s, axis=0, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=0, keepdims=True)
+        w = p[:, 0:1] * ma + p[:, 1:2] * mb                # (S, 2D)
+        return jnp.sum(w * vhb, axis=0, keepdims=True)     # (1, 2D)
 
     if key.kv_quant:
         # per-head (B, H) grid: the (S, 1) f32 scale columns pad their
@@ -158,11 +193,18 @@ def build_decode_attn(key: DecodeAttnKey, interpret: bool):
             p_live = pos_ref[b] if key.slotted else pos_ref[0]
             live = (jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
                     <= p_live)
-            for h in range(H):
-                o_ref[0, h] = _attend(
-                    q_ref[0, h].astype(jnp.float32),
-                    k_ref[lead + (h,)].astype(jnp.float32),
-                    v_ref[lead + (h,)].astype(jnp.float32), live)
+            if key.pack2:
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, Ds), 1)
+                ma = (lane < D).astype(jnp.float32)
+                mb = 1.0 - ma
+            for h in range(Hs):
+                qh = q_ref[0, h].astype(jnp.float32)
+                kb = k_ref[lead + (h,)].astype(jnp.float32)
+                vb = v_ref[lead + (h,)].astype(jnp.float32)
+                if key.pack2:
+                    o_ref[0, h] = _attend_pair(qh, kb, vb, live, ma, mb)
+                else:
+                    o_ref[0, h] = _attend(qh, kb, vb, live)
 
     if key.kv_quant:
         if L:
@@ -199,12 +241,12 @@ def build_decode_attn(key: DecodeAttnKey, interpret: bool):
             num_scalar_prefetch=2,   # (pos, layer index)
             grid=(B,),
             in_specs=[
-                pl.BlockSpec((1, H, G, D),
+                pl.BlockSpec((1, Hs, G, Ds),
                              lambda b, pos, li: (b, 0, 0, 0)),
-                pl.BlockSpec((1, 1, H, S, D), slab),
-                pl.BlockSpec((1, 1, H, S, D), slab),
+                pl.BlockSpec((1, 1, Hs, S, Ds), slab),
+                pl.BlockSpec((1, 1, Hs, S, Ds), slab),
             ],
-            out_specs=pl.BlockSpec((1, H, G, D),
+            out_specs=pl.BlockSpec((1, Hs, G, Ds),
                                    lambda b, pos, li: (b, 0, 0, 0)),
         )
     else:
@@ -213,17 +255,17 @@ def build_decode_attn(key: DecodeAttnKey, interpret: bool):
             num_scalar_prefetch=1,
             grid=(B,),
             in_specs=[
-                pl.BlockSpec((1, H, G, D), row),
-                pl.BlockSpec((1, H, S, D), row),
-                pl.BlockSpec((1, H, S, D), row),
+                pl.BlockSpec((1, Hs, G, Ds), row),
+                pl.BlockSpec((1, Hs, S, Ds), row),
+                pl.BlockSpec((1, Hs, S, Ds), row),
             ],
-            out_specs=pl.BlockSpec((1, H, G, D), row),
+            out_specs=pl.BlockSpec((1, Hs, G, Ds), row),
         )
     dsz = 1 if key.kv_quant else 2 if key.dtype in ("bf16", "f16") else 4
     scale_bytes = 2 * B * H * S * 4 if key.kv_quant else 0
     call = pl.pallas_call(
         kernel, grid_spec=grid_spec, interpret=interpret,
-        out_shape=jax.ShapeDtypeStruct((B, H, G, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Hs, G, Ds), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * G * S * D,
             bytes_accessed=2 * B * H * S * D * dsz + scale_bytes,
