@@ -9,12 +9,19 @@ top_k x dense FFN in fwd and 3x that for fwd+dgrad+wgrad (attention /
 router / embed flops included at the same 3x; update flops excluded —
 bench_train.py convention).
 
-The grouped form runs moe_group_stacked=False (the training layout:
-the custom VJP is per-layer; weights ride the scan xs, paying the
-measured ~127 us/layer slab copy each direction — still ~n_e/top_k x
-less compute than the scan form).
+Forms (each optionally suffixed "+remat" for jax.checkpoint on the
+layer scan): "scan" (exact oracle), "grouped" (r5a per-layer custom
+VJP, weights in the scan xs — pays the measured ~127 us/layer slab
+copy each direction), "stacked" (r6: moe_group_stacked=True — expert
+tables held out of the scan xs, layer index in every grouped kernel's
+BlockSpec, forward AND backward; r5 verdict #1a), "sorted".
 
-Usage: python scripts/exp_moe_train.py [--json out.json]
+r6 default geometry is the production B8 s512 (T=4096, ~12.5%% pad at
+bm=128 instead of the r5c tiny-T 50%%); the scan form at that scale
+REQUIRES +remat (23 GB of saved per-expert activations otherwise).
+
+Usage: python scripts/exp_moe_train.py \
+    --forms scan+remat,grouped+remat,stacked+remat,stacked [--json out]
 """
 
 from __future__ import annotations
@@ -34,8 +41,11 @@ def main() -> int:
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--platform", default="")
     p.add_argument("--tiny", action="store_true")
-    p.add_argument("--forms", default="scan,grouped",
-                   help="comma list of forms to measure")
+    p.add_argument("--forms",
+                   default="scan+remat,grouped+remat,stacked+remat,stacked",
+                   help="comma list of forms, each optionally +remat")
+    p.add_argument("--b4", action="store_true",
+                   help="r5c geometry (B4 s256) instead of B8 s512")
     p.add_argument("--bm", type=int, default=0,
                    help="override moe_group_bm (training geometry pads "
                         "A=T*k up to (ceil(A/bm)+n_e)*bm; smaller bm "
@@ -43,10 +53,12 @@ def main() -> int:
     args = p.parse_args()
 
     args.forms = [f.strip() for f in args.forms.split(",") if f.strip()]
-    bad = set(args.forms) - {"scan", "sorted", "grouped"}
+    bad = {f.split("+")[0] for f in args.forms} - {"scan", "sorted",
+                                                   "grouped", "stacked"}
     if bad:
-        p.error(f"unknown forms {sorted(bad)}: pick from scan,sorted,grouped"
-                " (unrecognized names would silently measure the scan form)")
+        p.error(f"unknown forms {sorted(bad)}: pick from scan,sorted,"
+                "grouped,stacked (+remat suffix); unrecognized names "
+                "would silently measure the scan form")
     if args.bm and (args.bm <= 0 or args.bm % 8):
         p.error(f"--bm {args.bm}: Mosaic needs the row block 8-divisible "
                 "(fail fast locally, not after a remote compile)")
@@ -73,12 +85,15 @@ def main() -> int:
         B, s0, pair = 2, 16, (2, 6)
     else:
         cfg0 = GptConfig(vocab=50304, embed=768, heads=12, layers=12,
-                         mlp_ratio=4, max_seq=640, dtype="bf16",
+                         mlp_ratio=4, max_seq=512, dtype="bf16",
                          n_experts=8, top_k=2, moe_group_bm=128)
-        # B8 s512 OOMs HBM (23 GB: the scan form saves n_e per-expert
-        # (T, F) activations per layer for backward); the A/B compares
-        # forms, not absolute scale
-        B, s0, pair = 4, 256, (2, 8)
+        # r6 default: the production B8 s512 geometry (~12.5% pad at
+        # bm=128). The scan form at this scale needs +remat (23 GB of
+        # saved per-expert activations otherwise, the r5c OOM).
+        B, s0, pair = 8, 512, (2, 6)
+        if args.b4:
+            cfg0 = dataclasses.replace(cfg0, max_seq=640)
+            B, s0, pair = 4, 256, (2, 8)
     if args.bm:
         cfg0 = dataclasses.replace(cfg0, moe_group_bm=args.bm)
 
@@ -98,9 +113,12 @@ def main() -> int:
 
     results["bm"] = cfg0.moe_group_bm
     for form in args.forms:
+        base, _, mod = form.partition("+")
         cfg = dataclasses.replace(
-            cfg0, moe_prefill_form=form,
-            moe_group_stacked=False)   # training layout (see docstring)
+            cfg0,
+            moe_prefill_form="grouped" if base == "stacked" else base,
+            moe_group_stacked=base == "stacked",
+            remat=mod == "remat")
         params = stack_params(init_params(cfg, seed=0))
         prefill = make_prefill(cfg, use_pallas=None)
 

@@ -1,0 +1,241 @@
+#!/usr/bin/env python
+"""r6 (r5 verdict #2): measure speculative decoding on a model that
+ACCEPTS. Every prior speculative throughput claim was the analytic
+(1 + sum a^i) / t_macro curve with acceptance measured only on random
+weights (0/156, spec_trunk_r5c.json). This run closes the train->serve
+loop the repo uniquely can:
+
+1. Train the GPT-2-small-geometry target (12L E768 V50304) AND a
+   2-layer draft on a synthetic corpus with learnable structure —
+   a noisy two-term affine recurrence
+       next = (5*cur + 3*prev + 11) mod V   with prob 1-eps,
+       uniform otherwise
+   (needs attention two tokens back, so depth matters but a 2-layer
+   model can express it) — until CE drops well below uniform
+   (ln V = 10.83).
+2. Cast to bf16 serving params and measure, same-run: greedy t_tok
+   (slope over two generate lengths, programs jitted ONCE — the r5
+   harness-jitter lesson), the separate-draft speculative macro, and
+   the tied-trunk self-speculative macro, each with its MEASURED
+   acceptance from the generate stats.
+
+Emitted streams are greedy-exact by construction (speculative.py), so
+acceptance only moves speed — this run replaces the extrapolated
+speedups with measured ones (or the honest finding that acceptance
+stays too low at this scale).
+
+Usage: python scripts/exp_spec_real.py [--json out.json] [--tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+
+def _corpus(np, rng, B, S, V, eps=0.1):
+    """Noisy two-term affine recurrence over [0, V)."""
+    out = np.empty((B, S), np.int64)
+    out[:, 0] = rng.integers(0, V, B)
+    out[:, 1] = rng.integers(0, V, B)
+    for t in range(2, S):
+        det = (5 * out[:, t - 1] + 3 * out[:, t - 2] + 11) % V
+        noise = rng.integers(0, V, B)
+        pick = rng.random(B) < eps
+        out[:, t] = np.where(pick, noise, det)
+    return out.astype(np.int32)
+
+
+def _slope(fn_short, fn_long, n_short, n_long, reps, sync):
+    """Median per-unit slope between two pre-jitted program lengths."""
+    sync(fn_short())
+    sync(fn_long())
+    slopes = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(fn_short())
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sync(fn_long())
+        tl = time.perf_counter() - t0
+        slopes.append((tl - ts) / (n_long - n_short))
+    slopes.sort()
+    return slopes[len(slopes) // 2]
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--json", default="benchmarks/results/spec_real_r6.json")
+    p.add_argument("--platform", default="")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--k", type=int, default=4)
+    p.add_argument("--steps", type=int, default=400,
+                   help="adam training steps (each B x S tokens)")
+    p.add_argument("--reps", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from tpp_mlir_tpu.serving import (GptConfig, init_params, make_generate,
+                                      make_prefill, stack_params)
+    from tpp_mlir_tpu.serving.speculative import make_speculative_generate
+
+    if args.tiny:
+        kw = dict(vocab=211, embed=64, heads=4, mlp_ratio=2, max_seq=64,
+                  dtype="f32")
+        L_t, L_d = 3, 1
+        B, S = 4, 48
+        s0, g_short, g_long = 8, 6, 18
+        train_steps = max(2, min(args.steps, 8))
+    else:
+        kw = dict(vocab=50304, embed=768, heads=12, mlp_ratio=4,
+                  max_seq=256, dtype="f32")
+        L_t, L_d = 12, 2
+        B, S = 16, 256
+        s0, g_short, g_long = 64, 32, 160
+        train_steps = args.steps
+    k = args.k
+    assert s0 + g_long + k + 1 <= kw["max_seq"]
+    tcfg = GptConfig(layers=L_t, **kw)
+    dcfg = GptConfig(layers=L_d, **kw)
+    V = kw["vocab"]
+    rng = np.random.default_rng(0)
+    results = {"corpus": {"vocab": V, "eps": 0.1,
+                          "uniform_ce": float(np.log(V))},
+               "k": k, "train_steps": train_steps,
+               "geometry": {"target_layers": L_t, "draft_layers": L_d,
+                            "embed": kw["embed"], "B": B, "S": S}}
+
+    def ce_loss(prefill, params, ids):
+        logits, _ = prefill(params, ids)
+        lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32))
+        return -jnp.mean(jnp.take_along_axis(
+            lp, ids[:, 1:][..., None], -1))
+
+    def train(cfg, name, seed):
+        params = stack_params(init_params(cfg, seed=seed))
+        prefill = make_prefill(cfg, use_pallas=None)
+        opt = optax.adam(3e-4)
+        opt_state = opt.init(params)
+        loss_fn = functools.partial(ce_loss, prefill)
+
+        @functools.partial(jax.jit, static_argnums=3)
+        def train_n(params, opt_state, ids, n):
+            def body(carry, batch):
+                params, opt_state = carry
+                loss, g = jax.value_and_grad(loss_fn)(params, batch)
+                upd, opt_state = opt.update(g, opt_state)
+                params = optax.apply_updates(params, upd)
+                return (params, opt_state), loss
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state),
+                ids.reshape(n, -1, ids.shape[-1]))
+            return params, opt_state, losses
+
+        chunk = 10 if not args.tiny else 2
+        ce0 = ce_last = None
+        t0 = time.perf_counter()
+        for start in range(0, train_steps, chunk):
+            n = min(chunk, train_steps - start)
+            ids = jnp.asarray(_corpus(np, rng, n * B, S, V))
+            params, opt_state, losses = train_n(params, opt_state, ids, n)
+            losses = np.asarray(losses, np.float32)
+            if ce0 is None:
+                ce0 = float(losses[0])
+            ce_last = float(losses[-1])
+            print(f"  {name} step {start + n}: CE {ce_last:.3f}",
+                  flush=True)
+        dt = time.perf_counter() - t0
+        # held-out CE in the SERVING dtype (bf16 params)
+        sparams = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            params)
+        scfg = dataclasses.replace(cfg, dtype="bf16")
+        held = jnp.asarray(_corpus(np, rng, B, S, V))
+        ce_bf16 = float(ce_loss(make_prefill(scfg, use_pallas=None),
+                                sparams, held))
+        print(f"{name}: CE {ce0:.3f} -> {ce_last:.3f} "
+              f"(bf16 held-out {ce_bf16:.3f}, uniform {np.log(V):.2f}; "
+              f"{dt:.0f}s)", flush=True)
+        return sparams, scfg, {"ce_first_step": round(ce0, 3),
+                               "ce_last_step": round(ce_last, 3),
+                               "ce_bf16_heldout": round(ce_bf16, 3),
+                               "train_seconds": round(dt, 1)}
+
+    tparams, stcfg, tlog = train(tcfg, "target", seed=0)
+    dparams, sdcfg, dlog = train(dcfg, "draft", seed=1)
+    results["target_train"] = tlog
+    results["draft_train"] = dlog
+
+    prompt = jnp.asarray(_corpus(np, rng, 1, s0, V))
+    key0 = jax.random.PRNGKey(0)
+
+    def sync(x):
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+
+    # --- greedy baseline: programs jitted ONCE, slope over lengths ---
+    gen_s = make_generate(stcfg, g_short)
+    gen_l = make_generate(stcfg, g_long)
+    t_tok = _slope(lambda: gen_s(tparams, prompt, key0),
+                   lambda: gen_l(tparams, prompt, key0),
+                   g_short, g_long, args.reps, sync)
+    results["greedy_ms_tok"] = round(t_tok * 1e3, 4)
+    print(f"greedy: {t_tok * 1e3:.3f} ms/tok", flush=True)
+    greedy_tokens = np.asarray(gen_l(tparams, prompt, key0))
+
+    def spec_rows(name, draft_cfg, draft_params, trunk):
+        mk = functools.partial(make_speculative_generate, stcfg,
+                               None if trunk else draft_cfg, k=k,
+                               trunk_layers=trunk)
+        if trunk:
+            sp_s = mk(steps=g_short)
+            sp_l = mk(steps=g_long)
+            fs = lambda: sp_s(tparams, prompt)
+            fl = lambda: sp_l(tparams, prompt)
+        else:
+            sp_s = mk(steps=g_short)
+            sp_l = mk(steps=g_long)
+            fs = lambda: sp_s(tparams, draft_params, prompt)
+            fl = lambda: sp_l(tparams, draft_params, prompt)
+        per = _slope(fs, fl, g_short, g_long, args.reps, sync)
+        toks, stats = fl()
+        drafted = int(stats["drafted"])
+        accepted = int(stats["accepted"])
+        acc = accepted / max(drafted, 1)
+        exact = bool((np.asarray(toks) == greedy_tokens).all())
+        row = {"ms_tok": round(per * 1e3, 4),
+               "speedup_vs_greedy": round(t_tok / per, 3),
+               "accepted": accepted, "drafted": drafted,
+               "acceptance": round(acc, 4),
+               "greedy_exact": exact}
+        print(f"{name}: {per * 1e3:.3f} ms/tok = {t_tok / per:.2f}x "
+              f"greedy, acceptance {accepted}/{drafted} = {acc:.2%}, "
+              f"greedy-exact={exact}", flush=True)
+        return row
+
+    results["spec_draft"] = spec_rows("separate draft", sdcfg, dparams,
+                                      trunk=0)
+    results["spec_trunk"] = spec_rows("tied trunk", None, None,
+                                      trunk=L_d)
+
+    if args.json:
+        json.dump(results, open(args.json, "w"), indent=1)
+        print(f"wrote {args.json}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

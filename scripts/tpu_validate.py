@@ -92,6 +92,25 @@ def main() -> int:
                 ChainKey(m=256, dims=(1024,) * 4, has_bias=True,
                          unary_kind="relu", last_unary="relu", repeats=4),
                 (rng(256, 1024) * 0.1, *wb), 1e-2)
+    # f16 family (r5 verdict #6): IEEE-half storage, f32 accumulate —
+    # the Mosaic f16 capability gate for the tpp-gen --float-type=f16
+    # surface (interpret differentials live in tests/xsmm)
+    ok &= check("brgemm f16 fused bias+relu",
+                BrgemmKey(batch=2, m=256, n=512, k=384, dtype="f16",
+                          out_dtype="f32", beta0=True, binary_kind="add",
+                          unary_kind="relu"),
+                (rng(2, 256, 384, dtype=jnp.float16),
+                 rng(2, 384, 512, seed=1, dtype=jnp.float16), None,
+                 rng(512, seed=2, dtype=jnp.float16)), 3e-2)
+    ok &= check("fused chain f16 2x512",
+                ChainKey(m=128, dims=(512,) * 3, dtype="f16",
+                         has_bias=True, unary_kind="relu",
+                         last_unary=None),
+                (rng(128, 512, dtype=jnp.float16),
+                 rng(512, 512, seed=21, dtype=jnp.float16),
+                 rng(512, seed=22, dtype=jnp.float16),
+                 rng(512, 512, seed=23, dtype=jnp.float16),
+                 rng(512, seed=24, dtype=jnp.float16)), 3e-2)
     print("ALL OK" if ok else "FAILURES", flush=True)
     return 0 if ok else 1
 

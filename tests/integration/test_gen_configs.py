@@ -18,6 +18,10 @@ CONFIGS = [
     "--batch=16 --layers=64,64 --bias --relu --float-type=bf16",
     "--batch=16 --layers=64,64 --bias --relu --float-type=bf16 --vnni=2",
     "--batch=8 --layers=32,32 --tiles=8,32,32 --bias --relu",
+    # f16 family (r5 verdict #6: the flag existed untested) — IEEE half
+    # storage, f32 accumulate, same differential as bf16
+    "--batch=16 --layers=64,64 --bias --relu --float-type=f16",
+    "--batch=16 --layers=64,64 --bias --relu --float-type=f16 --vnni=2",
 ]
 
 
@@ -32,7 +36,7 @@ def test_gen_config_executes_and_matches_loops(cfg):
     r2 = run_module(m2, init_type="rand", seed=11, linalg_to_loops=True)
     a = np.asarray(r1["outputs"][0], np.float32)
     b = np.asarray(r2["outputs"][0], np.float32)
-    tol = 0.08 if "bf16" in cfg else 1e-4
+    tol = 0.08 if ("bf16" in cfg or "f16" in cfg) else 1e-4
     np.testing.assert_allclose(a, b, atol=tol, rtol=tol)
 
 
@@ -40,6 +44,7 @@ BLOCKED_CONFIGS = [
     "--batch=64 --layers=64,64 --tiles=32,32,32 --bias --relu",
     "--batch=64 --layers=64,64 --tiles=32,32,32 --float-type=bf16 --vnni=2",
     "--batch=8 --layers=32,32,32 --tiles=8,32,32 --bias --relu --kernel=args",
+    "--batch=64 --layers=64,64 --tiles=32,32,32 --float-type=f16 --vnni=2",
 ]
 
 
@@ -63,5 +68,5 @@ def test_gen_tiles_emits_preblocked_ir(cfg):
                               seed=5)["outputs"][0], np.float32)
     b = np.asarray(run_module(parse_module(text), init_type="rand", seed=5,
                               linalg_to_loops=True)["outputs"][0], np.float32)
-    tol = 0.08 if "bf16" in cfg else 1e-4
+    tol = 0.08 if ("bf16" in cfg or "f16" in cfg) else 1e-4
     np.testing.assert_allclose(a, b, atol=tol, rtol=tol)

@@ -656,3 +656,29 @@ def test_int8_gemm_fused_bias_split_n():
     xq, xs = quantize_tokens(x)
     check(key, (xq, qt.q, xs, qt.scale, rng(N, seed=12)),
           atol=1e-6, rtol=1e-6)
+
+
+def test_f16_kernel_family():
+    """r5 verdict #6: f16 was accepted but never executed. IEEE-half
+    storage with f32 accumulation through the BRGEMM, fused-epilogue,
+    VNNI-normalized and chain kernels, differential vs the reference
+    oracles in interpret mode (the TPU row lives in tpu_validate.py)."""
+    f16 = jnp.float16
+    key = BrgemmKey(batch=2, m=32, n=128, k=64, dtype="f16",
+                    out_dtype="f32", beta0=True)
+    check(key, (rng(2, 32, 64, dtype=f16), rng(2, 64, 128, seed=1,
+                                               dtype=f16)),
+          atol=1e-5, rtol=1e-3)   # f32-accumulate, block-order roundoff
+    key = BrgemmKey(batch=1, m=32, n=128, k=64, dtype="f16",
+                    out_dtype="f16", beta0=True, binary_kind="add",
+                    unary_kind="relu")
+    check(key, (rng(1, 32, 64, seed=2, dtype=f16),
+                rng(1, 64, 128, seed=3, dtype=f16), None,
+                rng(128, seed=4, dtype=f16)), atol=2e-3, rtol=2e-3)
+    from tpp_mlir_tpu.xsmm.flags import ChainKey
+    ck = ChainKey(m=16, dims=(64, 128, 64), dtype="f16", has_bias=True,
+                  unary_kind="relu", last_unary=None)
+    check(ck, (rng(16, 64, seed=5, dtype=f16),
+               rng(64, 128, seed=6, dtype=f16), rng(128, seed=8, dtype=f16),
+               rng(128, 64, seed=7, dtype=f16), rng(64, seed=9, dtype=f16)),
+          atol=2e-3, rtol=2e-2)

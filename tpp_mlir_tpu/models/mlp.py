@@ -124,7 +124,10 @@ def _build_mlp_blocked(cfg: MlpConfig) -> Module:
                         "pack_inner_dims": (0, 1),
                         "pack_inner_tiles": (mb, nb)}).result
         mm_attrs = {}
-        if cfg.vnni and dt == "bf16":
+        if cfg.vnni and dt in ("bf16", "f16"):
+            # reference VNNIUtils blocks BOTH 16-bit float types at
+            # factor 2 (include/TPP/.../VNNIUtils.h via DLTI); f16 was
+            # previously silently un-packed (r5 verdict #6)
             w = b.create("tl.vnni_pack", [w],
                          [w.type.with_shape((N // nb, K // kb,
                                              kb // cfg.vnni, nb, cfg.vnni))],

@@ -120,7 +120,7 @@ class PackVNNIPass(Pass):
             if op.parent is None:
                 continue
             if op.opname == "tl.matmul" and not op.attrs.get("transpose_b") \
-                    and op.operands[0].type.dtype == "bf16":
+                    and op.operands[0].type.dtype in ("bf16", "f16"):
                 A, B, C = op.operands
                 K, N = B.type.shape
                 M = A.type.shape[0]
@@ -145,7 +145,7 @@ class PackVNNIPass(Pass):
                 func.replace_all_uses(op.result, res)
                 func.erase(op)
                 changed = True
-            elif op.opname == "tl.brgemm" and op.operands[0].type.dtype == "bf16":
+            elif op.opname == "tl.brgemm" and op.operands[0].type.dtype in ("bf16", "f16"):
                 A, B, C = op.operands
                 Bb, K, N = B.type.shape
                 if K % vf:
@@ -164,7 +164,7 @@ class PackVNNIPass(Pass):
                 func.erase(op)
                 changed = True
             elif op.opname == "tl.blocked_matmul" and not op.attrs.get("vnni") \
-                    and op.operands[0].type.dtype == "bf16":
+                    and op.operands[0].type.dtype in ("bf16", "f16"):
                 A, B, C = op.operands
                 Nb, Kb, kb, nb = B.type.shape
                 if kb % vf:
