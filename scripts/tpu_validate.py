@@ -29,10 +29,15 @@ def rng(*shape, dtype=jnp.float32, seed=0):
 
 
 def check(name, key, args, tol):
-    kfn = build_kernel(key, interpret=False)
-    rfn = reference_kernel(key)
-    got = np.asarray(kfn(*args), np.float32)
-    want = np.asarray(rfn(*args), np.float32)
+    try:
+        kfn = build_kernel(key, interpret=False)
+        rfn = reference_kernel(key)
+        got = np.asarray(kfn(*args), np.float32)
+        want = np.asarray(rfn(*args), np.float32)
+    except Exception as e:   # a failed row must not kill later rows
+        print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}",
+              flush=True)
+        return False
     err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
     status = "OK " if err <= tol else "FAIL"
     print(f"{status} {name}: relerr {err:.2e} (tol {tol})", flush=True)
