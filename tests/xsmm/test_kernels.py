@@ -682,3 +682,19 @@ def test_f16_kernel_family():
                rng(64, 128, seed=6, dtype=f16), rng(128, seed=8, dtype=f16),
                rng(128, 64, seed=7, dtype=f16), rng(64, seed=9, dtype=f16)),
           atol=2e-3, rtol=2e-2)
+
+
+def test_f16_compiled_mode_delegates_to_xla():
+    """Mosaic has no f16 type (r6, v5e: "Unsupported type in mosaic
+    dialect: 'f16'"), so compiled-mode dispatch of an f16 key must
+    return the jnp/XLA delegation — verifiable on CPU because the
+    delegated callable runs anywhere, while a real compiled pallas_call
+    cannot run on the CPU backend."""
+    f16 = jnp.float16
+    key = BrgemmKey(batch=1, m=16, n=128, k=64, dtype="f16",
+                    out_dtype="f32", beta0=True)
+    fn = build_kernel(key, interpret=False)   # would be Mosaic for bf16
+    a, b = rng(1, 16, 64, dtype=f16), rng(1, 64, 128, seed=1, dtype=f16)
+    got = np.asarray(fn(a, b), np.float32)
+    want = np.asarray(reference_kernel(key)(a, b), np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)

@@ -51,6 +51,10 @@ def init_slot_cache(cfg: GptConfig, slots: int):
 
     L, S = cfg.layers, cfg.max_seq
     kvh, D = cfg.kv_h, cfg.head_dim
+    if cfg.kv_packed:
+        # head-pair-packed cache layout (engine.GptConfig.kv_packed);
+        # caught by the serving config fuzzer on its first run
+        kvh, D = kvh // 2, 2 * D
     if cfg.kv_quant == "int8":
         cache = {"k": jnp.zeros((L, slots, kvh, S, D), jnp.int8),
                  "v": jnp.zeros((L, slots, kvh, S, D), jnp.int8),

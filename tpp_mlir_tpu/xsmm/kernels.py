@@ -3310,9 +3310,23 @@ def _force_highest(fn):
     return wrapped
 
 
+def _is_f16(key) -> bool:
+    return "f16" in (getattr(key, "dtype", None),
+                     getattr(key, "out_dtype", None))
+
+
 def build_kernel(key, interpret: bool | None = None):
     if interpret is None:
         interpret = interpret_default()
+    if not interpret and _is_f16(key):
+        # Mosaic has NO f16 type (measured r6 on v5e: "Unsupported type
+        # in mosaic dialect: 'f16'") — the compiled path delegates f16
+        # kernels to the straight-line jnp semantics (raw XLA, which
+        # handles f16 natively), the same measured-delegation stance as
+        # the conv and D<128-attention paths. Interpret mode still
+        # exercises the Pallas kernel bodies (tests/xsmm f16 rows).
+        from .reference import reference_kernel
+        return reference_kernel(key)
     if getattr(key, "precision", "default") == "highest":
         return _force_highest(_build_dispatch(key, interpret))
     return _build_dispatch(key, interpret)
