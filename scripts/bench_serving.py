@@ -94,6 +94,10 @@ def main() -> int:
                         "head stored int8 with per-out-channel scales "
                         "(serving/quant.py) — halves the bf16 weight "
                         "read that dominates decode")
+    p.add_argument("--kv-packed", action="store_true",
+                   help="pack two D=64 heads per 128-lane KV cache group "
+                        "and decode through the pack2 Pallas kernel "
+                        "(engine.GptConfig.kv_packed; r6 b8 A/B winner)")
     p.add_argument("--kv-quant", choices=["int8"], default="",
                    help="int8 KV cache with per-(token, head) scales — "
                         "halves the live-KV read that dominates decode "
@@ -126,7 +130,9 @@ def main() -> int:
                         kv_heads=kvh, kv_quant=args.kv_quant or None,
                         n_experts=args.experts, top_k=args.top_k_experts,
                         moe_prefill_form=args.moe_prefill,
-                        int8_compute=args.int8_compute)
+                        int8_compute=args.int8_compute,
+                        kv_packed=args.kv_packed,
+                        decode_attn="pallas" if args.kv_packed else "auto")
         s0, n_short, n_long = 16, 4, 12
         batches = (1, 2)
     else:
@@ -135,7 +141,9 @@ def main() -> int:
                         kv_heads=kvh, kv_quant=args.kv_quant or None,
                         n_experts=args.experts, top_k=args.top_k_experts,
                         moe_prefill_form=args.moe_prefill,
-                        int8_compute=args.int8_compute)
+                        int8_compute=args.int8_compute,
+                        kv_packed=args.kv_packed,
+                        decode_attn="auto")
         s0, n_short, n_long = 512, 16, 112
         batches = (1, 8)
 
@@ -169,6 +177,7 @@ def main() -> int:
                           "max_seq": cfg.max_seq,
                           "quant": args.quant or None,
                           "kv_quant": args.kv_quant or None,
+                          "kv_packed": args.kv_packed,
                           "experts": args.experts or None,
                           "llama": args.llama or None,
                           "moe_prefill": args.moe_prefill},
