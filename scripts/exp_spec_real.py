@@ -128,8 +128,20 @@ def main() -> int:
 
     def train(cfg, name, seed):
         params = stack_params(init_params(cfg, seed=seed))
+        # GPT-2 residual-depth init: scale the residual-writing
+        # projections by (2L)^-0.5 — without it the 12-layer target sat
+        # FLAT at uniform CE for 800 steps while the 2-layer draft
+        # learned (spec_real r6b lesson: depth needs the residual
+        # scaling + warmup, not more steps)
+        rs = (2 * cfg.layers) ** -0.5
+        blocks = dict(params["blocks"])
+        for leaf in ("wo", "w2"):
+            blocks[leaf] = blocks[leaf] * rs
+        params = dict(params, blocks=blocks)
         prefill = make_prefill(cfg, use_pallas=None)
-        opt = optax.adam(3e-4)
+        sched = optax.linear_schedule(0.0, 1e-3, 100)
+        opt = optax.chain(optax.clip_by_global_norm(1.0),
+                          optax.adam(sched))
         opt_state = opt.init(params)
         loss_fn = functools.partial(ce_loss, prefill)
 
