@@ -10,9 +10,6 @@ B8 s512) that measured 24.6% of the useful roof against the >=35% bar
   full_L1       the same train step with ONE layer: the (head + embed +
                 loss + optimizer) intercept; per-layer cost =
                 (full_L12 - full_L1) / 11
-  bm64          full step at moe_group_bm=64 (pad 12.5% -> 6.2%; smaller
-                MXU row block)
-
 The ledger prices where the non-roof time lives (body bwd vs the
 824 MB f32 logits + log_softmax loss path) so the residual is either
 fixed or honestly bounded.
@@ -139,11 +136,14 @@ def main() -> int:
     rows = {}
     results = {"target": tgt.name, "B": B, "s0": s0, "rows": rows}
 
+    # NOTE: no bm < 128 rows — the grouped WGRAD blocks put bm on the
+    # LANE axis ((k, bm) xt / (bm, bn) dy), so Mosaic requires bm to be
+    # 128-divisible on hardware (measured fail r6b); the fwd-only
+    # grouped GEMM takes bm down to 8 (sublane axis).
     for name, layers, bm, grad in (
             ("full_L12", L, base["moe_group_bm"], True),
             ("fwd_L12", L, base["moe_group_bm"], False),
-            ("full_L1", 1, base["moe_group_bm"], True),
-            ("bm64", L, 64 if not args.tiny else 8, True)):
+            ("full_L1", 1, base["moe_group_bm"], True)):
         params, run_n = build(layers, bm, grad)
         sec = slope(params, run_n)
         fl = useful_flops(layers) if grad else useful_flops(layers) / 3
@@ -153,6 +153,8 @@ def main() -> int:
                       "pct_useful_roof": round(100 * tf / roof, 1)}
         print(f"{name:9s}: {sec * 1e3:.2f} ms, {tf:.1f} TF useful "
               f"= {100 * tf / roof:.1f}% of roof", flush=True)
+        if args.json:   # incremental dump: a failed later row keeps rows
+            json.dump(results, open(args.json, "w"), indent=1)
 
     full, fwd = rows["full_L12"]["ms"], rows["fwd_L12"]["ms"]
     l1 = rows["full_L1"]["ms"]
