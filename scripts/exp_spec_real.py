@@ -5,7 +5,7 @@ ACCEPTS. Every prior speculative throughput claim was the analytic
 weights (0/156, spec_trunk_r5c.json). This run closes the train->serve
 loop the repo uniquely can:
 
-1. Train the GPT-2-small-geometry target (12L E768 V50304) AND a
+1. Train a GPT-2-small-geometry target (6L E768 V50304) AND a
    2-layer draft on a synthetic corpus with learnable structure — a
    noisy PERIODIC corpus (each sequence repeats its own random 8-token
    motif; eps uniform noise), the induction-head copying task 2-layer
@@ -74,7 +74,7 @@ def main() -> int:
     p.add_argument("--platform", default="")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--k", type=int, default=4)
-    p.add_argument("--steps", type=int, default=800,
+    p.add_argument("--steps", type=int, default=1200,
                    help="adam training steps (each B x S tokens)")
     p.add_argument("--reps", type=int, default=3)
     args = p.parse_args()
@@ -104,7 +104,11 @@ def main() -> int:
     else:
         kw = dict(vocab=50304, embed=768, heads=12, mlp_ratio=4,
                   max_seq=256, dtype="f32")
-        L_t, L_d = 12, 2
+        # 6-layer target: deep enough that the trunk draft is a real
+        # early-exit, shallow enough to learn the corpus in O(1k) adam
+        # steps (the 12L GPT-2 depth needed more budget than a bench
+        # run should spend; geometry otherwise GPT-2-small class)
+        L_t, L_d = 6, 2
         B, S = 16, 256
         s0, g_short, g_long = 64, 32, 160
         train_steps = args.steps
@@ -139,7 +143,10 @@ def main() -> int:
             blocks[leaf] = blocks[leaf] * rs
         params = dict(params, blocks=blocks)
         prefill = make_prefill(cfg, use_pallas=None)
-        sched = optax.linear_schedule(0.0, 1e-3, 100)
+        # peak 3e-4: the rate that demonstrably learned this corpus
+        # (1e-3 post-warmup oscillated at uniform CE for BOTH models,
+        # r6c); warmup + residual init unstick the deeper target
+        sched = optax.linear_schedule(0.0, 3e-4, 100)
         opt = optax.chain(optax.clip_by_global_norm(1.0),
                           optax.adam(sched))
         opt_state = opt.init(params)
@@ -230,15 +237,16 @@ def main() -> int:
         drafted = int(stats["drafted"])
         accepted = int(stats["accepted"])
         acc = accepted / max(drafted, 1)
-        exact = bool((np.asarray(toks) == greedy_tokens).all())
+        mismatch = int((np.asarray(toks) != greedy_tokens).sum())
         row = {"ms_tok": round(per * 1e3, 4),
                "speedup_vs_greedy": round(t_tok / per, 3),
                "accepted": accepted, "drafted": drafted,
                "acceptance": round(acc, 4),
-               "greedy_exact": exact}
+               "greedy_exact": mismatch == 0,
+               "mismatched_tokens": mismatch}
         print(f"{name}: {per * 1e3:.3f} ms/tok = {t_tok / per:.2f}x "
               f"greedy, acceptance {accepted}/{drafted} = {acc:.2%}, "
-              f"greedy-exact={exact}", flush=True)
+              f"mismatch={mismatch}/{len(greedy_tokens)}", flush=True)
         return row
 
     results["spec_draft"] = spec_rows("separate draft", sdcfg, dparams,
