@@ -63,6 +63,9 @@ ARCHES = [
     ("kv_packed", GptConfig(kv_packed=True, decode_attn="pallas",
                             **_BASE), 0,
      ("slotted",)),
+    ("kv_packed_rope", GptConfig.llama(kv_packed=True,
+                                       decode_attn="pallas", **_BASE), 0,
+     ("slotted",)),
 ]
 
 
