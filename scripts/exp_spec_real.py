@@ -75,7 +75,12 @@ def main() -> int:
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--k", type=int, default=4)
     p.add_argument("--steps", type=int, default=1200,
-                   help="adam training steps (each B x S tokens)")
+                   help="draft adam training steps (each B x S tokens)")
+    p.add_argument("--target-steps", type=int, default=5000,
+                   help="target training steps (deeper models learn the "
+                        "induction corpus slower: 6L reached CE 9.9 at "
+                        "1200 steps while the 2L draft hit 5.1, r6d; "
+                        "~60s device time per 1200 steps)")
     p.add_argument("--reps", type=int, default=3)
     args = p.parse_args()
 
@@ -100,6 +105,7 @@ def main() -> int:
         L_t, L_d = 3, 1
         B, S = 4, 48
         s0, g_short, g_long = 8, 6, 18
+        args.target_steps = 8
         train_steps = max(2, min(args.steps, 8))
     else:
         kw = dict(vocab=50304, embed=768, heads=12, mlp_ratio=4,
@@ -120,7 +126,7 @@ def main() -> int:
     rng = np.random.default_rng(0)
     results = {"corpus": {"vocab": V, "eps": 0.1,
                           "uniform_ce": float(np.log(V))},
-               "k": k, "train_steps": train_steps,
+               "k": k, "train_steps": train_steps, "target_steps": args.target_steps,
                "geometry": {"target_layers": L_t, "draft_layers": L_d,
                             "embed": kw["embed"], "B": B, "S": S}}
 
@@ -130,7 +136,7 @@ def main() -> int:
         return -jnp.mean(jnp.take_along_axis(
             lp, ids[:, 1:][..., None], -1))
 
-    def train(cfg, name, seed):
+    def train(cfg, name, seed, steps):
         params = stack_params(init_params(cfg, seed=seed))
         # GPT-2 residual-depth init: scale the residual-writing
         # projections by (2L)^-0.5 — without it the 12-layer target sat
@@ -168,8 +174,8 @@ def main() -> int:
         chunk = 10 if not args.tiny else 2
         ce0 = ce_last = None
         t0 = time.perf_counter()
-        for start in range(0, train_steps, chunk):
-            n = min(chunk, train_steps - start)
+        for start in range(0, steps, chunk):
+            n = min(chunk, steps - start)
             ids = jnp.asarray(_corpus(np, rng, n * B, S, V))
             params, opt_state, losses = train_n(params, opt_state, ids, n)
             losses = np.asarray(losses, np.float32)
@@ -196,8 +202,10 @@ def main() -> int:
                                "ce_bf16_heldout": round(ce_bf16, 3),
                                "train_seconds": round(dt, 1)}
 
-    tparams, stcfg, tlog = train(tcfg, "target", seed=0)
-    dparams, sdcfg, dlog = train(dcfg, "draft", seed=1)
+    tparams, stcfg, tlog = train(tcfg, "target", seed=0,
+                                 steps=args.target_steps)
+    dparams, sdcfg, dlog = train(dcfg, "draft", seed=1,
+                                 steps=train_steps)
     results["target_train"] = tlog
     results["draft_train"] = dlog
 
@@ -246,7 +254,7 @@ def main() -> int:
                "mismatched_tokens": mismatch}
         print(f"{name}: {per * 1e3:.3f} ms/tok = {t_tok / per:.2f}x "
               f"greedy, acceptance {accepted}/{drafted} = {acc:.2%}, "
-              f"mismatch={mismatch}/{len(greedy_tokens)}", flush=True)
+              f"mismatch={mismatch}/{greedy_tokens.size}", flush=True)
         return row
 
     results["spec_draft"] = spec_rows("separate draft", sdcfg, dparams,
