@@ -100,9 +100,17 @@ def main() -> int:
     p.add_argument("--slots", type=int, default=8)
     p.add_argument("--requests", type=int, default=32)
     p.add_argument("--sync-steps", type=int, default=0,
-                   help="0 = sweep (16, 64)")
+                   help="0 = sweep (host 16/64, device 64/256)")
+    p.add_argument("--wave", type=int, default=16,
+                   help="device-engine staging rows (KV memory knob)")
+    p.add_argument("--modes", default="host,device",
+                   help="comma list of host,device (static always runs)")
     p.add_argument("--json", default="")
     args = p.parse_args()
+    args.modes = {t.strip() for t in args.modes.split(",") if t.strip()}
+    unknown = args.modes - {"host", "device"}
+    if unknown:
+        p.error(f"unknown --modes tokens: {sorted(unknown)}")
 
     import jax
 
@@ -133,18 +141,37 @@ def main() -> int:
                           "layers": cfg.layers, "dtype": cfg.dtype,
                           "max_new": [new_lo, new_hi]}}
 
-    from tpp_mlir_tpu.serving import BatchingEngine
+    from tpp_mlir_tpu.serving import BatchingEngine, DeviceBatchingEngine
 
-    for sync in sweeps:
-        eng = BatchingEngine(params, cfg, slots=args.slots,
-                             sync_steps=sync, buckets=buckets)
-        _run_continuous(eng, prompts, max_new)        # warm compiles
-        toks, dt = _run_continuous(eng, prompts, max_new)
-        results[f"continuous_sync{sync}"] = {
-            "tokens": toks, "seconds": round(dt, 3),
-            "tok_per_s": round(toks / dt, 1)}
-        print(f"continuous sync={sync}: {toks} tok in {dt:.2f}s "
-              f"= {toks / dt:,.0f} tok/s")
+    if "host" in args.modes:
+        for sync in sweeps:
+            eng = BatchingEngine(params, cfg, slots=args.slots,
+                                 sync_steps=sync, buckets=buckets)
+            _run_continuous(eng, prompts, max_new)    # warm compiles
+            toks, dt = _run_continuous(eng, prompts, max_new)
+            results[f"continuous_sync{sync}"] = {
+                "tokens": toks, "seconds": round(dt, 3),
+                "tok_per_s": round(toks / dt, 1)}
+            print(f"continuous sync={sync}: {toks} tok in {dt:.2f}s "
+                  f"= {toks / dt:,.0f} tok/s")
+
+    if "device" in args.modes:
+        # device-side admission: sync_steps no longer trades against
+        # admission latency (in-graph admit every step), so larger syncs
+        # only amortize the macro RTT — sweep well past the host values
+        dev_sweeps = ((args.sync_steps,) if args.sync_steps
+                      else ((4, 8) if args.tiny else (64, 256)))
+        for sync in dev_sweeps:
+            eng = DeviceBatchingEngine(params, cfg, slots=args.slots,
+                                       sync_steps=sync, wave=args.wave,
+                                       buckets=buckets)
+            _run_continuous(eng, prompts, max_new)    # warm compiles
+            toks, dt = _run_continuous(eng, prompts, max_new)
+            results[f"device_sync{sync}"] = {
+                "tokens": toks, "seconds": round(dt, 3),
+                "tok_per_s": round(toks / dt, 1)}
+            print(f"device sync={sync}:  {toks} tok in {dt:.2f}s "
+                  f"= {toks / dt:,.0f} tok/s")
 
     static = _make_static_runner(params, cfg, args.slots, buckets,
                                  sweeps[0])
@@ -153,9 +180,12 @@ def main() -> int:
     results["static"] = {"tokens": toks, "seconds": round(dt, 3),
                          "tok_per_s": round(toks / dt, 1)}
     print(f"static batch:  {toks} tok in {dt:.2f}s = {toks / dt:,.0f} tok/s")
-    best = max(v["tok_per_s"] for k, v in results.items()
-               if k.startswith("continuous"))
-    print(f"continuous vs static: {best / results['static']['tok_per_s']:.2f}x")
+    for kind in ("continuous", "device"):
+        rows = [v["tok_per_s"] for k, v in results.items()
+                if k.startswith(kind)]
+        if rows:
+            print(f"{kind} vs static: "
+                  f"{max(rows) / results['static']['tok_per_s']:.2f}x")
 
     if args.json:
         with open(args.json, "w") as f:

@@ -166,6 +166,91 @@ def test_tpp_serve_continuous_cli(capsys):
                                    for ln in lines)
 
 
+@pytest.mark.parametrize("slots,sync_steps,wave", [(2, 3, 3), (3, 5, 2)])
+def test_device_batching_matches_sequential(slots, sync_steps, wave):
+    """The device-side scheduler (in-graph retire/admit/decode,
+    staged batched prefill) must emit exactly the tokens independent
+    generation produces — slot reuse, wave refills, bucket-sorted
+    staging and the one-admission-per-step cadence included."""
+    from tpp_mlir_tpu.serving import DeviceBatchingEngine
+
+    params = init_params(CFG, seed=3)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, CFG.vocab, n).astype(np.int32)
+               for n in (3, 9, 5, 14, 8)]
+    max_new = 11
+
+    eng = DeviceBatchingEngine(params, CFG, slots=slots,
+                               sync_steps=sync_steps, wave=wave,
+                               buckets=(4, 8, 16), use_pallas=False)
+    rids = [eng.submit(p, max_new=max_new) for p in prompts]
+    got = eng.run()
+    assert sorted(got) == sorted(rids)
+    for rid, prompt in zip(rids, prompts):
+        ref = _reference_generate(params, CFG, prompt, max_new)
+        assert got[rid] == ref, f"request {rid}"
+
+
+def test_device_batching_eos_frees_slot_early():
+    """EOS mid-stream ends the request in-graph (budget zeroed inside
+    the scan); tokens must match reference generation with the same
+    eos, including the recorded EOS token itself."""
+    from tpp_mlir_tpu.serving import DeviceBatchingEngine
+
+    params = init_params(CFG, seed=4)
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(0, CFG.vocab, 6).astype(np.int32)
+               for _ in range(4)]
+    streams = [_reference_generate(params, CFG, p, 12) for p in prompts]
+    eos = streams[0][2]
+    eng = DeviceBatchingEngine(params, CFG, slots=2, sync_steps=2,
+                               wave=4, eos_id=eos, buckets=(8,),
+                               use_pallas=False)
+    rids = [eng.submit(p, max_new=12) for p in prompts]
+    got = eng.run()
+    for rid, prompt in zip(rids, prompts):
+        ref = _reference_generate(params, CFG, prompt, 12, eos_id=eos)
+        assert got[rid] == ref
+
+
+def test_device_batching_quantized_gqa():
+    """int8 weights + int8 KV cache + GQA through the device scheduler:
+    the staged-slab copy and in-graph admission are layout-generic."""
+    from tpp_mlir_tpu.serving import DeviceBatchingEngine
+
+    cfg = GptConfig(vocab=97, embed=32, heads=4, layers=2, mlp_ratio=2,
+                    max_seq=32, dtype="f32", kv_heads=2, kv_quant="int8")
+    params = quantize_params(init_params(cfg, seed=5))
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, cfg.vocab, n).astype(np.int32)
+               for n in (4, 7, 11)]
+    eng = DeviceBatchingEngine(params, cfg, slots=2, sync_steps=2,
+                               wave=2, buckets=(4, 8, 16),
+                               use_pallas=False)
+    rids = [eng.submit(p, max_new=6) for p in prompts]
+    got = eng.run()
+    for rid, prompt in zip(rids, prompts):
+        ref = _reference_generate(params, cfg, prompt, 6)
+        assert got[rid] == ref
+
+
+def test_device_batching_capacity_cap():
+    """max_new is capped at max_seq - len(prompt), like the host
+    engine (no out-of-bounds KV writes near a full cache)."""
+    from tpp_mlir_tpu.serving import DeviceBatchingEngine
+
+    params = init_params(CFG, seed=6)
+    prompt = np.arange(CFG.max_seq - 3).astype(np.int32) % CFG.vocab
+    eng = DeviceBatchingEngine(params, CFG, slots=1, sync_steps=4,
+                               wave=1, buckets=(CFG.max_seq,),
+                               use_pallas=False)
+    rid = eng.submit(prompt, max_new=50)
+    got = eng.run()
+    assert len(got[rid]) == 3
+    ref = _reference_generate(params, CFG, prompt, 50)
+    assert got[rid] == ref
+
+
 def test_batching_tp_decode_matches_single_device():
     """Continuous batching over a tensor-parallel decode mesh (heads +
     KV cache sharded over tp) must emit exactly the single-device

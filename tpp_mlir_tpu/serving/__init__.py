@@ -3,8 +3,9 @@ GPT model family. See engine.py for the TPU-native design rationale;
 quant.py for weight-only int8 (decode is bandwidth-bound — int8 weights
 halve the dominant HBM read)."""
 
-from .batching import (BatchingEngine, init_slot_cache, make_decode_loop,
-                       make_insert)
+from .batching import (BatchingEngine, DeviceBatchingEngine,
+                       init_slot_cache, init_staging, make_decode_loop,
+                       make_device_loop, make_insert, make_stage_prefill)
 from .beam import make_beam_generate
 from .engine import (GptConfig, decode_cache_specs, decode_param_specs,
                      init_params, make_decode_step, make_extend,
@@ -15,8 +16,9 @@ from .quant import (QTensor, dequantize, dequantize_params, quantize,
                     quantize_params, quantized_bytes)
 from .speculative import make_speculative_generate
 
-__all__ = ["BatchingEngine", "init_slot_cache", "make_decode_loop",
-           "make_insert",
+__all__ = ["BatchingEngine", "DeviceBatchingEngine", "init_slot_cache",
+           "init_staging", "make_decode_loop", "make_device_loop",
+           "make_insert", "make_stage_prefill",
            "GptConfig", "init_params", "params_from_torch",
            "make_prefill", "make_decode_step", "make_extend",
            "make_generate",

@@ -88,6 +88,13 @@ def main(argv=None) -> int:
                         "requests finish (serving/batching.py)")
     p.add_argument("--sync-steps", type=int, default=8,
                    help="decode steps per host sync in --continuous mode")
+    p.add_argument("--device-scheduler", action="store_true",
+                   help="with --continuous: device-side admission "
+                        "(staged batched prefill + in-graph retire/admit "
+                        "inside the decode scan; serving/batching.py "
+                        "DeviceBatchingEngine). Single-device only")
+    p.add_argument("--wave", type=int, default=16,
+                   help="device-scheduler staging rows (KV memory knob)")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel decode over a tp-way mesh")
     p.add_argument("--platform", default="",
@@ -191,18 +198,33 @@ def main(argv=None) -> int:
             from tpp_mlir_tpu.parallel import make_mesh
 
             tp_mesh = make_mesh({"tp": args.tp})
-        eng = BatchingEngine(uparams, cfg, slots=args.batch,
-                             sync_steps=args.sync_steps,
-                             temperature=args.temperature,
-                             top_k=args.top_k, top_p=args.top_p,
-                             seed=args.seed, tp_mesh=tp_mesh)
+        if args.device_scheduler:
+            from tpp_mlir_tpu.serving import DeviceBatchingEngine
+
+            if tp_mesh is not None:
+                print("--device-scheduler is single-device (no --tp)",
+                      file=sys.stderr)
+                return 2
+            eng = DeviceBatchingEngine(
+                uparams, cfg, slots=args.batch,
+                sync_steps=args.sync_steps, wave=args.wave,
+                temperature=args.temperature, top_k=args.top_k,
+                top_p=args.top_p, seed=args.seed)
+        else:
+            eng = BatchingEngine(uparams, cfg, slots=args.batch,
+                                 sync_steps=args.sync_steps,
+                                 temperature=args.temperature,
+                                 top_k=args.top_k, top_p=args.top_p,
+                                 seed=args.seed, tp_mesh=tp_mesh)
         rids = [eng.submit(pr, max_new=args.steps) for pr in prompts]
         t0 = time.perf_counter()
         done = eng.run()
         dt = time.perf_counter() - t0
         total = sum(len(v) for v in done.values())
+        sched = "device" if args.device_scheduler else "host"
         print(f"# continuous: {args.continuous} requests through "
-              f"{args.batch} slots, sync every {args.sync_steps} steps: "
+              f"{args.batch} slots, sync every {args.sync_steps} steps "
+              f"({sched} scheduler): "
               f"{total} tokens in {dt:.2f}s incl. compile "
               f"({total / dt:,.0f} tok/s)")
         out = np.asarray([])
