@@ -365,7 +365,9 @@ def make_device_loop(cfg: GptConfig, sync_steps: int,
     staging, wlen, wnew, wfirst, wrid, wcount) ->
     (cache, tok, rng, rid, left, out, olen, nxt_l, live_n)``
 
-    ``sync_steps`` scan iterations, each: retire slots whose budget hit 0
+    Up to ``sync_steps`` while-loop iterations (EARLY EXIT once no slot
+    is live and the staged wave is drained, so a large sync_steps costs
+    zero overshoot at trace end), each: retire slots whose budget hit 0
     (rid -> the trash sentinel R, pos -> max_seq so KV writes drop), admit
     at most one staged request into the first free slot (lax.cond: copy
     the staged slab, set pos/tok/budget, record the pre-sampled first
@@ -384,6 +386,7 @@ def make_device_loop(cfg: GptConfig, sync_steps: int,
               staging, wlen, wnew, wfirst, wrid, wcount):
         R = out.shape[0] - 1            # trash row / free-slot sentinel
         MAXNEW = out.shape[1]
+        nxt_l = jnp.asarray(nxt_l, jnp.int32)
 
         def admit(st):
             cache, tok, rid, left, out, olen, nxt_l = st
@@ -409,8 +412,13 @@ def make_device_loop(cfg: GptConfig, sync_steps: int,
             olen = olen.at[wrid[li]].set(1)
             return newc, tok, rid, left, out, olen, nxt_l + 1
 
-        def body(carry, _):
-            cache, tok, rng, rid, left, out, olen, nxt_l = carry
+        def loop_cond(st):
+            i, _, _, _, rid, left, _, _, nxt_l = st
+            alive = jnp.any((rid < R) & (left > 0))
+            return (i < sync_steps) & (alive | (nxt_l < wcount))
+
+        def body(st):
+            i, cache, tok, rng, rid, left, out, olen, nxt_l = st
             # retire: exhausted slots park at the sentinel (their last
             # token was recorded on the iteration that produced it)
             done = (rid < R) & (left <= 0)
@@ -435,11 +443,12 @@ def make_device_loop(cfg: GptConfig, sync_steps: int,
             if eos_id is not None:
                 left = jnp.where(live & (nxt == eos_id), 0, left)
             tok = jnp.where(live, nxt, tok)
-            return (cache, tok, rng, rid, left, out, olen, nxt_l), None
+            return (i + 1, cache, tok, rng, rid, left, out, olen, nxt_l)
 
-        carry = (cache, tok, rng, rid, left, out, olen, nxt_l)
-        carry, _ = jax.lax.scan(body, carry, None, length=sync_steps)
-        cache, tok, rng, rid, left, out, olen, nxt_l = carry
+        st = (jnp.asarray(0, jnp.int32), cache, tok, rng, rid, left, out,
+              olen, nxt_l)
+        st = jax.lax.while_loop(loop_cond, body, st)
+        _, cache, tok, rng, rid, left, out, olen, nxt_l = st
         live_n = jnp.sum((rid < R) & (left > 0))
         return cache, tok, rng, rid, left, out, olen, nxt_l, live_n
 
