@@ -9,6 +9,8 @@ SAME params, token-exact, across N seeds:
   oracle    make_generate greedy (unbatched, whole-prompt prefill)
   chunked   chunked prefill via make_extend (4-token chunks) + decode
   slotted   BatchingEngine with a decoy request sharing the batch
+  device    DeviceBatchingEngine (in-graph retire/admit/decode; wave=1
+            forces a staging refill per admission) with the same decoy
   spec      tied-trunk speculative decoding (greedy-exact by contract)
 
 Architectures are a FIXED set covering the axes — jit programs cache
@@ -31,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tpp_mlir_tpu.serving import (BatchingEngine, GptConfig, init_params,
+from tpp_mlir_tpu.serving import (BatchingEngine, DeviceBatchingEngine,
+                                  GptConfig, init_params,
                                   make_decode_step, make_extend,
                                   make_generate, make_prefill,
                                   quantize_params, stack_params)
@@ -47,25 +50,25 @@ _BASE = dict(vocab=97, embed=32, heads=4, layers=2, mlp_ratio=2,
 # the arch supports (kv_packed has no extend; spec needs stacked trunk)
 ARCHES = [
     ("dense", GptConfig(**_BASE), 0,
-     ("chunked", "slotted", "spec")),
+     ("chunked", "slotted", "device", "spec")),
     ("llama_gqa", GptConfig.llama(kv_heads=2, **_BASE), 0,
-     ("chunked", "slotted", "spec")),
+     ("chunked", "slotted", "device", "spec")),
     ("moe_scan", GptConfig(n_experts=4, top_k=2, **_BASE), 0,
-     ("chunked", "slotted", "forms")),
+     ("chunked", "slotted", "device", "forms")),
     ("moe_grouped", GptConfig(n_experts=4, top_k=2,
                               moe_prefill_form="grouped", moe_group_bm=8,
                               **_BASE), 0,
-     ("chunked", "slotted", "forms")),
+     ("chunked", "slotted", "device", "forms")),
     ("quant_int8", GptConfig(**_BASE), 8,
-     ("chunked", "slotted", "spec")),
+     ("chunked", "slotted", "device", "spec")),
     ("kv_int8", GptConfig(kv_quant="int8", **_BASE), 0,
-     ("chunked", "slotted")),
+     ("chunked", "slotted", "device")),
     ("kv_packed", GptConfig(kv_packed=True, decode_attn="pallas",
                             **_BASE), 0,
-     ("slotted",)),
+     ("slotted", "device")),
     ("kv_packed_rope", GptConfig.llama(kv_packed=True,
                                        decode_attn="pallas", **_BASE), 0,
-     ("slotted",)),
+     ("slotted", "device")),
 ]
 
 
@@ -85,6 +88,7 @@ class _Harness:
                                                trunk_layers=1)
                      if "spec" in paths else None)
         self.engine = None   # built on first use (needs real params);
+        self.dev_engine = None
         # later seeds swap params and reset() — programs stay compiled
         if "forms" in paths:
             other = ("scan" if cfg.moe_prefill_form == "grouped"
@@ -142,6 +146,21 @@ def _check_seed(seed, h):
         h.engine.submit(decoy, max_new=STEPS)
         out = h.engine.run()[rid]
         assert out == base.tolist(), f"slotted diverged (seed {seed})"
+
+    if "device" in h.paths:
+        if h.dev_engine is None:
+            h.dev_engine = DeviceBatchingEngine(
+                params, h.cfg, slots=2, sync_steps=3, wave=1,
+                buckets=(S0, 2 * S0), use_pallas=False)
+        h.dev_engine.params = params
+        h.dev_engine._sparams = params
+        h.dev_engine.reset()
+        rid = h.dev_engine.submit(prompt[0], max_new=STEPS)
+        decoy = rng.integers(0, h.cfg.vocab, (S0 + 2,)).astype(np.int32)
+        h.dev_engine.submit(decoy, max_new=STEPS)
+        out = h.dev_engine.run()[rid]
+        assert out == base.tolist(), \
+            f"device scheduler diverged (seed {seed})"
 
     if "spec" in h.paths:
         toks, stats = h.spec(params, jnp.asarray(prompt))
