@@ -73,13 +73,16 @@ def main() -> int:
     staging = init_staging(cfg, W)
     wmeta = tuple(jnp.zeros((16,), jnp.int32) for _ in range(4))
 
-    def decode_only(st, _i):
+    # params/staging/meta MUST be runtime ARGUMENTS of every jitted
+    # runner — closed-over arrays serialize into the HLO and the remote
+    # compile request 413s (CLAUDE.md r4 lesson)
+    def decode_only(params, staging, wmeta, st, _i):
         cache, tok, rid, left, out, olen = st
         logits, cache = step(params, cache, tok)
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return cache, tok, rid, left, out, olen
 
-    def with_sched(st, _i):
+    def with_sched(params, staging, wmeta, st, _i):
         cache, tok, rid, left, out, olen = st
         done = (rid < R) & (left <= 0)
         rid = jnp.where(done, R, rid)
@@ -97,79 +100,84 @@ def main() -> int:
         return cache, tok, rid, left, out, olen
 
     def make_admit(always: bool):
-        wlen, wnew, wfirst, wrid = wmeta
-
-        def admit(stt):
-            cache, tok, rid, left = stt
-            slot = jnp.asarray(0, jnp.int32)
-            li = jnp.asarray(0, jnp.int32)
-            newc = dict(cache)
-            for key in staging:
-                src = jax.lax.dynamic_slice(
-                    staging[key],
-                    (0, li) + (0,) * (staging[key].ndim - 2),
-                    (staging[key].shape[0], 1) + staging[key].shape[2:])
-                newc[key] = jax.lax.dynamic_update_slice(
-                    cache[key], src.astype(cache[key].dtype),
-                    (0, slot) + (0,) * (cache[key].ndim - 2))
-            newc["pos"] = cache["pos"].at[slot].set(wlen[li] + S // 2)
-            tok = tok.at[slot].set(wfirst[li])
-            rid = rid.at[slot].set(wrid[li] % (R + 1))
-            left = left.at[slot].set(10**6)
-            return newc, tok, rid, left
-
-        def body(st, i):
+        def body(params, staging, wmeta, st, i):
+            wlen, wnew, wfirst, wrid = wmeta
             cache, tok, rid, left, out, olen = st
+
+            def admit(stt):
+                cache, tok, rid, left = stt
+                slot = jnp.asarray(0, jnp.int32)
+                li = jnp.asarray(0, jnp.int32)
+                newc = dict(cache)
+                for key in staging:
+                    src = jax.lax.dynamic_slice(
+                        staging[key],
+                        (0, li) + (0,) * (staging[key].ndim - 2),
+                        (staging[key].shape[0], 1)
+                        + staging[key].shape[2:])
+                    newc[key] = jax.lax.dynamic_update_slice(
+                        cache[key], src.astype(cache[key].dtype),
+                        (0, slot) + (0,) * (cache[key].ndim - 2))
+                newc["pos"] = cache["pos"].at[slot].set(wlen[li] + S // 2)
+                tok = tok.at[slot].set(wfirst[li])
+                rid = rid.at[slot].set(wrid[li] % (R + 1))
+                left = left.at[slot].set(10**6)
+                return newc, tok, rid, left
+
             can = (jnp.any(rid >= 0) if always
                    else (i < -1))            # never taken
             cache, tok, rid, left = jax.lax.cond(
                 can, admit, lambda s: s, (cache, tok, rid, left))
-            return with_sched((cache, tok, rid, left, out, olen), i)
+            return with_sched(params, staging, wmeta,
+                              (cache, tok, rid, left, out, olen), i)
 
         return body
 
-    def run_fori(body, n, st):
-        def f(state):
-            def b(i, s):
-                return body(s, i)
-            return jax.lax.fori_loop(0, n, b, state)
-        return jax.jit(f)(st)
+    import functools
 
-    def run_scan(body, n, st):
-        def f(state):
+    @functools.lru_cache(maxsize=None)
+    def runner(case_idx, n, kind):
+        body = cases[case_idx][1]
+
+        def f(params, staging, wmeta, state):
+            if kind == "fori":
+                def b(i, s):
+                    return body(params, staging, wmeta, s, i)
+                return jax.lax.fori_loop(0, n, b, state)
             def b(s, i):
-                return body(s, i), None
+                return body(params, staging, wmeta, s, i), None
             return jax.lax.scan(b, state, jnp.arange(n))[0]
-        return jax.jit(f)(st)
+
+        return jax.jit(f)
 
     def force(st):
         return float(jnp.sum(st[1].astype(jnp.float32)))
 
     n_lo, n_hi = args.lens
     rows = {}
-    cases = [("M0_decode_fori", decode_only, run_fori),
-             ("M0s_decode_scan", decode_only, run_scan),
-             ("M1_sched", with_sched, run_fori),
-             ("M2_cond_untaken", make_admit(False), run_fori),
-             ("M3_cond_taken", make_admit(True), run_fori)]
-    for name, body, runner in cases:
-        # warm both lengths
-        force(runner(body, n_lo, init_state()))
-        force(runner(body, n_hi, init_state()))
+    cases = [("M0_decode_fori", decode_only, "fori"),
+             ("M0s_decode_scan", decode_only, "scan"),
+             ("M1_sched", with_sched, "fori"),
+             ("M2_cond_untaken", make_admit(False), "fori"),
+             ("M3_cond_taken", make_admit(True), "fori")]
+    for ci, (name, _body, kind) in enumerate(cases):
+        lo, hi = runner(ci, n_lo, kind), runner(ci, n_hi, kind)
+        force(lo(params, staging, wmeta, init_state()))   # warm
+        force(hi(params, staging, wmeta, init_state()))
         best = None
         for _ in range(args.reps):
             st = init_state()
             t0 = time.perf_counter()
-            force(runner(body, n_lo, st))
+            force(lo(params, staging, wmeta, st))
             t_lo = time.perf_counter() - t0
             st = init_state()
             t0 = time.perf_counter()
-            force(runner(body, n_hi, st))
+            force(hi(params, staging, wmeta, st))
             t_hi = time.perf_counter() - t0
             per = (t_hi - t_lo) / (n_hi - n_lo)
             best = per if best is None else min(best, per)
         rows[name] = round(best * 1e3, 4)
-        print(f"{name:18s} {best * 1e3:8.3f} ms/iter")
+        print(f"{name:18s} {best * 1e3:8.3f} ms/iter", flush=True)
 
     with open(args.json, "w") as f:
         json.dump({"config": {"slots": B, "lens": args.lens},
