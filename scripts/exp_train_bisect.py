@@ -17,6 +17,10 @@ grad+SGD-update steps, params in the carry):
               materialization): prices the standard-CE spelling
   attn_id     attention replaced by v passthrough: full - attn_id =
               composed causal attention fwd+bwd cost
+  attn_remat  jax.checkpoint around the attention einsums: backward
+              recomputes scores/softmax instead of saving the
+              (B,H,S,S) f32 intermediates — trades ~7.5% extra flops
+              for ~200 MB/layer of saved-residual traffic
   adam        adamw update instead of SGD: optimizer-state traffic
 
 Useful-roof accounting matches moe_bisect2: 3 x forward flops over the
@@ -131,11 +135,13 @@ def main() -> int:
             if attn == "id":
                 a = v
             else:
-                a = composed_causal_attention(
-                    q.reshape(B, s0, cfg.heads, D),
-                    k.reshape(B, s0, cfg.heads, D),
-                    v.reshape(B, s0, cfg.heads, D), scale
-                ).reshape(B, s0, E).astype(x.dtype)
+                fn = composed_causal_attention
+                if attn == "remat":
+                    fn = jax.checkpoint(fn, static_argnums=(4,))
+                a = fn(q.reshape(B, s0, cfg.heads, D),
+                       k.reshape(B, s0, cfg.heads, D),
+                       v.reshape(B, s0, cfg.heads, D), scale, True
+                       ).reshape(B, s0, E).astype(x.dtype)
             x = x + _dot(a, blk["wo"], blk["bo"])
             h = _ln(x, blk["ln2_g"], blk["ln2_b"])
             h = _dot(h, blk["w1"], blk["b1"], unary="gelu")
@@ -210,6 +216,11 @@ def main() -> int:
             lambda p, i: ce_standard(forward(p, i, attn="id"), i))
         emit("attn_id", slope(step, params, ids),
              "(attention = v passthrough; flops model unchanged)")
+    if on("attn_remat"):
+        step = make_step(
+            lambda p, i: ce_standard(forward(p, i, attn="remat"), i))
+        emit("attn_remat", slope(step, params, ids),
+             "(checkpoint'd attention: bwd recomputes scores)")
     if on("adam"):
         import optax
 
