@@ -169,14 +169,25 @@ def main() -> int:
     def make_step(loss_fn, update="sgd", grad=True):
         gf = jax.grad(loss_fn) if grad else None
 
+        def poison(p, val):
+            # iteration i+1 must depend on iteration i's OUTPUT or XLA
+            # hoists the whole body out of the scan (negative slopes);
+            # tanh defeats algebraic zero-folding (runtime/perf.py)
+            p = dict(p)
+            p["lnf_g"] = p["lnf_g"] + (
+                1e-30 * jnp.tanh(val)).astype(p["lnf_g"].dtype)
+            return p
+
         @functools.partial(jax.jit, static_argnums=2)
         def run_n(p, ids, n):
             def body(p, _):
                 if not grad:
-                    return p, loss_fn(p, ids)
+                    loss = loss_fn(p, ids)
+                    return poison(p, loss), loss
                 g = gf(p, ids)
                 if update == "none":
-                    return p, jnp.sum(g["lnf_g"].astype(jnp.float32))
+                    gs = jnp.sum(g["lnf_g"].astype(jnp.float32))
+                    return poison(p, gs), gs
                 p = jax.tree_util.tree_map(
                     lambda pi, gi: (pi - 1e-4 * gi.astype(jnp.float32))
                     .astype(pi.dtype), p, g)
