@@ -135,9 +135,16 @@ def main() -> int:
             if attn == "id":
                 a = v
             else:
-                fn = composed_causal_attention
-                if attn == "remat":
-                    fn = jax.checkpoint(fn, static_argnums=(4,))
+                if attn == "flash":
+                    from tpp_mlir_tpu.xsmm.flash_train import \
+                        flash_attention_train
+
+                    def fn(q, k, v, s, c):
+                        return flash_attention_train(q, k, v, s, c)
+                else:
+                    fn = composed_causal_attention
+                    if attn == "remat":
+                        fn = jax.checkpoint(fn, static_argnums=(4,))
                 a = fn(q.reshape(B, s0, cfg.heads, D),
                        k.reshape(B, s0, cfg.heads, D),
                        v.reshape(B, s0, cfg.heads, D), scale, True
@@ -186,7 +193,15 @@ def main() -> int:
                     return poison(p, loss), loss
                 g = gf(p, ids)
                 if update == "none":
-                    gs = jnp.sum(g["lnf_g"].astype(jnp.float32))
+                    # the poison must keep the WHOLE backward live: a
+                    # layer-0 weight grad forces backprop through every
+                    # layer (lnf_g alone let XLA prune the layer bwd —
+                    # r7c measured 13.7 ms "grad_only", which was
+                    # fwd + head bwd only)
+                    gs = (jnp.sum(g["lnf_g"].astype(jnp.float32))
+                          + jnp.sum(g["blocks"]["w1"][0, 0, :8]
+                                    .astype(jnp.float32))
+                          + jnp.sum(g["wte"][0, :8].astype(jnp.float32)))
                     return poison(p, gs), gs
                 p = jax.tree_util.tree_map(
                     lambda pi, gi: (pi - 1e-4 * gi.astype(jnp.float32))
@@ -232,6 +247,11 @@ def main() -> int:
             lambda p, i: ce_standard(forward(p, i, attn="remat"), i))
         emit("attn_remat", slope(step, params, ids),
              "(checkpoint'd attention: bwd recomputes scores)")
+    if on("attn_flash"):
+        step = make_step(
+            lambda p, i: ce_standard(forward(p, i, attn="flash"), i))
+        emit("attn_flash", slope(step, params, ids),
+             "(Pallas flash training VJP, xsmm/flash_train.py)")
     if on("adam"):
         import optax
 

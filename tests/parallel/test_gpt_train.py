@@ -68,6 +68,25 @@ def test_gpt_train_matches_single_device():
     assert ref_losses[-1] < ref_losses[0]   # it actually learns
 
 
+def test_gpt_train_flash_attention_matches_composed():
+    """flash_attn=True (the Pallas flash training VJP, interpret mode
+    on CPU) must track the composed-attention oracle step for step —
+    losses and updated params — including over a dp x tp mesh."""
+    params = stack_params(init_params(CFG, seed=7))
+    ids = _ids(seed=7)
+    want, _, ref_losses = _run({"dp": 1, "tp": 1}, CFG, params, ids, 2,
+                               flash_attn=False)
+    got, _, losses = _run({"dp": 1, "tp": 1}, CFG, params, ids, 2,
+                          flash_attn=True)
+    np.testing.assert_allclose(losses, ref_losses, atol=2e-5, rtol=2e-5)
+    _assert_tree_close(got, want, tol=5e-5)
+    got2, _, losses2 = _run({"dp": 2, "tp": 2}, CFG, params, ids, 2,
+                            flash_attn=True)
+    np.testing.assert_allclose(losses2, ref_losses, atol=2e-5,
+                               rtol=2e-5)
+    _assert_tree_close(got2, want, tol=5e-5)
+
+
 def test_gpt_train_gqa():
     cfg = GptConfig(vocab=64, embed=32, heads=4, layers=2, mlp_ratio=2,
                     max_seq=16, dtype="f32", kv_heads=2)

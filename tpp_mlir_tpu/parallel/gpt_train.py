@@ -41,10 +41,17 @@ from .optim import make_sharded_optim_step
 
 def _gpt_forward_local(params, ids, cfg: GptConfig, tp_axis: str,
                        h_local: int, kv_local: int,
-                       with_head: bool = True):
+                       with_head: bool = True,
+                       flash_attn: bool | None = None):
     """Per-tp-shard causal LM forward -> (B, S, V) logits (replicated
     over tp). Mirrors serving prefill math (_ln/_dot/f32 accumulate) so
-    the step-0 loss is checkable against make_prefill logits."""
+    the step-0 loss is checkable against make_prefill logits.
+
+    flash_attn: route attention through the Pallas flash training VJP
+    (xsmm/flash_train.py — O(S·D) residuals instead of the (B,H,S,S)
+    softmax the composed form's AD saves; the r7 bisect priced composed
+    attention fwd+bwd at 34%% of the dense step). None = auto: on TPU
+    when the whole-slab kernels fit VMEM."""
     import jax
     import jax.numpy as jnp
 
@@ -53,6 +60,18 @@ def _gpt_forward_local(params, ids, cfg: GptConfig, tp_axis: str,
         f"sequence {S} exceeds max_seq {cfg.max_seq} (wpe table)"
     D = cfg.head_dim
     scale = D ** -0.5
+    if flash_attn is None:
+        from ..utils.target import current_target, on_tpu
+        from ..xsmm.flash_train import FlashTrainKey, flash_train_fits
+
+        flash_attn = on_tpu() and flash_train_fits(
+            FlashTrainKey(batch=B, heads=h_local, seq=S, head_dim=D,
+                          dtype=cfg.dtype),
+            current_target().vmem_bytes)
+    if flash_attn:
+        from ..xsmm.flash_train import flash_attention_train as _attn
+    else:
+        _attn = composed_causal_attention
     x = (_gather(params["wte"], ids)
          + _gather(params["wpe"], jnp.arange(S))
          ).astype(_np_dtype(cfg.dtype))
@@ -65,7 +84,7 @@ def _gpt_forward_local(params, ids, cfg: GptConfig, tp_axis: str,
         q = _dot(h, blk["wq"], blk["bq"]).reshape(B, S, h_local, D)
         k = _dot(h, blk["wk"], blk["bk"]).reshape(B, S, kv_local, D)
         v = _dot(h, blk["wv"], blk["bv"]).reshape(B, S, kv_local, D)
-        a = composed_causal_attention(q, k, v, scale)
+        a = _attn(q, k, v, scale)
         a = a.reshape(B, S, h_local * D).astype(x.dtype)
         y = row_parallel_psum(_mm(a, blk["wo"]), tp_axis)
         x = x + (y + blk["bo"].astype(jnp.float32)).astype(x.dtype)
@@ -151,7 +170,8 @@ def _vocab_parallel_loss(x, lm_head_local, ids, tp_axis: str, ntp: int):
 def make_gpt_train_step(mesh, cfg: GptConfig, optimizer,
                         dp_axis: str = "dp", tp_axis: str = "tp",
                         zero1: bool = False, donate: bool = False,
-                        vocab_parallel: bool = False):
+                        vocab_parallel: bool = False,
+                        flash_attn: bool | None = None):
     """Return `(step, init_opt_state)`: jitted
     `step(params, opt_state, ids) -> (params, opt_state, loss)` over
     `mesh` for STACKED serving params (stack_params layout —
@@ -182,11 +202,12 @@ def make_gpt_train_step(mesh, cfg: GptConfig, optimizer,
         def loss_fn(p):
             if vocab_parallel:
                 x = _gpt_forward_local(p, ids, cfg, tp_axis, h_local,
-                                       kv_local, with_head=False)
+                                       kv_local, with_head=False,
+                                       flash_attn=flash_attn)
                 return _vocab_parallel_loss(x, p["lm_head"], ids,
                                             tp_axis, ntp)
             logits = _gpt_forward_local(p, ids, cfg, tp_axis, h_local,
-                                        kv_local)
+                                        kv_local, flash_attn=flash_attn)
             return next_token_loss(logits, ids)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -1215,21 +1215,31 @@ def _decode_body(params, cache, token, cfg: GptConfig, h_local: int,
             k, ksc = quantize_tokens(k)
             v, vsc = quantize_tokens(v)
         if slotted:
-            # per-slot write positions: one scatter over the batch dim
-            # ([li, bidx, :, pos] -> (B, kv_local, D) with the advanced
-            # indices leading). mode="drop" makes out-of-range positions
-            # (the free-slot sentinel pos == max_seq, or a full cache)
-            # silent no-ops.
-            bidx = jnp.arange(B)
-            if quant_kv:
-                kv["k_s"] = kv["k_s"].at[li, bidx, :, pos].set(
-                    ksc, mode="drop")
-                kv["v_s"] = kv["v_s"].at[li, bidx, :, pos].set(
-                    vsc, mode="drop")
-            kv["k"] = kv["k"].at[li, bidx, :, pos].set(
-                k.astype(kv["k"].dtype), mode="drop")
-            kv["v"] = kv["v"].at[li, bidx, :, pos].set(
-                v.astype(kv["v"].dtype), mode="drop")
+            # per-slot write positions, spelled as B chained per-slot
+            # DUSes — NOT one batched scatter: a scatter RESULT feeding
+            # the Pallas decode kernel cannot alias into the opaque
+            # custom call, so XLA materialized a copy of the FULL
+            # stacked cache per layer (measured 16.8 vs 1.1 ms/step at
+            # the b8 serving geometry, slotted_r7.json); DUS outputs
+            # alias fine (the scalar-pos path's spelling). Drop-mode
+            # semantics for the free-slot sentinel (pos == max_seq) are
+            # preserved by re-writing the OLD value at a clamped
+            # position — bit-identical cache state.
+            def write_slot(arr, new, b):
+                pb = jnp.minimum(pos[b], cfg.max_seq - 1)
+                start = (li, b, 0, pb) + (0,) * (arr.ndim - 4)
+                sizes = (1, 1) + arr.shape[2:3] + (1,) + arr.shape[4:]
+                old = jax.lax.dynamic_slice(arr, start, sizes)
+                val = jnp.where(pos[b] >= cfg.max_seq, old,
+                                new.reshape(sizes).astype(arr.dtype))
+                return jax.lax.dynamic_update_slice(arr, val, start)
+
+            for b in range(B):
+                if quant_kv:
+                    kv["k_s"] = write_slot(kv["k_s"], ksc[b], b)
+                    kv["v_s"] = write_slot(kv["v_s"], vsc[b], b)
+                kv["k"] = write_slot(kv["k"], k[b], b)
+                kv["v"] = write_slot(kv["v"], v[b], b)
         else:
             if quant_kv:
                 kv["k_s"] = jax.lax.dynamic_update_slice(
