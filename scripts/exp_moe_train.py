@@ -55,10 +55,12 @@ def main() -> int:
     args.forms = [f.strip() for f in args.forms.split(",") if f.strip()]
     bad = {f.split("+")[0] for f in args.forms} - {"scan", "sorted",
                                                    "grouped", "stacked"}
+    bad |= {m for f in args.forms for m in f.split("+")[1:]} \
+        - {"remat", "flash"}
     if bad:
-        p.error(f"unknown forms {sorted(bad)}: pick from scan,sorted,"
-                "grouped,stacked (+remat suffix); unrecognized names "
-                "would silently measure the scan form")
+        p.error(f"unknown forms/modifiers {sorted(bad)}: pick from "
+                "scan,sorted,grouped,stacked (+remat/+flash suffixes); "
+                "unrecognized names would silently measure the scan form")
     if args.bm and (args.bm <= 0 or args.bm % 8):
         p.error(f"--bm {args.bm}: Mosaic needs the row block 8-divisible "
                 "(fail fast locally, not after a remote compile)")
@@ -113,12 +115,14 @@ def main() -> int:
 
     results["bm"] = cfg0.moe_group_bm
     for form in args.forms:
-        base, _, mod = form.partition("+")
+        parts = form.split("+")
+        base, mods = parts[0], set(parts[1:])
         cfg = dataclasses.replace(
             cfg0,
             moe_prefill_form="grouped" if base == "stacked" else base,
             moe_group_stacked=base == "stacked",
-            remat=mod == "remat")
+            remat="remat" in mods,
+            flash_attn="flash" in mods)
         params = stack_params(init_params(cfg, seed=0))
         prefill = make_prefill(cfg, use_pallas=None)
 

@@ -111,9 +111,45 @@ def test_flash_train_mosaic_lowerable():
     fwd = build_flash_train_fwd(key, interpret=False)
     bwd = build_flash_train_bwd(key, interpret=False)
     q = jnp.zeros((1, 2, 128, 64), jnp.bfloat16)
-    lse = jnp.zeros((1, 2, 128), jnp.float32)
+    lse = jnp.zeros((1, 2, 128, 1), jnp.float32)
     assert_lowerable(fwd, q, q, q)
     assert_lowerable(bwd, q, q, q, q, lse, lse)
+
+
+def test_prefill_flash_attn_matches_default():
+    """GptConfig.flash_attn=True routes the prefill attention through
+    the flash VJP: logits AND gradients through the prefill-based
+    training loss must match the composed default (the exp_moe_train /
+    exp_spec_real training path)."""
+    from tpp_mlir_tpu.serving import (GptConfig, init_params,
+                                      make_prefill, stack_params)
+
+    import dataclasses
+
+    cfg = GptConfig(vocab=64, embed=32, heads=4, layers=2, mlp_ratio=2,
+                    max_seq=16, dtype="f32")
+    fcfg = dataclasses.replace(cfg, flash_attn=True)
+    params = stack_params(init_params(cfg, seed=4))
+    ids = jnp.asarray(np.random.default_rng(3).integers(
+        0, cfg.vocab, (2, 12)), jnp.int32)
+
+    def loss(prefill):
+        def f(p):
+            logits, _ = prefill(p, ids)
+            lp = jax.nn.log_softmax(logits[:, :-1])
+            return -jnp.mean(jnp.take_along_axis(
+                lp, ids[:, 1:][..., None], -1))
+        return f
+
+    base = loss(make_prefill(cfg, use_pallas=False))
+    flash = loss(make_prefill(fcfg, use_pallas=False))
+    np.testing.assert_allclose(float(flash(params)), float(base(params)),
+                               rtol=1e-5)
+    gb = jax.grad(base)(params)
+    gf = jax.grad(flash)(params)
+    for b, f in zip(jax.tree.leaves(gb), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5)
 
 
 def test_flash_train_fits_gate():

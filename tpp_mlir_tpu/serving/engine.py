@@ -110,6 +110,16 @@ class GptConfig:
     # Inference (no grad) is unaffected: checkpoint is identity under
     # plain jit.
     remat: bool = False
+    # Training-attention form for the PREFILL path: route
+    # _attention_full through the Pallas flash training VJP
+    # (xsmm/flash_train.py) — O(S*D) residuals instead of the
+    # (B, H, S, S) f32 softmax XLA's AD saves (the r7 bisect priced
+    # composed attention fwd+bwd at 34% of the dense train step).
+    # Opt-in: the prefill-based trainers (exp_moe_train, exp_spec_real)
+    # set it; inference defaults keep the measured delegation policy.
+    # Falls back to that policy when the whole-slab kernels don't fit
+    # VMEM or the dtype has no Mosaic lowering (f16).
+    flash_attn: bool = False
 
     @classmethod
     def llama(cls, **kw):
@@ -956,6 +966,21 @@ def _attention_full(q, k, v, cfg: GptConfig, use_pallas: bool):
     B, S, E = q.shape
     H, D = cfg.heads, cfg.head_dim
     scale = D ** -0.5
+    if cfg.flash_attn and cfg.dtype in ("f32", "bf16"):
+        from ..utils.target import current_target
+        from ..xsmm.flash_train import (FlashTrainKey,
+                                        flash_attention_train,
+                                        flash_train_fits)
+
+        key = FlashTrainKey(batch=B, heads=H, seq=S, head_dim=D,
+                            dtype=cfg.dtype)
+        if flash_train_fits(key, current_target().vmem_bytes):
+            out = flash_attention_train(
+                q.reshape(B, S, H, D),
+                k.reshape(B, S, cfg.kv_h, D),
+                v.reshape(B, S, cfg.kv_h, D), scale,
+                interpret=not use_pallas)
+            return out.reshape(B, S, E).astype(q.dtype)
     if cfg.kv_h != H:
         # GQA prefill: broadcast KV to full heads and reuse the MHA
         # kernels — prefill is compute-bound, the repeat is S*kv_dim*(G-1)

@@ -111,17 +111,20 @@ def build_flash_train_fwd(key: FlashTrainKey, interpret: bool):
             p.astype(pv), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) / l
         o_ref[0, 0] = o
-        lse_ref[0, 0] = (m2 + jnp.log(l) * LOG2E)[:, 0]
+        # (S, 1) with a trailing unit dim: a (1, 1, S) block fails the
+        # Mosaic last-two-dims rule on hardware (second-to-last 1 is
+        # neither 8-divisible nor the array dim); (1, 1, S, 1) passes
+        # (S 8-div, 1 == array dim) — the decode_attn scale-column trick
+        lse_ref[0, 0] = m2 + jnp.log(l) * LOG2E
 
     blk = lambda b, h: (b, h, 0, 0)
-    row = lambda b, h: (b, h, 0)
     call = pl.pallas_call(
         kernel, grid=(B, H), interpret=interpret,
         in_specs=[pl.BlockSpec((1, 1, S, D), blk)] * 3,
         out_specs=[pl.BlockSpec((1, 1, S, D), blk),
-                   pl.BlockSpec((1, 1, S), row)],
+                   pl.BlockSpec((1, 1, S, 1), blk)],
         out_shape=[jax.ShapeDtypeStruct((B, H, S, D), jnp.float32),
-                   jax.ShapeDtypeStruct((B, H, S), jnp.float32)],
+                   jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * S * S * D,
             bytes_accessed=(3 + 2) * B * H * S * D * 4,
@@ -143,10 +146,10 @@ def build_flash_train_bwd(key: FlashTrainKey, interpret: bool):
                dq_ref, dk_ref, dv_ref):
         q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
         do = do_ref[0, 0]
-        lse2 = lse_ref[0, 0]                            # (S,)
-        delta = dlt_ref[0, 0]                           # (S,)
+        lse2 = lse_ref[0, 0]                            # (S, 1)
+        delta = dlt_ref[0, 0]                           # (S, 1)
         s2 = _masked_logits2(q, k, key)
-        p = jnp.exp2(s2 - lse2[:, None])                # (S, S) f32
+        p = jnp.exp2(s2 - lse2)                         # (S, S) f32
         pc = p.astype(pv)
         # dV = Pᵀ dO : contract the query axis (S, full-lane)
         dv_ref[0, 0] = jax.lax.dot_general(
@@ -156,7 +159,7 @@ def build_flash_train_bwd(key: FlashTrainKey, interpret: bool):
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta[:, None]) * key.scale).astype(pv)
+        ds = (p * (dp - delta) * key.scale).astype(pv)
         # dQ = dS K : contract the key axis
         dq_ref[0, 0] = jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
@@ -167,11 +170,10 @@ def build_flash_train_bwd(key: FlashTrainKey, interpret: bool):
             preferred_element_type=jnp.float32)
 
     blk = lambda b, h: (b, h, 0, 0)
-    row = lambda b, h: (b, h, 0)
     call = pl.pallas_call(
         kernel, grid=(B, H), interpret=interpret,
         in_specs=[pl.BlockSpec((1, 1, S, D), blk)] * 4
-        + [pl.BlockSpec((1, 1, S), row)] * 2,
+        + [pl.BlockSpec((1, 1, S, 1), blk)] * 2,
         out_specs=[pl.BlockSpec((1, 1, S, D), blk)] * 3,
         out_shape=[jax.ShapeDtypeStruct((B, H, S, D), jnp.float32)] * 3,
         cost_estimate=pl.CostEstimate(
@@ -199,7 +201,7 @@ def _flash_vjp(key: FlashTrainKey, interpret: bool):
     def bwd(res, g):
         q, k, v, o, lse2 = res
         g = g.astype(jnp.float32)
-        delta = jnp.sum(g * o, axis=-1)                 # (B, H, S) f32
+        delta = jnp.sum(g * o, axis=-1, keepdims=True)  # (B, H, S, 1)
         dq, dk, dv = bwd_call(q, k, v, g.astype(q.dtype), lse2, delta)
         return (dq.astype(q.dtype), dk.astype(k.dtype),
                 dv.astype(v.dtype))
