@@ -60,18 +60,40 @@ class FlashTrainKey:
     dtype: str = "bf16"          # operand dtype: f32 | bf16
     causal: bool = True
     scale: float = 1.0
+    # heads per program: grid (B, H/hpp) with an in-kernel head loop
+    # (the decode_attn pattern). hpp=1 measured 11 ms/step of pure
+    # per-program overhead at the GPT-2 geometry — 2,304 tiny programs
+    # per train step; bigger programs amortize the fixed cost. Pick
+    # with flash_train_hpp() (largest divisor whose slabs fit VMEM).
+    hpp: int = 1
 
 
 def flash_train_fits(key: FlashTrainKey, vmem_bytes: int) -> bool:
     """VMEM gate for the WHOLE-SLAB form. The backward holds up to
     ~3 live (S, S) f32 values (P, dP, dS) plus 7 lane-padded (S, D)
-    blocks double-buffered; lane padding is real (D pads to 128)."""
+    head-slabs per program double-buffered; lane padding is real
+    (D pads to 128)."""
     S = key.seq
     dsz = 2 if key.dtype in ("bf16", "f16") else 4
     dpad = -(-key.head_dim // 128) * 128
-    blocks = 7 * S * dpad * dsz * 2          # q,k,v,do + dq,dk,dv, 2x
+    blocks = 7 * key.hpp * S * dpad * dsz * 2   # per-head slabs, 2x
     values = 3 * S * S * 4                   # P, dP, dS live f32
     return blocks + values + (1 << 20) < int(vmem_bytes * 0.9)
+
+
+def flash_train_hpp(key: FlashTrainKey, vmem_bytes: int) -> int:
+    """Largest head count per program (divisor of H) whose backward
+    slabs fit VMEM."""
+    import dataclasses
+
+    best = 0
+    for hpp in range(1, key.heads + 1):
+        if key.heads % hpp:
+            continue
+        if flash_train_fits(dataclasses.replace(key, hpp=hpp),
+                            vmem_bytes):
+            best = hpp
+    return best
 
 
 def _masked_logits2(q, k, key: FlashTrainKey):
@@ -99,31 +121,35 @@ def build_flash_train_fwd(key: FlashTrainKey, interpret: bool):
     lse2 is the base-2 log-sum-exp with the scale folded (private —
     consumed only by the bwd kernel below)."""
     B, H, S, D = key.batch, key.heads, key.seq, key.head_dim
+    hpp = key.hpp
+    assert H % hpp == 0, (H, hpp)
     pv = _pv_dtype(key)
+    odt = jnp.bfloat16 if key.dtype in ("bf16", "f16") else jnp.float32
 
     def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
-        q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
-        s2 = _masked_logits2(q, k, key)
-        m2 = jnp.max(s2, axis=1, keepdims=True)
-        p = jnp.exp2(s2 - m2)
-        l = jnp.sum(p, axis=1, keepdims=True)           # (S, 1) f32
-        o = jax.lax.dot_general(
-            p.astype(pv), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) / l
-        o_ref[0, 0] = o
-        # (S, 1) with a trailing unit dim: a (1, 1, S) block fails the
-        # Mosaic last-two-dims rule on hardware (second-to-last 1 is
-        # neither 8-divisible nor the array dim); (1, 1, S, 1) passes
-        # (S 8-div, 1 == array dim) — the decode_attn scale-column trick
-        lse_ref[0, 0] = m2 + jnp.log(l) * LOG2E
+        for h in range(hpp):
+            q, k, v = q_ref[0, h], k_ref[0, h], v_ref[0, h]
+            s2 = _masked_logits2(q, k, key)
+            m2 = jnp.max(s2, axis=1, keepdims=True)
+            p = jnp.exp2(s2 - m2)
+            l = jnp.sum(p, axis=1, keepdims=True)       # (S, 1) f32
+            o = jax.lax.dot_general(
+                p.astype(pv), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) / l
+            o_ref[0, h] = o.astype(odt)
+            # (S, 1) with a trailing unit dim: a (.., S) block fails
+            # the Mosaic last-two-dims rule on hardware; (.., S, 1)
+            # passes (S 8-div, 1 == array dim) — the decode_attn
+            # scale-column trick
+            lse_ref[0, h] = m2 + jnp.log(l) * LOG2E
 
     blk = lambda b, h: (b, h, 0, 0)
     call = pl.pallas_call(
-        kernel, grid=(B, H), interpret=interpret,
-        in_specs=[pl.BlockSpec((1, 1, S, D), blk)] * 3,
-        out_specs=[pl.BlockSpec((1, 1, S, D), blk),
-                   pl.BlockSpec((1, 1, S, 1), blk)],
-        out_shape=[jax.ShapeDtypeStruct((B, H, S, D), jnp.float32),
+        kernel, grid=(B, H // hpp), interpret=interpret,
+        in_specs=[pl.BlockSpec((1, hpp, S, D), blk)] * 3,
+        out_specs=[pl.BlockSpec((1, hpp, S, D), blk),
+                   pl.BlockSpec((1, hpp, S, 1), blk)],
+        out_shape=[jax.ShapeDtypeStruct((B, H, S, D), odt),
                    jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * S * S * D,
@@ -140,42 +166,46 @@ def build_flash_train_bwd(key: FlashTrainKey, interpret: bool):
     P is recomputed from (q, k, lse2); dS = P ∘ (dP - delta) · scale.
     The dV/dQ/dK dots contract over S (full-lane MXU)."""
     B, H, S, D = key.batch, key.heads, key.seq, key.head_dim
+    hpp = key.hpp
+    assert H % hpp == 0, (H, hpp)
     pv = _pv_dtype(key)
+    odt = jnp.bfloat16 if key.dtype in ("bf16", "f16") else jnp.float32
 
     def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref,
                dq_ref, dk_ref, dv_ref):
-        q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
-        do = do_ref[0, 0]
-        lse2 = lse_ref[0, 0]                            # (S, 1)
-        delta = dlt_ref[0, 0]                           # (S, 1)
-        s2 = _masked_logits2(q, k, key)
-        p = jnp.exp2(s2 - lse2)                         # (S, S) f32
-        pc = p.astype(pv)
-        # dV = Pᵀ dO : contract the query axis (S, full-lane)
-        dv_ref[0, 0] = jax.lax.dot_general(
-            pc, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        # dP = dO Vᵀ : contract D
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta) * key.scale).astype(pv)
-        # dQ = dS K : contract the key axis
-        dq_ref[0, 0] = jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        # dK = dSᵀ Q : contract the query axis
-        dk_ref[0, 0] = jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        for h in range(hpp):
+            q, k, v = q_ref[0, h], k_ref[0, h], v_ref[0, h]
+            do = do_ref[0, h]
+            lse2 = lse_ref[0, h]                        # (S, 1)
+            delta = dlt_ref[0, h]                       # (S, 1)
+            s2 = _masked_logits2(q, k, key)
+            p = jnp.exp2(s2 - lse2)                     # (S, S) f32
+            pc = p.astype(pv)
+            # dV = Pᵀ dO : contract the query axis (S, full-lane)
+            dv_ref[0, h] = jax.lax.dot_general(
+                pc, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(odt)
+            # dP = dO Vᵀ : contract D
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = (p * (dp - delta) * key.scale).astype(pv)
+            # dQ = dS K : contract the key axis
+            dq_ref[0, h] = jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(odt)
+            # dK = dSᵀ Q : contract the query axis
+            dk_ref[0, h] = jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(odt)
 
     blk = lambda b, h: (b, h, 0, 0)
     call = pl.pallas_call(
-        kernel, grid=(B, H), interpret=interpret,
-        in_specs=[pl.BlockSpec((1, 1, S, D), blk)] * 4
-        + [pl.BlockSpec((1, 1, S, 1), blk)] * 2,
-        out_specs=[pl.BlockSpec((1, 1, S, D), blk)] * 3,
-        out_shape=[jax.ShapeDtypeStruct((B, H, S, D), jnp.float32)] * 3,
+        kernel, grid=(B, H // hpp), interpret=interpret,
+        in_specs=[pl.BlockSpec((1, hpp, S, D), blk)] * 4
+        + [pl.BlockSpec((1, hpp, S, 1), blk)] * 2,
+        out_specs=[pl.BlockSpec((1, hpp, S, D), blk)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((B, H, S, D), odt)] * 3,
         cost_estimate=pl.CostEstimate(
             flops=10 * B * H * S * S * D,
             bytes_accessed=7 * B * H * S * D * 4,
@@ -200,8 +230,8 @@ def _flash_vjp(key: FlashTrainKey, interpret: bool):
 
     def bwd(res, g):
         q, k, v, o, lse2 = res
-        g = g.astype(jnp.float32)
-        delta = jnp.sum(g * o, axis=-1, keepdims=True)  # (B, H, S, 1)
+        delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)         # (B, H, S, 1)
         dq, dk, dv = bwd_call(q, k, v, g.astype(q.dtype), lse2, delta)
         return (dq.astype(q.dtype), dk.astype(k.dtype),
                 dv.astype(v.dtype))
@@ -216,7 +246,7 @@ def flash_attention_train(q, k, v, scale, causal: bool = True,
     (B, S, H, D) heads-split operands (GQA KV broadcast like composed),
     returns (B, S, H, D) f32. Differentiable via the Pallas kernel
     pair; O(S·D) residuals instead of the (B, H, S, S) softmax."""
-    from ..utils.target import on_tpu
+    from ..utils.target import current_target, on_tpu
 
     if interpret is None:
         interpret = not on_tpu()
@@ -230,6 +260,9 @@ def flash_attention_train(q, k, v, scale, causal: bool = True,
     key = FlashTrainKey(batch=B, heads=H, seq=S, head_dim=D,
                         dtype="bf16" if q.dtype == jnp.bfloat16
                         else "f32", causal=causal, scale=float(scale))
+    hpp = flash_train_hpp(key, current_target().vmem_bytes)
+    import dataclasses
+    key = dataclasses.replace(key, hpp=max(hpp, 1))
     attn = _flash_vjp(key, interpret)
     t = lambda a: jnp.transpose(a, (0, 2, 1, 3))
     return t(attn(t(q), t(k), t(v)))
