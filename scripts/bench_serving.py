@@ -102,6 +102,10 @@ def main() -> int:
                    help="int8 KV cache with per-(token, head) scales — "
                         "halves the live-KV read that dominates decode "
                         "at large batch")
+    p.add_argument("--flash", action="store_true",
+                   help="route prefill attention through the flash "
+                        "training-forward kernel (GptConfig.flash_attn) "
+                        "instead of the delegation policy")
     p.add_argument("--platform", default="")
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--json", default="")
@@ -132,6 +136,7 @@ def main() -> int:
                         moe_prefill_form=args.moe_prefill,
                         int8_compute=args.int8_compute,
                         kv_packed=args.kv_packed,
+                        flash_attn=args.flash,
                         decode_attn="pallas" if args.kv_packed else "auto")
         s0, n_short, n_long = 16, 4, 12
         batches = (1, 2)
@@ -143,6 +148,7 @@ def main() -> int:
                         moe_prefill_form=args.moe_prefill,
                         int8_compute=args.int8_compute,
                         kv_packed=args.kv_packed,
+                        flash_attn=args.flash,
                         decode_attn="auto")
         s0, n_short, n_long = 512, 16, 112
         batches = (1, 8)
