@@ -69,6 +69,14 @@ ARCHES = [
     ("kv_packed_rope", GptConfig.llama(kv_packed=True,
                                        decode_attn="pallas", **_BASE), 0,
      ("slotted", "device")),
+    # r7: flash prefill route (GptConfig.flash_attn) — the training-VJP
+    # forward serving prefill; decode/extend stay on their own paths, so
+    # this checks cross-path token agreement when prefill reductions run
+    # in the flash (online-softmax, exp2) order
+    ("flash_prefill", GptConfig(flash_attn=True, **_BASE), 0,
+     ("chunked", "slotted", "device")),
+    ("flash_gqa", GptConfig.llama(kv_heads=2, flash_attn=True, **_BASE),
+     0, ("chunked", "slotted", "device")),
 ]
 
 
