@@ -97,6 +97,10 @@ _SLOW_TESTS = {
     "tests/ir/test_perf_bench.py::test_tpp_run_n_falls_back_when_unchainable",
     "tests/passes/test_transformer_fusion.py::test_multilayer_encoder_fuses_per_layer",
     "tests/xsmm/test_kernels.py::test_wres_epilogue_schedules_agree",
+    # r7: the flash-prefill fuzzer arches are breadth coverage; the fast
+    # representative is test_prefill_flash_attn_matches_default
+    "tests/serving/test_fuzz_configs.py::test_fuzz_serving_paths[flash_prefill]",
+    "tests/serving/test_fuzz_configs.py::test_fuzz_serving_paths[flash_gqa]",
 }
 
 
@@ -111,5 +115,6 @@ def pytest_collection_modifyitems(config, items):
         nid = item.nodeid.replace("\\", "/")
         mod = nid.split("::", 1)[0]
         base = nid.split("[", 1)[0]
-        if mod in _SLOW_MODULES or base in _SLOW_TESTS:
+        if mod in _SLOW_MODULES or base in _SLOW_TESTS \
+                or nid in _SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
