@@ -94,7 +94,10 @@ def main() -> int:
             return jnp.sum(q[0, 0, 0].astype(jnp.float32))
         return run
 
-    pair = (2, 6) if args.tiny else (4, 12)
+    # slope pair sized so the long-short delta is ~0.15-0.3 s of device
+    # time (~65-150 us/iter at this shape): (4,12) measured NEGATIVE
+    # slopes — pure host-timing noise (CLAUDE.md bench pre-sizing rule)
+    pair = (2, 6) if args.tiny else (400, 2400)
     flops = 2 * 2 * B * H * S * S * D / 2      # causal triangle
     roof = roofline_flops("bf16" if dt == jnp.bfloat16 else "f32") / 1e12
 
