@@ -966,7 +966,17 @@ def _attention_full(q, k, v, cfg: GptConfig, use_pallas: bool):
     B, S, E = q.shape
     H, D = cfg.heads, cfg.head_dim
     scale = D ** -0.5
-    if cfg.flash_attn and cfg.dtype in ("f32", "bf16"):
+    # Delegation policy (measured): D>=128 -> token-layout flash kernel
+    # (1.4x XLA, r3); D<128 short-seq -> composed XLA (per-head lane
+    # slices are vreg-relayout poison, r3). D<128 LONG-seq used to take
+    # the token-layout kernel as the lesser evil vs XLA's (B,H,S,S) f32
+    # materialization — the flash-train FORWARD (whole-slab programs, no
+    # per-head lane slices, no S^2 HBM traffic) beats it 1.28x at
+    # s1024 d64 (flash_infer_r7.json: 20.0% vs 15.6% of the triangle
+    # roof) and scales with batch where composed cannot, so that case
+    # routes here too.
+    want_flash = cfg.flash_attn or (use_pallas and S >= 1024 and D < 128)
+    if want_flash and cfg.dtype in ("f32", "bf16"):
         from ..utils.target import current_target
         from ..xsmm.flash_train import (FlashTrainKey,
                                         flash_attention_train,
