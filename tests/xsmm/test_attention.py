@@ -493,3 +493,26 @@ def test_flash_causal_fold2_differential():
     np.testing.assert_allclose(np.asarray(kfn(q, k, v), np.float32),
                                np.asarray(rfn(q, k, v), np.float32),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_flash_heads_route_long_seq_d_lt_128():
+    """r7 delegation: causal token-layout attention at D<128, s>=1024
+    auto-routes to the flash-train FORWARD (no per-head lane slices, no
+    (B,H,S,S) HBM scores — 1.28x the token-layout kernel on hardware,
+    flash_infer_r7.json). Differential vs the token-layout softmax
+    reference, plus the forced strategy="flash_heads" spelling."""
+    from tpp_mlir_tpu.xsmm.kernels import _build_attn_flash_heads
+
+    B, S, D, H = 1, 1024, 16, 2
+    E = H * D
+    base = dict(batch=B, seq=S, seq_kv=S, head_dim=D, dtype="f32",
+                scale=D ** -0.5, heads=H, causal=True)
+    auto = FlashMhaKey(**base)
+    assert _build_attn_flash_heads(auto, True) is not None  # fits VMEM
+    q, k, v = (rng(B, S, E, seed=i) for i in range(3))
+    want = np.asarray(reference_kernel(auto)(q, k, v), np.float32)
+    for key in (auto, FlashMhaKey(**base, strategy="flash_heads")):
+        got = np.asarray(build_kernel(key, interpret=True)(q, k, v),
+                         np.float32)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4,
+                                   err_msg=key.strategy)

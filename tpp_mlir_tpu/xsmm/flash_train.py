@@ -96,6 +96,33 @@ def flash_train_hpp(key: FlashTrainKey, vmem_bytes: int) -> int:
     return best
 
 
+def flash_fwd_fits(key: FlashTrainKey, vmem_bytes: int) -> bool:
+    """FORWARD-only gate (the r7 inference-prefill route): the fwd holds
+    q/k/v/o slabs double-buffered plus ~2 live (S, S) f32 values (the
+    logits and the exp2 probabilities) — much lighter than the backward
+    (flash_train_fits). Measured fitting at bf16 s1024 d64 hpp=1 on v5e
+    where the backward gate refuses (flash_infer_r7.json ran it)."""
+    S = key.seq
+    dsz = 2 if key.dtype in ("bf16", "f16") else 4
+    dpad = -(-key.head_dim // 128) * 128
+    blocks = 4 * key.hpp * S * dpad * dsz * 2
+    values = 2 * S * S * 4
+    return blocks + values + (1 << 20) < int(vmem_bytes * 0.9)
+
+
+def flash_fwd_hpp(key: FlashTrainKey, vmem_bytes: int) -> int:
+    """Largest head count per program whose FORWARD slabs fit VMEM."""
+    import dataclasses
+
+    best = 0
+    for hpp in range(1, key.heads + 1):
+        if key.heads % hpp:
+            continue
+        if flash_fwd_fits(dataclasses.replace(key, hpp=hpp), vmem_bytes):
+            best = hpp
+    return best
+
+
 def _masked_logits2(q, k, key: FlashTrainKey):
     """(S, S) QK product in the base-2 exponent domain, causal-masked.
     Operands stay in their storage dtype (bf16 feeds the MXU); f32

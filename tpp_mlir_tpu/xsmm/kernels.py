@@ -1615,6 +1615,41 @@ def _build_chain(key, interpret: bool):
 _LOG2E = 1.4426950408889634
 
 
+def _build_attn_flash_heads(key, interpret: bool):
+    """Token-layout causal attention via the flash-train FORWARD
+    (flash_train.py): whole-(b, head-group) programs with an in-kernel
+    head loop — no per-head LANE slices, no (B,H,S,S) HBM scores. The
+    r7 route for D<128 at s>=1024, where it beats the token-layout
+    kernel 1.28x (flash_infer_r7.json: 80.9 vs 103.7 us at b2 h12
+    s1024 d64 bf16) and, unlike XLA's composed path, stays flat in
+    batch (no S^2 materialization). Returns None when the head slabs
+    don't fit VMEM (caller falls through to the token-layout kernel)."""
+    import dataclasses
+
+    from ..utils.target import current_target
+    from .flash_train import (FlashTrainKey, build_flash_train_fwd,
+                              flash_fwd_hpp)
+
+    B, S, H, D = key.batch, key.seq, key.heads, key.head_dim
+    tkey = FlashTrainKey(batch=B, heads=H, seq=S, head_dim=D,
+                         dtype=key.dtype, causal=key.causal,
+                         scale=key.scale)
+    hpp = flash_fwd_hpp(tkey, current_target().vmem_bytes)
+    if not hpp:
+        return None
+    fwd = build_flash_train_fwd(dataclasses.replace(tkey, hpp=hpp),
+                                interpret)
+    out_dtype = _jdt(key.out_dtype or key.dtype)
+
+    def fn(q, k, v):
+        def heads(t):
+            return jnp.transpose(t.reshape(B, S, H, D), (0, 2, 1, 3))
+        o, _ = fwd(heads(q), heads(k), heads(v))
+        return jnp.transpose(o, (0, 2, 1, 3)).reshape(
+            B, S, H * D).astype(out_dtype)
+    return fn
+
+
 def _build_flash_mha(key, interpret: bool):
     """Fused attention: one kernel per (batch, q-block) computing
     softmax(Q Kt * scale) V with the online-softmax recurrence; KV blocks are
@@ -1622,6 +1657,16 @@ def _build_flash_mha(key, interpret: bool):
     against the two MXU contractions per step."""
     from .flags import FlashMhaKey
     assert isinstance(key, FlashMhaKey)
+    if key.heads and not key.repeats and not key.qkv_packed \
+            and key.causal and key.seq == key.seq_kv \
+            and key.dtype in ("f32", "bf16") \
+            and key.precision == "default" and (
+                key.strategy == "flash_heads"
+                or (key.strategy == "auto" and key.head_dim < 128
+                    and key.seq >= 1024)):
+        fn = _build_attn_flash_heads(key, interpret)
+        if fn is not None:
+            return fn
     if key.heads and not key.repeats and (
             key.strategy == "xla"
             or (key.strategy == "auto" and key.head_dim < 128
@@ -1636,8 +1681,10 @@ def _build_flash_mha(key, interpret: bool):
         # (134MB at b2/h16) and collapses to 9.7% while the tokens kernel
         # holds 34.5% (3.5x, scripts/exp_d64_pair.py); the head-pair
         # +/- trick was also measured there and never beat tokens (33.2
-        # vs 34.5 at s1024, 21 vs 28-46 at s256) — rejected. Override
-        # with strategy="tokens"/"xla" to force either.
+        # vs 34.5 at s1024, 21 vs 28-46 at s256) — rejected. r7: the
+        # long-seq causal case routes to the flash-train forward above
+        # (1.28x tokens, flash_infer_r7.json). Override with
+        # strategy="tokens"/"xla"/"flash_heads" to force a variant.
         return _build_attn_xla_tokens(key)
     if key.qkv_packed:
         import dataclasses
