@@ -516,3 +516,10 @@ def test_flash_heads_route_long_seq_d_lt_128():
                          np.float32)
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4,
                                    err_msg=key.strategy)
+    # the GPT pipeline's packed spelling (merged-QKV GEMM feeds one
+    # (B, S, 3E) operand) must take the same route
+    packed = FlashMhaKey(**base, qkv_packed=True)
+    x = jnp.concatenate([q, k, v], axis=-1)
+    got = np.asarray(build_kernel(packed, interpret=True)(x), np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4,
+                               err_msg="qkv_packed")

@@ -1640,13 +1640,20 @@ def _build_attn_flash_heads(key, interpret: bool):
     fwd = build_flash_train_fwd(dataclasses.replace(tkey, hpp=hpp),
                                 interpret)
     out_dtype = _jdt(key.out_dtype or key.dtype)
+    E = H * D
 
     def fn(q, k, v):
         def heads(t):
             return jnp.transpose(t.reshape(B, S, H, D), (0, 2, 1, 3))
         o, _ = fwd(heads(q), heads(k), heads(v))
         return jnp.transpose(o, (0, 2, 1, 3)).reshape(
-            B, S, H * D).astype(out_dtype)
+            B, S, E).astype(out_dtype)
+    if key.qkv_packed:
+        # packed (B, S, 3E) operand: slice — XLA fuses the slices into
+        # the head-split relayouts the unpacked form performs anyway
+        def fn_packed(x, *_):
+            return fn(x[..., :E], x[..., E:2 * E], x[..., 2 * E:])
+        return fn_packed
     return fn
 
 
@@ -1657,7 +1664,7 @@ def _build_flash_mha(key, interpret: bool):
     against the two MXU contractions per step."""
     from .flags import FlashMhaKey
     assert isinstance(key, FlashMhaKey)
-    if key.heads and not key.repeats and not key.qkv_packed \
+    if key.heads and not key.repeats \
             and key.causal and key.seq == key.seq_kv \
             and key.dtype in ("f32", "bf16") \
             and key.precision == "default" and (
