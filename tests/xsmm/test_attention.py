@@ -516,9 +516,12 @@ def test_flash_heads_route_long_seq_d_lt_128():
                          np.float32)
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4,
                                    err_msg=key.strategy)
-    # the GPT pipeline's packed spelling (merged-QKV GEMM feeds one
-    # (B, S, 3E) operand) must take the same route
-    packed = FlashMhaKey(**base, qkv_packed=True)
+    # the packed spelling stays on the tokens kernel in auto mode
+    # (measured: slicing the packed operand into the flash kernel costs
+    # the r5b pallas-input copy and loses in-pipeline) but the forced
+    # strategy must still work for A/Bs
+    packed = FlashMhaKey(**base, qkv_packed=True,
+                         strategy="flash_heads")
     x = jnp.concatenate([q, k, v], axis=-1)
     got = np.asarray(build_kernel(packed, interpret=True)(x), np.float32)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4,

@@ -1664,7 +1664,15 @@ def _build_flash_mha(key, interpret: bool):
     against the two MXU contractions per step."""
     from .flags import FlashMhaKey
     assert isinstance(key, FlashMhaKey)
+    # qkv_packed is EXCLUDED from the auto flash-heads route: measured
+    # in-pipeline (gpt2_small_s1024 b2 d64), slicing the packed operand
+    # to feed the flash kernel ran 58.4% vs the tokens kernel's 61.3% —
+    # the value-level slices feeding a pallas_call materialize copies
+    # (the r5b rule) and eat the 1.28x isolated win. The tokens kernel
+    # consumes the packed operand in BlockSpec index space, copy-free.
+    # strategy="flash_heads" still forces it for A/Bs.
     if key.heads and not key.repeats \
+            and (not key.qkv_packed or key.strategy == "flash_heads") \
             and key.causal and key.seq == key.seq_kv \
             and key.dtype in ("f32", "bf16") \
             and key.precision == "default" and (
