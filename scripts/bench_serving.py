@@ -102,6 +102,10 @@ def main() -> int:
                    help="int8 KV cache with per-(token, head) scales — "
                         "halves the live-KV read that dominates decode "
                         "at large batch")
+    p.add_argument("--prompt", type=int, default=0,
+                   help="prompt length override (default 512; s>=1024 "
+                        "exercises the r7 flash-forward prefill route "
+                        "at D<128)")
     p.add_argument("--flash", action="store_true",
                    help="route prefill attention through the flash "
                         "training-forward kernel (GptConfig.flash_attn) "
@@ -152,6 +156,12 @@ def main() -> int:
                         decode_attn="auto")
         s0, n_short, n_long = 512, 16, 112
         batches = (1, 8)
+    if args.prompt:
+        s0 = args.prompt
+        if s0 + n_short + n_long + 1 > cfg.max_seq:
+            import dataclasses
+            cfg = dataclasses.replace(
+                cfg, max_seq=s0 + n_short + n_long + 1)
 
     # hybrid param layout (exp_decode_unstacked, measured r4): PREFILL
     # uses stacked layers (one scan'd block body, ~L x smaller HLO for
