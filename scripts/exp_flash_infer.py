@@ -22,6 +22,12 @@ def main() -> int:
     p.add_argument("--platform", default="")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--shape", default="b2s1024",
+                   choices=["b2s1024", "b8s512"],
+                   help="b8s512 = the serving-prefill geometry, where "
+                        "the r3 policy delegates D=64 attention to "
+                        "composed XLA (measured vs tokens only — "
+                        "flash_heads postdates that A/B)")
     p.add_argument("--json", default="benchmarks/results/flash_infer_r7.json")
     args = p.parse_args()
 
@@ -45,6 +51,8 @@ def main() -> int:
 
     if args.tiny:
         B, H, S, D, dt = 1, 2, 64, 16, jnp.float32
+    elif args.shape == "b8s512":
+        B, H, S, D, dt = 8, 12, 512, 64, jnp.bfloat16
     else:
         B, H, S, D, dt = 2, 12, 1024, 64, jnp.bfloat16
     scale = D ** -0.5
