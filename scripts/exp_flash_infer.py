@@ -23,7 +23,7 @@ def main() -> int:
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--shape", default="b2s1024",
-                   choices=["b2s1024", "b8s512"],
+                   choices=["b2s1024", "b8s512", "b2s1024d128"],
                    help="b8s512 = the serving-prefill geometry, where "
                         "the r3 policy delegates D=64 attention to "
                         "composed XLA (measured vs tokens only — "
@@ -53,6 +53,8 @@ def main() -> int:
         B, H, S, D, dt = 1, 2, 64, 16, jnp.float32
     elif args.shape == "b8s512":
         B, H, S, D, dt = 8, 12, 512, 64, jnp.bfloat16
+    elif args.shape == "b2s1024d128":
+        B, H, S, D, dt = 2, 6, 1024, 128, jnp.bfloat16
     else:
         B, H, S, D, dt = 2, 12, 1024, 64, jnp.bfloat16
     scale = D ** -0.5
